@@ -1,0 +1,89 @@
+"""DiffNorm latent-diffusion training loss.
+
+Parity with reference LatentDiscreteModel.forward loss assembly
+(latent_module.py:1563-1613) + DDPMDiscreteLoss (ddpm_discrete_loss.py:37-75):
+
+* noise MSE: elementwise MSE zeroed outside the target mask, mean over (T, C)
+  per sequence (including zeros — matching torch `reduce('b ... -> b','mean')`),
+  min-SNR-5 weighted, batch mean
+* multitask reconstruction: 50 * masked-mean MSE on decoded features +
+  label-smoothed NLL (eps=0.1, ignore_index=0) normalized by unit count
+* total = noise_mse + recon / timesteps, sample_size = nsentences
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from diffnorm_tpu.criterions.label_smoothing import (
+    label_smoothed_nll_loss,
+    unit_accuracy,
+)
+from diffnorm_tpu.registry import register_criterion
+from diffnorm_tpu.utils.masking import lengths_to_mask
+
+
+@register_criterion("ddpm_discrete_loss")
+class DDPMDiscreteLoss:
+    def __init__(self, cfg=None, task=None):
+        self.eps = 0.1
+        self.recon_mse_weight = 50.0
+
+    def __call__(self, model, variables, batch, rng, train: bool = True):
+        feature = batch["reduce_target"]
+        units = batch["reduce_target_unit"]
+        lengths = batch["reduce_target_lengths"]
+        mask = lengths_to_mask(lengths, feature.shape[1])
+
+        r_model, r_drop = jax.random.split(rng)
+        out = model.apply(
+            variables, feature, mask, r_model,
+            deterministic=not train,
+            rngs={"dropout": r_drop},
+        )
+
+        # --- min-SNR weighted noise MSE -----------------------------------
+        diff = out["pred_noise"].astype(jnp.float32) - out["true_noise"].astype(
+            jnp.float32
+        )
+        sq = jnp.square(diff)
+        sq = jnp.where(mask[..., None], sq, 0.0)
+        per_seq = jnp.mean(sq, axis=(1, 2))  # mean over full T*C (zeros incl.)
+        noise_mse = jnp.mean(per_seq * out["loss_weight"])
+
+        # --- multitask reconstruction -------------------------------------
+        recon = out["recon_feature"].astype(jnp.float32)
+        sqr = jnp.square(recon - feature.astype(jnp.float32))
+        n_valid = jnp.maximum(jnp.sum(mask) * feature.shape[-1], 1)
+        recon_mse = jnp.sum(jnp.where(mask[..., None], sqr, 0.0)) / n_valid
+
+        lprobs = jax.nn.log_softmax(
+            out["lm_logits"].astype(jnp.float32), axis=-1
+        ).reshape(-1, out["lm_logits"].shape[-1])
+        flat_units = units.reshape(-1)
+        ce_sum, _ = label_smoothed_nll_loss(
+            lprobs, flat_units, self.eps, ignore_index=0
+        )
+        n_correct, total = unit_accuracy(lprobs, flat_units, ignore_index=0)
+        ntokens = jnp.maximum(jnp.sum(flat_units != 0), 1)
+        smooth_loss = ce_sum / ntokens
+        recon_loss = self.recon_mse_weight * recon_mse + smooth_loss
+
+        timesteps = model.module.timesteps
+        if model.module.multitask:
+            loss = noise_mse + recon_loss / timesteps
+        else:
+            loss = noise_mse
+
+        metrics = {
+            "loss": loss,
+            "noise_loss": noise_mse,
+            "recon_mse_loss": recon_mse,
+            "nll_loss": smooth_loss,
+            "acc": n_correct / jnp.maximum(total, 1),
+            "ntokens": ntokens,
+            "nsentences": feature.shape[0],
+            "sample_size": feature.shape[0],
+        }
+        return loss, metrics, {}

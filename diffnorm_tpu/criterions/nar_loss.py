@@ -1,0 +1,101 @@
+"""NAR speech-to-unit criterion: masked-position label-smoothed CE + length CE.
+
+Parity with fairseq/criterions/nar_speech_to_unit.py:125-220: unit CE is
+computed only at CMLM-masked positions (prev==unk), the 256-way length
+classifier gets its own label-smoothed CE (same eps, ignore_index=pad=1 — the
+fairseq quirk where a target length of exactly 1 is ignored), the sum is
+normalized by ntokens (sentence_avg off in the recipes).
+
+In place of boolean gathering (dynamic shapes), masked positions contribute
+via a multiplicative mask — identical sums, jit-static shapes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from diffnorm_tpu.registry import register_criterion
+
+PAD = 1
+
+
+def _masked_label_smoothed_ce(lprobs, target, mask, epsilon: float):
+    """Sum of label-smoothed CE over positions where mask is True.
+    lprobs: [..., V], target/mask: [...]. Returns (loss_sum, nll_sum)."""
+    vocab = lprobs.shape[-1]
+    nll = -jnp.take_along_axis(lprobs, target[..., None].astype(jnp.int32), axis=-1)[
+        ..., 0
+    ]
+    smooth = -jnp.sum(lprobs, axis=-1)
+    keep = mask & (target != PAD)
+    nll = jnp.where(keep, nll, 0.0)
+    smooth = jnp.where(keep, smooth, 0.0)
+    eps_i = epsilon / (vocab - 1)
+    loss = (1.0 - epsilon - eps_i) * nll + eps_i * smooth
+    return jnp.sum(loss), jnp.sum(nll)
+
+
+@register_criterion("nar_speech_to_unit")
+class NARSpeechToUnitLoss:
+    def __init__(self, cfg=None, task=None):
+        self.eps = cfg.get("label_smoothing", 0.2) if cfg is not None else 0.2
+
+    def __call__(self, model, variables, batch, rng, train: bool = True):
+        src = batch["src_tokens"]
+        src_lengths = batch["src_lengths"]
+        prev = batch["prev_target"]
+        tgt = batch["target"]
+
+        if train:
+            r_drop, r_cg = jax.random.split(rng)
+            rngs = {"dropout": r_drop, "cg": r_cg}
+            out, mutated = model.apply(
+                variables,
+                src,
+                src_lengths,
+                prev,
+                tgt_tokens=tgt,
+                deterministic=False,
+                rngs=rngs,
+                mutable=["batch_stats"],
+            )
+        else:
+            out = model.apply(
+                variables, src, src_lengths, prev, tgt_tokens=tgt, deterministic=True
+            )
+            mutated = {}
+
+        lprobs = jax.nn.log_softmax(out["logits"].astype(jnp.float32), axis=-1)
+        ce_sum, nll_sum = _masked_label_smoothed_ce(
+            lprobs, tgt, out["word_ins_mask"], self.eps
+        )
+
+        len_lprobs = jax.nn.log_softmax(
+            out["length_logits"].astype(jnp.float32), axis=-1
+        )
+        len_sum, len_nll_sum = _masked_label_smoothed_ce(
+            len_lprobs,
+            out["length_tgt"],
+            jnp.ones_like(out["length_tgt"], dtype=bool),
+            self.eps,
+        )
+
+        ntokens = jnp.maximum(jnp.sum(tgt != PAD), 1)
+        loss = (ce_sum + len_sum) / ntokens
+
+        pred = jnp.argmax(lprobs, axis=-1)
+        keep = out["word_ins_mask"] & (tgt != PAD)
+        n_correct = jnp.sum((pred == tgt) & keep)
+        total = jnp.maximum(jnp.sum(keep), 1)
+
+        metrics = {
+            "loss": loss,
+            "nll_loss": nll_sum / ntokens,
+            "loss_length": len_sum / ntokens,
+            "acc": n_correct / total,
+            "ntokens": ntokens,
+            "nsentences": src.shape[0],
+            "sample_size": ntokens,
+        }
+        return loss, metrics, mutated

@@ -1,0 +1,78 @@
+"""Speech-VAE loss: 0.1*label-smoothed CE + 10*MSE + 1e-4*KL.
+
+Parity with fairseq/criterions/speech_vae_decoder_loss.py:45-100:
+* CE: label smoothing eps=0.1, ignore_index=0 (units pad with 0), summed then
+  divided by batch ntokens
+* MSE: mean over *valid* (masked-in) feature elements only
+* KL: per-sequence masked kl_3d, batch-averaged
+* sample_size = nsentences
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from diffnorm_tpu.criterions.label_smoothing import (
+    label_smoothed_nll_loss,
+    unit_accuracy,
+)
+from diffnorm_tpu.registry import register_criterion
+from diffnorm_tpu.utils.masking import lengths_to_mask
+
+
+@register_criterion("speech_vae_decoder_loss")
+class SpeechVAELoss:
+    def __init__(self, cfg=None, task=None):
+        self.eps = 0.1
+        self.ce_weight = 0.1
+        self.mse_weight = 10.0
+        self.kl_weight = 1e-4
+
+    def __call__(self, model, variables, batch, rng, train: bool = True):
+        feature = batch["reduce_target"]
+        units = batch["reduce_target_unit"]
+        lengths = batch["reduce_target_lengths"]
+        mask = lengths_to_mask(lengths, feature.shape[1])
+
+        rngs = {"sample": rng}
+        if train:
+            r_sample, r_drop = jax.random.split(rng)
+            rngs = {"sample": r_sample, "dropout": r_drop}
+        decoded, logits, kl = model.apply(
+            variables, feature, mask, rngs["sample"],
+            deterministic=not train,
+            rngs=rngs,
+        )
+
+        # masked MSE over valid elements only
+        sq = jnp.square(decoded.astype(jnp.float32) - feature.astype(jnp.float32))
+        m = mask[..., None]
+        n_valid_elems = jnp.maximum(jnp.sum(mask) * feature.shape[-1], 1)
+        mse = jnp.sum(jnp.where(m, sq, 0.0)) / n_valid_elems
+
+        lprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        flat_lprobs = lprobs.reshape(-1, lprobs.shape[-1])
+        flat_units = units.reshape(-1)
+        ce_sum, nll_sum = label_smoothed_nll_loss(
+            flat_lprobs, flat_units, self.eps, ignore_index=0
+        )
+        n_correct, total = unit_accuracy(flat_lprobs, flat_units, ignore_index=0)
+
+        ntokens = jnp.maximum(jnp.sum(lengths), 1)
+        ce = ce_sum / ntokens
+        nll = nll_sum / ntokens
+        kl_loss = jnp.mean(kl)
+
+        loss = self.ce_weight * ce + self.mse_weight * mse + self.kl_weight * kl_loss
+        metrics = {
+            "loss": loss,
+            "nll_loss": nll,
+            "mse_loss": mse,
+            "kl_loss": kl_loss,
+            "acc": n_correct / jnp.maximum(total, 1),
+            "ntokens": ntokens,
+            "nsentences": feature.shape[0],
+            "sample_size": feature.shape[0],
+        }
+        return loss, metrics, {}

@@ -1,0 +1,5 @@
+"""Model zoo. Importing this package populates the model/arch registries."""
+
+from diffnorm_tpu.models import vae  # noqa: F401
+from diffnorm_tpu.models import diffusion  # noqa: F401
+from diffnorm_tpu.models import nar_transformer  # noqa: F401

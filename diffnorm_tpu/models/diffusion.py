@@ -1,0 +1,341 @@
+"""Latent DDPM "normalizer" over frozen speech-VAE latents.
+
+Capability parity with the reference `diff_discrete` model
+(fairseq/models/text_to_speech/diff_discrete.py:71-85, latent_module.py:
+DDPMScheduler :1241-1297, denoiser Model :709-876, LatentDiscreteModel
+:1300-1613). TPU-first redesign:
+
+* schedule tables are precomputed float64 numpy, embedded as constants in the
+  jitted graph (no host gather per step)
+* the training forward is a single fused graph (q-sample, denoiser,
+  min-SNR-weighted noise MSE, multitask reconstruction through the frozen VAE)
+* `ddim_sample` runs the whole reverse loop as one `lax.scan` over
+  start_step-1 steps — the headline kernel of the framework
+* frozen-VAE composition is by parameter partition: the trainer only
+  optimizes the `denoiser` subtree (see tasks/diffusion.py)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from diffnorm_tpu.config import Config
+from diffnorm_tpu.models.layers import (
+    ConditionableTransformer,
+    LearnedSinusoidalPosEmb,
+    sinusoidal_positions,
+)
+from diffnorm_tpu.models.vae import ModelHolder, SpeechVAEModule
+from diffnorm_tpu.models.wavenet import Wavenet
+from diffnorm_tpu.registry import register_architecture, register_model
+
+
+# --------------------------------------------------------------------------
+# Beta schedules (reference latent_module.py:1145-1223)
+# --------------------------------------------------------------------------
+
+def betas_for_alpha_bar(num_steps: int, alpha_bar, max_beta: float = 0.999):
+    betas = []
+    for i in range(num_steps):
+        t1 = i / num_steps
+        t2 = (i + 1) / num_steps
+        betas.append(min(1 - alpha_bar(t2) / alpha_bar(t1), max_beta))
+    return np.array(betas, dtype=np.float64)
+
+
+def get_named_beta_schedule(name: str, num_steps: int) -> np.ndarray:
+    if name == "linear":
+        scale = 1000 / num_steps
+        return np.linspace(scale * 0.0001, scale * 0.02, num_steps, dtype=np.float64)
+    if name == "cosine":
+        return betas_for_alpha_bar(
+            num_steps, lambda t: math.cos((t + 0.008) / 1.008 * math.pi / 2) ** 2
+        )
+    raise NotImplementedError(f"unknown beta schedule: {name}")
+
+
+@dataclasses.dataclass(frozen=True)
+class DDPMSchedule:
+    """Precomputed diffusion tables (reference DDPMScheduler :1241-1297)."""
+
+    betas: np.ndarray
+    alphas_cumprod: np.ndarray
+    alphas_cumprod_prev: np.ndarray
+    sqrt_alphas_cumprod: np.ndarray
+    sqrt_one_minus_alphas_cumprod: np.ndarray
+
+    @classmethod
+    def create(cls, timesteps: int, name: str = "cosine") -> "DDPMSchedule":
+        betas = get_named_beta_schedule(name, timesteps)
+        ac = np.cumprod(1.0 - betas, axis=0)
+        return cls(
+            betas=betas,
+            alphas_cumprod=ac,
+            alphas_cumprod_prev=np.append(1.0, ac[:-1]),
+            sqrt_alphas_cumprod=np.sqrt(ac),
+            sqrt_one_minus_alphas_cumprod=np.sqrt(1.0 - ac),
+        )
+
+    @property
+    def num_timesteps(self) -> int:
+        return len(self.betas)
+
+    def snr(self, t):
+        """alpha_bar / (1 - alpha_bar) gathered at integer t [B]."""
+        ac = jnp.asarray(self.alphas_cumprod, dtype=jnp.float32)[t]
+        return ac / (1.0 - ac)
+
+
+def extract(table: np.ndarray, t, ndim: int):
+    """Gather table[t] ([B]) and right-broadcast to ndim dims (float32)."""
+    vals = jnp.asarray(table, dtype=jnp.float32)[t]
+    return vals.reshape(vals.shape + (1,) * (ndim - 1))
+
+
+def safe_div(num, den, eps: float = 1e-10):
+    return num / jnp.maximum(den, eps)
+
+
+# --------------------------------------------------------------------------
+# Denoiser network (reference Model, latent_module.py:709-876)
+# --------------------------------------------------------------------------
+
+class Denoiser(nn.Module):
+    """1x1 conv latent->dim, FiLM-time WaveNet (4 stacks x 8 chains),
+    sinusoidal positions, 12-layer adaptive-RMSNorm transformer, proj back."""
+
+    dim: int = 512
+    latent_dim: int = 128
+    depth: int = 12
+    dim_head: int = 64
+    heads: int = 8
+    ff_mult: int = 4
+    wavenet_layers: int = 8
+    wavenet_stacks: int = 4
+    dim_cond_mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, times, mask=None, deterministic: bool = True):
+        """x: [B, T, latent], times: [B] (float or int), mask: [B, T] bool."""
+        dim_time = self.dim * self.dim_cond_mult
+        t = LearnedSinusoidalPosEmb(self.dim, name="time_emb")(times)
+        t = nn.Dense(dim_time, dtype=self.dtype, name="time_proj")(t)
+        t = nn.silu(t)
+
+        h = nn.Dense(self.dim, dtype=self.dtype, name="init_conv")(x)
+        h = Wavenet(
+            dim=self.dim,
+            stacks=self.wavenet_stacks,
+            layers=self.wavenet_layers,
+            cond_dim=dim_time,
+            dtype=self.dtype,
+            name="wavenet",
+        )(h, t)
+        if mask is None:
+            mask = jnp.ones(h.shape[:2], dtype=bool)
+        h = h + sinusoidal_positions(mask, self.dim).astype(h.dtype)
+        h = ConditionableTransformer(
+            dim=self.dim,
+            depth=self.depth,
+            dim_head=self.dim_head,
+            heads=self.heads,
+            ff_mult=self.ff_mult,
+            ff_causal_conv=True,
+            cond_dim=dim_time,
+            dtype=self.dtype,
+            name="transformer",
+        )(h, cond=t, mask=mask, deterministic=deterministic)
+        return nn.Dense(self.latent_dim, dtype=self.dtype, name="final_proj")(h)
+
+
+# --------------------------------------------------------------------------
+# Latent diffusion module (reference LatentDiscreteModel :1300-1613)
+# --------------------------------------------------------------------------
+
+class LatentDiffusionModule(nn.Module):
+    dim: int = 512
+    latent_dim: int = 128
+    feature_dim: int = 768
+    vocab_size: int = 1004
+    timesteps: int = 200
+    schedule_name: str = "cosine"
+    min_snr_gamma: float = 5.0
+    multitask: bool = True
+    denoiser_depth: int = 12
+    wavenet_layers: int = 8
+    wavenet_stacks: int = 4
+    vae_decoder_depth: int = 6
+    vae_decoder_dim_head: int = 96
+    vae_decoder_heads: int = 8
+    chan_mults: Optional[tuple] = None
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.vae = SpeechVAEModule(
+            dim=self.feature_dim,
+            latent_dim=self.latent_dim,
+            vocab_size=self.vocab_size,
+            decoder_depth=self.vae_decoder_depth,
+            decoder_dim_head=self.vae_decoder_dim_head,
+            decoder_heads=self.vae_decoder_heads,
+            chan_mults=self.chan_mults,
+            dtype=self.dtype,
+            name="vae",
+        )
+        self.denoiser = Denoiser(
+            dim=self.dim, latent_dim=self.latent_dim,
+            depth=self.denoiser_depth,
+            wavenet_layers=self.wavenet_layers,
+            wavenet_stacks=self.wavenet_stacks,
+            dtype=self.dtype,
+            name="denoiser",
+        )
+        self.schedule = DDPMSchedule.create(self.timesteps, self.schedule_name)
+
+    def encode(self, feature, rng):
+        return self.vae.encode(feature, rng)
+
+    def decode(self, latent, mask):
+        return self.vae.decode(latent, mask)
+
+    def denoise(self, x_t, times, mask, deterministic: bool = True):
+        return self.denoiser(x_t, times, mask, deterministic=deterministic)
+
+    def __call__(self, feature, mask, rng, deterministic: bool = True):
+        """Training forward: q-sample + denoiser prediction.
+
+        Returns a dict with everything the criterion needs to assemble the
+        DiffNorm multitask loss (reference forward :1514-1613): pred/true
+        noise, the recovered x_1_hat decoded through the frozen VAE, and the
+        min-SNR loss weights.
+        """
+        b = feature.shape[0]
+        r_t, r_enc, r_x1, r_q = jax.random.split(rng, 4)
+        times = jax.random.randint(r_t, (b,), 1, self.timesteps)
+
+        # frozen-VAE encode (t ~ no_grad; params frozen by the optimizer mask)
+        z = jax.lax.stop_gradient(self.vae.encode(feature, r_enc))
+
+        beta0 = float(self.schedule.betas[0])
+        x1 = z + jax.random.normal(r_x1, z.shape, z.dtype) * beta0
+
+        sac = extract(self.schedule.sqrt_alphas_cumprod, times, z.ndim)
+        s1mac = extract(self.schedule.sqrt_one_minus_alphas_cumprod, times, z.ndim)
+        true_noise = jax.random.normal(r_q, z.shape, z.dtype)
+        x_t = sac * x1 + s1mac * true_noise
+
+        pred_noise = self.denoiser(x_t, times, mask, deterministic=deterministic)
+
+        snr = self.schedule.snr(times)
+        loss_weight = jnp.minimum(snr, self.min_snr_gamma) / snr
+
+        x1_hat = safe_div(x_t - s1mac * pred_noise, sac)
+        recon_feature, lm_logits = self.vae.decode(x1_hat, mask)
+
+        return dict(
+            pred_noise=pred_noise,
+            true_noise=true_noise,
+            loss_weight=loss_weight,
+            recon_feature=recon_feature,
+            lm_logits=lm_logits,
+            times=times,
+        )
+
+def ddim_sample(
+    model: "LatentDiffusionModel",
+    variables,
+    feature,
+    mask,
+    rng,
+    start_step: int = 50,
+):
+    """Partial-noise DDIM normalization (reference ddim_sample :1385-1471).
+
+    feature: [B, T, 768] reduced target features; mask: [B, T] True=valid.
+    Returns (pred_units [B, T] int32 with the -4 dictionary offset applied,
+    recon_feature [B, T, 768]).
+
+    The reverse loop runs as one lax.scan over times start_step-1 .. 1 with
+    eta=0 (deterministic DDIM), matching the reference's early-break-at-t==1
+    semantics (t=0 is never evaluated). Lives outside the flax module so the
+    scan body is a pure `apply` call — jit this whole function.
+    """
+    module = model.module
+    schedule = DDPMSchedule.create(module.timesteps, module.schedule_name)
+    r_enc, r_noise = jax.random.split(rng)
+    z = module.apply(
+        variables, feature, r_enc, method=LatentDiffusionModule.encode
+    )
+    b = z.shape[0]
+
+    t_start = jnp.full((b,), start_step, dtype=jnp.int32)
+    sac = extract(schedule.sqrt_alphas_cumprod, t_start, z.ndim)
+    s1mac = extract(schedule.sqrt_one_minus_alphas_cumprod, t_start, z.ndim)
+    x = sac * z + s1mac * jax.random.normal(r_noise, z.shape, z.dtype)
+
+    def step(x, time):
+        t = jnp.full((b,), time, dtype=jnp.int32)
+        noise = module.apply(
+            variables, x, t, mask, method=LatentDiffusionModule.denoise
+        )
+        sac_t = extract(schedule.sqrt_alphas_cumprod, t, noise.ndim)
+        s1mac_t = extract(schedule.sqrt_one_minus_alphas_cumprod, t, noise.ndim)
+        x1_hat = safe_div(x - s1mac_t * noise, sac_t)
+        pred_noise = safe_div(x - sac_t * x1_hat, s1mac_t)
+        ab_prev = extract(schedule.alphas_cumprod_prev, t, noise.ndim)
+        x_next = x1_hat * jnp.sqrt(ab_prev) + jnp.sqrt(1.0 - ab_prev) * pred_noise
+        return x_next, ()
+
+    times = jnp.arange(start_step - 1, 0, -1)
+    x, _ = jax.lax.scan(step, x, times)
+
+    recon_feature, lm_logits = module.apply(
+        variables, x, mask, method=LatentDiffusionModule.decode
+    )
+    pred_units = jnp.argmax(lm_logits, axis=-1).astype(jnp.int32) - 4
+    return pred_units, recon_feature
+
+
+@register_model("latent_diffusion")
+class LatentDiffusionModel(ModelHolder):
+    @classmethod
+    def build_model(cls, cfg: Config, task=None) -> "LatentDiffusionModel":
+        vocab = cfg.get("vocab_size")
+        if vocab is None and task is not None and task.target_dictionary is not None:
+            vocab = len(task.target_dictionary)
+        module = LatentDiffusionModule(
+            dim=cfg.get("hidden_dim", 512),
+            latent_dim=cfg.get("latent_dim", 128),
+            feature_dim=cfg.get("feature_dim", 768),
+            vocab_size=vocab or 1004,
+            timesteps=cfg.get("timesteps", 200),
+            schedule_name=cfg.get("schedule", "cosine"),
+            min_snr_gamma=cfg.get("min_snr_gamma", 5.0),
+            multitask=cfg.get("multitask", True),
+            denoiser_depth=cfg.get("denoiser_depth", 12),
+            wavenet_layers=cfg.get("wavenet_layers", 8),
+            wavenet_stacks=cfg.get("wavenet_stacks", 4),
+            vae_decoder_depth=cfg.get("vae_decoder_depth", 6),
+            vae_decoder_dim_head=cfg.get("vae_decoder_dim_head", 96),
+            vae_decoder_heads=cfg.get("vae_decoder_heads", 8),
+            chan_mults=tuple(cfg["chan_mults"]) if cfg.get("chan_mults") else None,
+            dtype=jnp.dtype(cfg.get("dtype", "float32")),
+        )
+        return cls(module=module, cfg=cfg)
+
+
+@register_architecture("latent_diffusion", "diff_discrete")
+def diff_discrete_arch(cfg: Config):
+    """Defaults parity with diff_discrete.py:84 (hid 512, T=200, multitask)."""
+    cfg.setdefault("hidden_dim", 512)
+    cfg.setdefault("latent_dim", 128)
+    cfg.setdefault("timesteps", 200)
+    cfg.setdefault("multitask", True)

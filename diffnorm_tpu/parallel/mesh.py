@@ -1,0 +1,67 @@
+"""Device mesh + sharding helpers.
+
+Replaces the reference's torch.distributed/NCCL layer
+(fairseq/distributed/utils.py:239-670, DDP wrappers, Megatron mpu) with the
+JAX SPMD model: one `jax.sharding.Mesh` with axes ("data", "model"),
+NamedShardings for batches (split on "data") and parameters (replicated, or
+split on "model" for tensor parallelism), XLA inserting the collectives.
+Multi-host initialization is `jax.distributed.initialize` — collectives ride
+ICI within a slice and DCN across slices without any NCCL-style plumbing.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed():
+    """Multi-host init (no-op single-host). Reference equivalent:
+    distributed_utils.distributed_init (fairseq/distributed/utils.py:239)."""
+    if int(os.environ.get("DIFFNORM_MULTIHOST", "0")):
+        jax.distributed.initialize()
+
+
+def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
+    """Build a ("data", "model") mesh. data=-1 uses all remaining devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data == -1:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over "data"."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device_put a host batch with the leading axis split over "data".
+    Scalars/0-d entries are replicated."""
+    data_shard = batch_sharding(mesh)
+    repl = replicated_sharding(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim == 0 or x.shape[0] % mesh.shape["data"] != 0:
+            return jax.device_put(x, repl)
+        return jax.device_put(x, NamedSharding(mesh, P(*(("data",) + (None,) * (x.ndim - 1)))))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    repl = replicated_sharding(mesh)
+    return jax.device_put(tree, repl)

@@ -1,0 +1,7 @@
+"""Tasks. Importing populates the task registry."""
+
+from diffnorm_tpu.tasks import vae_task  # noqa: F401
+from diffnorm_tpu.tasks import diffusion_task  # noqa: F401
+from diffnorm_tpu.tasks import nar_s2ut_task  # noqa: F401
+from diffnorm_tpu.tasks import dummy  # noqa: F401
+from diffnorm_tpu.tasks.base import Task  # noqa: F401

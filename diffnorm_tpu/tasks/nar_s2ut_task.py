@@ -1,0 +1,118 @@
+"""NAR S2UT task ("speech_to_speech_fasttranslate" in the reference,
+fairseq/tasks/nat_s2s_task.py): CMLM mask injection per batch — uniform-count
+random masking (:79-99) and the optional Gaussian "bowl" side-mask (:36-77) —
+plus fbank source / unit target dataset loading."""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import numpy as np
+
+from diffnorm_tpu.config import Config
+from diffnorm_tpu.data.dictionary import Dictionary
+from diffnorm_tpu.registry import register_task
+from diffnorm_tpu.tasks.base import Task
+
+PAD, BOS, EOS, UNK = 1, 0, 2, 3
+
+
+def random_mask(target: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Uniform-count masking (nat_s2s_task.py:79-99): draw a per-sequence
+    masked-token budget ~ U(0,1)*len + 1, mask the budget-lowest random
+    scores."""
+    masks = (target != PAD) & (target != BOS) & (target != EOS)
+    score = rng.random(target.shape)
+    score[~masks] = 2.0
+    lengths = masks.sum(axis=1).astype(np.float64)
+    budget = (lengths * rng.random(lengths.shape) + 1).astype(np.int64)
+    rank = np.argsort(score, axis=1)
+    cutoff = np.zeros_like(masks)
+    rows = np.arange(target.shape[0])[:, None]
+    take = np.arange(target.shape[1])[None, :] < budget[:, None]
+    cutoff[rows, rank] = take
+    out = target.copy()
+    out[cutoff] = UNK
+    return out
+
+
+def side_mask(target: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Gaussian "bowl" masking (nat_s2s_task.py:36-77): mask probability is a
+    randomly-shifted/scaled Gaussian over positions, peaked mid-sequence."""
+    masks = (target != PAD) & (target != BOS) & (target != EOS)
+    lengths = masks.sum(axis=1).astype(np.float64)
+    bz, max_len = target.shape
+    shift = rng.random(bz) * (lengths / 6)
+    scale = rng.random(bz) * 6 + 2
+    mean = lengths / 2 - shift
+    std = np.maximum(lengths / scale, 1e-6)
+    idx = np.arange(max_len)[None, :]
+    probs = np.exp(-0.5 * ((idx - mean[:, None]) / std[:, None]) ** 2)
+    probs = probs / np.maximum(probs.max(axis=1, keepdims=True), 1e-9)
+    probs = np.clip(probs * (rng.random((bz, 1)) + 0.5), 0, 1)
+    drawn = rng.random(target.shape) < probs
+    drawn &= masks
+    out = target.copy()
+    out[drawn] = UNK
+    return out
+
+
+@register_task("speech_to_speech_fasttranslate")
+class NARS2UTTask(Task):
+    def __init__(self, cfg: Config):
+        super().__init__(cfg)
+        self.tgt_dict = Dictionary.unit_dictionary(cfg.get("target_code_size", 1000))
+        self.use_side = bool(cfg.get("use_side", False))
+
+    def load_dataset(self, split: str, epoch: int = 1):
+        from diffnorm_tpu.data.s2s_dataset import SpeechToUnitDataset
+
+        self.datasets[split] = SpeechToUnitDataset.from_tsv(
+            root=self.cfg.get("data"),
+            split=split,
+            tgt_dict=self.tgt_dict,
+            config_yaml=self.cfg.get("config_yaml", "config.yaml"),
+            is_train=split.startswith("train"),
+        )
+
+    def prepare_batch(self, batch: Dict[str, np.ndarray], rng: np.random.Generator):
+        """Inject CMLM noise: prev_target = masked target (reference
+        train_step :141-157 / valid_step)."""
+        target = batch["target"]
+        if self.use_side and rng.random() > 0.5:
+            batch["prev_target"] = side_mask(target, rng)
+        else:
+            batch["prev_target"] = random_mask(target, rng)
+        return batch
+
+    def init_variables(self, model, rng, batch):
+        r_p, r_d, r_cg = jax.random.split(rng, 3)
+        return model.init(
+            {"params": r_p, "dropout": r_d, "cg": r_cg},
+            batch["src_tokens"],
+            batch["src_lengths"],
+            batch["prev_target"],
+            tgt_tokens=batch["target"],
+            deterministic=True,
+        )
+
+    def dummy_batch(self, batch_size: int = 2, seq_len: int = 48) -> Dict:
+        rng = np.random.default_rng(0)
+        tgt_len = max(seq_len // 4, 4)
+        src_lengths = np.full((batch_size,), seq_len, dtype=np.int32)
+        src_lengths[-1] = max(seq_len // 2, 9)
+        target = rng.integers(
+            4, 4 + self.cfg.get("target_code_size", 1000),
+            size=(batch_size, tgt_len),
+        ).astype(np.int32)
+        target[:, -1] = EOS
+        target[-1, tgt_len // 2:] = PAD
+        batch = {
+            "src_tokens": rng.normal(size=(batch_size, seq_len, 80)).astype(
+                np.float32
+            ),
+            "src_lengths": src_lengths,
+            "target": target,
+        }
+        return self.prepare_batch(batch, rng)

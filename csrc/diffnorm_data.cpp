@@ -1,0 +1,175 @@
+// Native runtime helpers for diffnorm_tpu, exposed via a plain C ABI and
+// loaded from Python with ctypes (no pybind11 in this image).
+//
+// TPU-native equivalents of the reference's native components
+// (SURVEY.md section 2d):
+//   * batch_by_size   — length-bucketed batching hot loop
+//                       (reference: fairseq/data/data_utils_fast.pyx)
+//   * bleu_*          — corpus BLEU n-gram counters
+//                       (reference: fairseq/clib/libbleu/libbleu.cpp)
+//   * edit_distance_batch — batched Levenshtein DP
+//                       (reference: fairseq/clib/libnat/edit_dist.cpp)
+//   * token_block_*   — token-block slicing for LM datasets
+//                       (reference: fairseq/data/token_block_utils_fast.pyx)
+//
+// Build: make -C csrc   (g++ -O3 -shared -fPIC)
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <map>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// batch_by_size: walk `indices` (pre-sorted by the caller), closing a batch
+// when adding the next item would exceed max_tokens (= count * running max
+// size, batches pad to their longest member) or max_sentences. Batches close
+// at the largest multiple of `mult`; the remainder seeds the next batch.
+// Returns the number of batches; `bounds` receives n_batches+1 offsets into
+// `indices`.
+// ---------------------------------------------------------------------------
+long batch_by_size(const long* indices, const long* sizes, long n,
+                   long max_tokens, long max_sentences, long mult,
+                   long* bounds) {
+  (void)indices;
+  long n_batches = 0;
+  long start = 0;       // first item of the open batch
+  long max_len = 0;     // running max size in the open batch
+  bounds[0] = 0;
+  for (long i = 0; i < n; ++i) {
+    long size = sizes[i];
+    long count = i - start;
+    long new_max = std::max(max_len, size);
+    bool overflow = (max_tokens > 0 && (count + 1) * new_max > max_tokens) ||
+                    (max_sentences > 0 && count + 1 > max_sentences);
+    if (overflow && count > 0) {
+      long keep = (count >= mult) ? (count / mult) * mult : count;
+      bounds[++n_batches] = start + keep;
+      start = start + keep;
+      max_len = 0;
+      for (long j = start; j < i; ++j) max_len = std::max(max_len, sizes[j]);
+    }
+    max_len = std::max(max_len, size);
+  }
+  if (start < n) bounds[++n_batches] = n;
+  return n_batches;
+}
+
+// ---------------------------------------------------------------------------
+// Corpus BLEU counters. Streams (ref, hyp) token-id pairs and accumulates
+// n-gram match/total statistics for n=1..4 plus lengths. Clipped counts via
+// per-sentence ref n-gram multiset.
+// ---------------------------------------------------------------------------
+struct BleuStat {
+  long reflen = 0, predlen = 0;
+  long match[4] = {0, 0, 0, 0};
+  long total[4] = {0, 0, 0, 0};
+};
+
+static void count_ngrams(const int* toks, long n, int order,
+                         std::map<std::vector<int>, long>* out) {
+  for (long i = 0; i + order <= n; ++i) {
+    std::vector<int> key(toks + i, toks + i + order);
+    (*out)[key] += 1;
+  }
+}
+
+void bleu_zero(BleuStat* stat) { *stat = BleuStat(); }
+
+void bleu_add(BleuStat* stat, const int* ref, long ref_len, const int* hyp,
+              long hyp_len, int pad, int eos) {
+  // strip pad/eos
+  std::vector<int> r, h;
+  for (long i = 0; i < ref_len; ++i)
+    if (ref[i] != pad && ref[i] != eos) r.push_back(ref[i]);
+  for (long i = 0; i < hyp_len; ++i)
+    if (hyp[i] != pad && hyp[i] != eos) h.push_back(hyp[i]);
+  stat->reflen += (long)r.size();
+  stat->predlen += (long)h.size();
+  for (int order = 1; order <= 4; ++order) {
+    std::map<std::vector<int>, long> rn, hn;
+    count_ngrams(r.data(), (long)r.size(), order, &rn);
+    count_ngrams(h.data(), (long)h.size(), order, &hn);
+    for (auto& kv : hn) {
+      stat->total[order - 1] += kv.second;
+      auto it = rn.find(kv.first);
+      if (it != rn.end())
+        stat->match[order - 1] += std::min(kv.second, it->second);
+    }
+  }
+}
+
+long bleu_stat_size() { return (long)sizeof(BleuStat); }
+
+void bleu_counts(const BleuStat* stat, long* out /* len 10 */) {
+  out[0] = stat->reflen;
+  out[1] = stat->predlen;
+  for (int i = 0; i < 4; ++i) {
+    out[2 + 2 * i] = stat->match[i];
+    out[3 + 2 * i] = stat->total[i];
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Batched Levenshtein edit distance over padded token matrices.
+// refs/hyps: [b, rlen]/[b, hlen] int32 padded with `pad`.
+// out: [b] distances.
+// ---------------------------------------------------------------------------
+void edit_distance_batch(const int* refs, const int* hyps, long b, long rlen,
+                         long hlen, int pad, long* out) {
+  std::vector<long> prev(hlen + 1), cur(hlen + 1);
+  for (long s = 0; s < b; ++s) {
+    const int* r = refs + s * rlen;
+    const int* h = hyps + s * hlen;
+    long rn = 0, hn = 0;
+    while (rn < rlen && r[rn] != pad) ++rn;
+    while (hn < hlen && h[hn] != pad) ++hn;
+    for (long j = 0; j <= hn; ++j) prev[j] = j;
+    for (long i = 1; i <= rn; ++i) {
+      cur[0] = i;
+      for (long j = 1; j <= hn; ++j) {
+        long sub = prev[j - 1] + (r[i - 1] != h[j - 1]);
+        cur[j] = std::min(std::min(prev[j] + 1, cur[j - 1] + 1), sub);
+      }
+      std::swap(prev, cur);
+    }
+    out[s] = prev[hn];
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Token-block slicing (LM datasets): given per-document sizes, produce
+// [start_doc, start_off, end_doc, end_off] slices of `block_size` tokens
+// ("none" mode: contiguous blocks across document boundaries).
+// Returns number of blocks; slices buffer must hold 4 * ceil(total/block).
+// ---------------------------------------------------------------------------
+long token_block_slices(const long* sizes, long n_docs, long block_size,
+                        long* slices) {
+  long total = 0;
+  for (long i = 0; i < n_docs; ++i) total += sizes[i];
+  long n_blocks = (total + block_size - 1) / block_size;
+  long doc = 0, off = 0;
+  for (long blk = 0; blk < n_blocks; ++blk) {
+    long remaining = std::min(block_size, total - blk * block_size);
+    slices[4 * blk + 0] = doc;
+    slices[4 * blk + 1] = off;
+    while (remaining > 0 && doc < n_docs) {
+      long avail = sizes[doc] - off;
+      if (avail > remaining) {
+        off += remaining;
+        remaining = 0;
+      } else {
+        remaining -= avail;
+        ++doc;
+        off = 0;
+      }
+    }
+    slices[4 * blk + 2] = doc;
+    slices[4 * blk + 3] = off;
+  }
+  return n_blocks;
+}
+
+}  // extern "C"

@@ -1,0 +1,228 @@
+"""Training CLI (reference: fairseq_cli/train.py).
+
+Usage mirrors the reference recipes, e.g.:
+
+  python -m diffnorm_tpu.cli.train $DATA \
+      --task speech_decoder --arch speech_vae_decoder \
+      --criterion speech_vae_decoder_loss --latent-dim 128 \
+      --lr 5e-4 --lr-scheduler inverse_sqrt --warmup-updates 10000 \
+      --max-update 200000 --max-tokens 15000 --clip-norm 2.0 \
+      --save-dir ckpt/vae --keep-best-checkpoints 5 --keep-last-epochs 5
+
+Orchestrates: task setup -> model/criterion build -> Trainer -> epoch loop
+with validate_and_save, checkpoint resume (incl. iterator position), early
+stopping on patience, and metric logging.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from diffnorm_tpu.cli.args import parse_args
+from diffnorm_tpu.config import Config, make_trainer_config
+from diffnorm_tpu.data.iterators import EpochBatchIterator, GroupedIterator
+from diffnorm_tpu.parallel.mesh import init_distributed
+from diffnorm_tpu.registry import TASKS, _import_all
+from diffnorm_tpu.train import metrics as metrics_mod
+from diffnorm_tpu.train.checkpoint import CheckpointManager
+from diffnorm_tpu.train.trainer import Trainer
+
+logger = logging.getLogger("diffnorm_tpu.train")
+
+
+def normalize_cfg(cfg: Config) -> Config:
+    """Map reference-recipe flag spellings onto trainer config names."""
+    aliases = {
+        "max_update": "max_updates",
+        "max_epoch": "max_epochs",
+        "update_freq": "update_freq",
+        "save_interval_updates": "save_interval_updates",
+        "validate_interval_updates": "validate_interval_updates",
+    }
+    for src, dst in aliases.items():
+        if src in cfg and dst not in cfg:
+            cfg[dst] = cfg[src]
+    return cfg
+
+
+def main(cfg: Optional[Config] = None) -> int:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s | %(levelname)s | %(name)s | %(message)s",
+        force=True,  # jax/absl may have configured handlers already
+    )
+    _import_all()
+    if cfg is None:
+        cfg = parse_args()
+    if cfg.get("cpu"):  # force host CPU (the image pins jax to the TPU tunnel)
+        jax.config.update("jax_platforms", "cpu")
+    init_distributed()
+    cfg = normalize_cfg(cfg)
+    tcfg = make_trainer_config(cfg)
+
+    task = TASKS.get(cfg.get("task")).setup_task(cfg)
+    model = task.build_model()
+    criterion = task.build_criterion()
+    trainer = Trainer(tcfg, task, model, criterion)
+
+    n_params = None  # filled after init
+    rng = jax.random.PRNGKey(tcfg.seed)
+    rng, init_rng = jax.random.split(rng)
+
+    # ------------------------------------------------------------------ data
+    train_split = cfg.get("train_subset", "train")
+    valid_split = cfg.get("valid_subset", "dev")
+    dataset = task.dataset(train_split)
+
+    if hasattr(dataset, "collater"):
+        epoch_itr = EpochBatchIterator(
+            dataset,
+            max_tokens=cfg.get("max_tokens"),
+            max_sentences=cfg.get("batch_size"),
+            required_batch_size_multiple=cfg.get("required_batch_size_multiple", 1),
+            seed=tcfg.seed,
+            shuffle=True,
+        )
+        example_batch = dataset.collater([dataset[0]])
+    else:  # synthetic iterable dataset (dummy tasks)
+        epoch_itr = None
+        example_batch = task.dummy_batch()
+
+    # ------------------------------------------------------------------ state
+    state = trainer.init_state(init_rng, example_batch)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    logger.info("model params (trainable): %.2fM", n_params / 1e6)
+
+    ckpt = CheckpointManager(
+        tcfg.save_dir,
+        keep_last=tcfg.keep_last_epochs,
+        keep_best=tcfg.keep_best_checkpoints,
+        metric=tcfg.best_checkpoint_metric,
+        maximize=tcfg.maximize_best_checkpoint_metric,
+    )
+    start_epoch = 1
+    restored, extra = ckpt.load_latest(target=jax.device_get(state))
+    if restored is not None:
+        from diffnorm_tpu.parallel.mesh import replicate
+
+        state = replicate(restored, trainer.mesh)
+        start_epoch = extra.get("epoch", 1)
+        if epoch_itr is not None and "iterator" in extra:
+            epoch_itr.load_state_dict(extra["iterator"])
+        logger.info("resumed from step %s (epoch %d)", extra.get("step"), start_epoch)
+
+    np_rng = np.random.default_rng(tcfg.seed)
+    best_metric = None
+    patience_left = tcfg.patience
+    step = int(jax.device_get(state.step))
+
+    def run_validation(state):
+        if valid_split is None:
+            return None
+        try:
+            vdataset = task.dataset(valid_split)
+        except Exception as e:  # no valid data configured
+            logger.warning("validation skipped: %s", e)
+            return None
+        agg = metrics_mod.MetricsAggregator()
+        with metrics_mod.aggregate(agg):
+            if hasattr(vdataset, "collater"):
+                vitr = EpochBatchIterator(
+                    vdataset, max_tokens=cfg.get("max_tokens"),
+                    max_sentences=cfg.get("batch_size"), seed=tcfg.seed,
+                    shuffle=False,
+                ).next_epoch_itr(shuffle=False)
+            else:
+                vitr = iter(vdataset)
+            for vbatch in vitr:
+                vbatch = task.prepare_batch(vbatch, np_rng)
+                trainer.valid_step(state, vbatch, jax.random.PRNGKey(0))
+        vals = agg.get_smoothed_values()
+        logger.info("valid | %s", fmt_metrics(vals))
+        return vals.get(tcfg.best_checkpoint_metric)
+
+    def save(state, step, epoch, metric_value):
+        extra = {"epoch": epoch}
+        if epoch_itr is not None:
+            extra["iterator"] = epoch_itr.state_dict()
+        ckpt.save(step, jax.device_get(state), metric_value=metric_value,
+                  extra=extra)
+        logger.info("saved checkpoint at step %d (metric=%s)", step, metric_value)
+
+    # ------------------------------------------------------------------ loop
+    done = False
+    for epoch in range(start_epoch, (tcfg.max_epochs or 10 ** 9) + 1):
+        if done:
+            break
+        if epoch_itr is not None:
+            itr = epoch_itr.next_epoch_itr()
+        else:
+            itr = iter(task.dataset(train_split))
+        grouped = GroupedIterator(itr, tcfg.update_freq)
+        interval_agg = metrics_mod.MetricsAggregator()
+        t0 = time.time()
+        with metrics_mod.aggregate(interval_agg):
+            for microbatches in grouped:
+                microbatches = [
+                    task.prepare_batch(b, np_rng) for b in microbatches
+                ]
+                rng, step_rng = jax.random.split(rng)
+                state, mets = trainer.train_step(state, microbatches, step_rng)
+                step += 1
+                if step % tcfg.log_interval == 0:
+                    vals = interval_agg.get_smoothed_values()
+                    ups = tcfg.log_interval / max(time.time() - t0, 1e-6)
+                    logger.info(
+                        "epoch %d | step %d | %s | ups %.2f",
+                        epoch, step, fmt_metrics(vals), ups,
+                    )
+                    interval_agg.reset()
+                    t0 = time.time()
+                if (
+                    tcfg.validate_interval_updates
+                    and step % tcfg.validate_interval_updates == 0
+                ):
+                    run_validation(state)
+                if tcfg.save_interval_updates and step % tcfg.save_interval_updates == 0:
+                    save(state, step, epoch, None)
+                if tcfg.max_updates and step >= tcfg.max_updates:
+                    done = True
+                    break
+        if epoch_itr is not None:
+            epoch_itr.finish_epoch()
+        # ---- end of epoch: validate + save ----
+        metric_value = None
+        if epoch % tcfg.validate_interval == 0 or done:
+            metric_value = run_validation(state)
+        if epoch % tcfg.save_interval == 0 or done:
+            save(state, step, epoch + 1, metric_value)
+        if metric_value is not None and tcfg.patience > 0:
+            better = best_metric is None or (
+                metric_value > best_metric
+                if tcfg.maximize_best_checkpoint_metric
+                else metric_value < best_metric
+            )
+            if better:
+                best_metric, patience_left = metric_value, tcfg.patience
+            else:
+                patience_left -= 1
+                if patience_left <= 0:
+                    logger.info("early stop: patience exhausted")
+                    done = True
+    logger.info("training done at step %d", step)
+    return 0
+
+
+def fmt_metrics(vals) -> str:
+    keys = [k for k in vals if k not in ("ntokens", "nsentences")]
+    return " ".join(f"{k} {vals[k]:.4g}" for k in sorted(keys))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,174 @@
+"""Epoch batch iteration with checkpointable position.
+
+Capability parity with fairseq/data/iterators.py (EpochBatchIterator /
+CountingIterator / GroupedIterator): deterministic per-epoch shuffling from
+(seed, epoch), resume mid-epoch from a saved offset, grouping into
+update_freq microbatch lists, and a background prefetch thread standing in
+for the reference's multi-worker DataLoader.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+class CountingIterator:
+    def __init__(self, iterable, start: int = 0, total: Optional[int] = None):
+        self._it = iter(iterable)
+        self.n = start
+        self.total = total
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        x = next(self._it)
+        self.n += 1
+        return x
+
+    def has_next(self) -> bool:
+        return self.total is None or self.n < self.total
+
+
+class GroupedIterator:
+    """Yield lists of `chunk_size` items (grad-accumulation microbatches)."""
+
+    def __init__(self, iterable, chunk_size: int):
+        self._it = iter(iterable)
+        self.chunk_size = chunk_size
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        chunk = []
+        try:
+            for _ in range(self.chunk_size):
+                chunk.append(next(self._it))
+        except StopIteration:
+            if not chunk:
+                raise
+        return chunk
+
+
+class _Prefetcher:
+    """Background-thread batch prefetch (host-side collation overlaps with
+    device compute; replaces torch DataLoader workers)."""
+
+    def __init__(self, make_iter: Callable[[], Iterator], depth: int = 4):
+        self.q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._done = object()
+        self._thread = threading.Thread(
+            target=self._run, args=(make_iter,), daemon=True
+        )
+        self._thread.start()
+
+    def _run(self, make_iter):
+        try:
+            for item in make_iter():
+                self.q.put(item)
+        finally:
+            self.q.put(self._done)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self.q.get()
+        if item is self._done:
+            raise StopIteration
+        return item
+
+
+class EpochBatchIterator:
+    """Batches a map-style dataset with `collater`, deterministic shuffle,
+    resumable position.
+
+    dataset protocol: __len__, __getitem__(i) -> sample, collater(samples),
+    ordered_indices() -> np.ndarray, num_tokens(i) -> int.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        max_tokens: Optional[int] = None,
+        max_sentences: Optional[int] = None,
+        required_batch_size_multiple: int = 1,
+        seed: int = 1,
+        shuffle: bool = True,
+        num_prefetch: int = 4,
+    ):
+        from diffnorm_tpu.data.batching import batch_by_size
+
+        self.dataset = dataset
+        self.max_tokens = max_tokens
+        self.max_sentences = max_sentences
+        self.mult = required_batch_size_multiple
+        self.seed = seed
+        self.shuffle = shuffle
+        self.num_prefetch = num_prefetch
+        self.epoch = 1
+        self._offset = 0
+        self._batch_by_size = batch_by_size
+        self._batches: Optional[List[np.ndarray]] = None
+
+    # ------------------------------------------------------------ batching
+    def _make_batches(self, epoch: int) -> List[np.ndarray]:
+        indices = self.dataset.ordered_indices()
+        sizes = np.asarray([self.dataset.num_tokens(int(i)) for i in range(len(self.dataset))])
+        batches = self._batch_by_size(
+            indices,
+            sizes,
+            max_tokens=self.max_tokens,
+            max_sentences=self.max_sentences,
+            required_batch_size_multiple=self.mult,
+        )
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, epoch))
+            order = rng.permutation(len(batches))
+            batches = [batches[i] for i in order]
+        return batches
+
+    def __len__(self):
+        if self._batches is None:
+            self._batches = self._make_batches(self.epoch)
+        return len(self._batches)
+
+    # ----------------------------------------------------------- iteration
+    def next_epoch_itr(self, shuffle: bool = True) -> CountingIterator:
+        self.shuffle = self.shuffle and shuffle
+        self._batches = self._make_batches(self.epoch)
+        start = self._offset
+
+        def gen():
+            for batch_idx in range(start, len(self._batches)):
+                idxs = self._batches[batch_idx]
+                samples = [self.dataset[int(i)] for i in idxs]
+                yield self.dataset.collater(samples)
+
+        it = _Prefetcher(gen, depth=self.num_prefetch) if self.num_prefetch > 0 else gen()
+        counting = CountingIterator(it, start=start, total=len(self._batches))
+        self._active = counting
+        return counting
+
+    def end_of_epoch(self) -> bool:
+        return self._active is not None and not self._active.has_next()
+
+    def finish_epoch(self):
+        self.epoch += 1
+        self._offset = 0
+        self._batches = None
+
+    # ------------------------------------------------------------ state
+    def state_dict(self) -> Dict[str, Any]:
+        offset = self._active.n if getattr(self, "_active", None) else self._offset
+        return {"epoch": self.epoch, "offset": offset, "seed": self.seed}
+
+    def load_state_dict(self, state: Dict[str, Any]):
+        self.epoch = state.get("epoch", 1)
+        self._offset = state.get("offset", 0)
+        self._batches = None

@@ -1,0 +1,144 @@
+"""Speech-to-unit dataset for NAR S2UT training.
+
+Capability parity with research/TranSpeech/dataset.py +
+fairseq/data/audio/speech_to_speech_dataset.py: 80-d fbank source (computed
+from audio or loaded from .npy), unit targets encoded through the dictionary
+with EOS appended (speech_to_speech_dataset.py:138-141), pad=1; the collater
+sorts by descending source frames and exposes target/target_lengths for the
+NAT decoder. Feature transforms (utterance CMVN + SpecAugment on train
+splits) come from the `config.yaml` S2SDataConfig block (data_cfg.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from diffnorm_tpu.data.audio import build_feature_transforms, get_features_or_waveform
+from diffnorm_tpu.data.dictionary import Dictionary
+from diffnorm_tpu.data.manifest import read_translation_manifest
+
+PAD = 1
+
+
+class SpeechToUnitDataset:
+    def __init__(
+        self,
+        ids: List[str],
+        src_audio_paths: List[str],
+        src_n_frames: List[int],
+        tgt_units: List[np.ndarray],  # already dictionary-encoded, EOS appended
+        tgt_dict: Dictionary,
+        data_cfg: Optional[dict] = None,
+        is_train: bool = True,
+        seed: int = 1,
+    ):
+        self.ids = ids
+        self.src_audio_paths = src_audio_paths
+        self.src_n_frames = np.asarray(src_n_frames, dtype=np.int64)
+        self.tgt_units = tgt_units
+        self.tgt_dict = tgt_dict
+        self.is_train = is_train
+        self.shuffle = is_train
+        self.seed = seed
+        self.data_cfg = data_cfg or {}
+        self._rng = np.random.default_rng(seed)
+        self.feature_transforms = build_feature_transforms(
+            self.data_cfg, is_train=is_train
+        )
+
+    def __len__(self):
+        return len(self.ids)
+
+    def num_tokens(self, index: int) -> int:
+        return int(self.src_n_frames[index])
+
+    @property
+    def sizes(self):
+        return self.src_n_frames
+
+    def ordered_indices(self) -> np.ndarray:
+        if self.shuffle:
+            order = np.random.default_rng(self.seed).permutation(len(self))
+        else:
+            order = np.arange(len(self))
+        return np.lexsort((order, -self.src_n_frames))
+
+    def __getitem__(self, index: int) -> Dict:
+        feat = get_features_or_waveform(self.src_audio_paths[index])
+        feat = np.asarray(feat, dtype=np.float32)
+        from diffnorm_tpu.data.audio import SpecAugment
+
+        for t in self.feature_transforms:
+            if isinstance(t, SpecAugment):
+                feat = t(feat, rng=self._rng)
+            else:
+                feat = t(feat)
+        return {
+            "index": index,
+            "source": feat,
+            "target": self.tgt_units[index],
+        }
+
+    def collater(self, samples: List[Dict]) -> Dict:
+        if not samples:
+            return {}
+        samples = sorted(samples, key=lambda s: s["source"].shape[0], reverse=True)
+        bsz = len(samples)
+        src_lens = np.asarray([s["source"].shape[0] for s in samples], np.int32)
+        tgt_lens = np.asarray([len(s["target"]) for s in samples], np.int32)
+        feat_dim = samples[0]["source"].shape[1]
+        src = np.zeros((bsz, int(src_lens.max()), feat_dim), np.float32)
+        tgt = np.full((bsz, int(tgt_lens.max())), PAD, np.int32)
+        for i, s in enumerate(samples):
+            src[i, : src_lens[i]] = s["source"]
+            tgt[i, : tgt_lens[i]] = s["target"]
+        return {
+            "id": np.asarray([s["index"] for s in samples], np.int64),
+            "src_tokens": src,
+            "src_lengths": src_lens,
+            "target": tgt,
+            "target_lengths": tgt_lens,
+            "ntokens": int(tgt_lens.sum()),
+            "nsentences": bsz,
+        }
+
+    @classmethod
+    def from_tsv(
+        cls,
+        root: str,
+        split: str,
+        tgt_dict: Dictionary,
+        config_yaml: str = "config.yaml",
+        is_train: bool = True,
+        seed: int = 1,
+    ) -> "SpeechToUnitDataset":
+        rows = read_translation_manifest(os.path.join(root, f"{split}.tsv"))
+        data_cfg = {}
+        cfg_path = os.path.join(root, config_yaml)
+        if os.path.exists(cfg_path):
+            import yaml
+
+            with open(cfg_path) as f:
+                data_cfg = yaml.safe_load(f) or {}
+        ids, paths, n_frames, units = [], [], [], []
+        audio_root = data_cfg.get("audio_root", root)
+        for row in rows:
+            ids.append(row["id"])
+            p = row["src_audio"]
+            paths.append(p if os.path.isabs(p) else os.path.join(audio_root, p))
+            n_frames.append(int(row["src_n_frames"]))
+            enc = tgt_dict.encode_line(row["tgt_audio"], append_eos=True)
+            units.append(enc.astype(np.int32))
+        return cls(
+            ids=ids,
+            src_audio_paths=paths,
+            src_n_frames=n_frames,
+            tgt_units=units,
+            tgt_dict=tgt_dict,
+            data_cfg=data_cfg,
+            is_train=is_train,
+            seed=seed,
+        )

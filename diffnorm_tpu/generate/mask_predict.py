@@ -1,0 +1,172 @@
+"""Mask-predict iterative refinement decoding, fully jitted.
+
+Capability parity with the reference decode loop
+(research/TranSpeech/iterative_refinement_generator.py:101-314 +
+nar_transformer.py forward_decoder :791-841 / initialize_output_tokens
+:844-885 / _skeptical_unmasking fairseq/models/nat/cmlm_transformer.py:19-25
++ classifier-free guidance nat_gen.py:216-236):
+
+* canvas init from the 256-way length prediction (clamp min 2), all-unk
+* per step: fill masked positions with argmax log-probs, optionally with CG
+  (lp = uncond + scale * (cond - uncond)), then skeptically re-mask the
+  (1 - (step+1)/max_step) * (len - 2) lowest-scoring positions
+* adaptive early exit (loop detection) becomes a per-row `done` freeze inside
+  one lax.scan — XLA-static shapes, no per-sentence dynamic batching
+* length-beam decoding replicates rows with lengths l-b/2..l+b/2 and picks
+  the best mean-score hypothesis per sentence
+
+The whole loop jits into a single program of max_iter+1 decoder forwards.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from diffnorm_tpu.models.nar_transformer import NARS2UTModule
+
+PAD, BOS, EOS, UNK = 1, 0, 2, 3
+
+
+def skeptical_mask(scores, non_pad, p):
+    """Re-mask the floor((count-2)*p) lowest-scoring positions per row.
+    scores: [B, T] (log-probs <= 0; pads carry 0 and sort last)."""
+    boundary = ((jnp.sum(non_pad, axis=1, keepdims=True) - 2) * p).astype(jnp.int32)
+    order = jnp.argsort(scores, axis=1)  # ascending
+    rank = jnp.argsort(order, axis=1)
+    return rank < boundary
+
+
+def init_canvas(length_tgt, max_len: int):
+    """[B] lengths -> (tokens [B, max_len] unk/pad, scores zeros)."""
+    length_tgt = jnp.maximum(length_tgt, 2)
+    pos = jnp.arange(max_len)[None, :]
+    tokens = jnp.where(pos < length_tgt[:, None], UNK, PAD).astype(jnp.int32)
+    return tokens, jnp.zeros(tokens.shape, jnp.float32)
+
+
+def mask_predict_decode(
+    model,
+    variables,
+    src,
+    src_lengths,
+    max_iter: int = 15,
+    max_len: int = 256,
+    cond_scale: float = 1.0,
+    true_length=None,
+    length_beam: int = 1,
+):
+    """Returns (tokens [B', T], scores [B', T], n_steps).
+
+    With length_beam > 1, B' = B and the best-scoring beam per sentence is
+    selected (regenerate_length_beam parity: lengths l + k - beam//2).
+    """
+    module = model.module
+
+    enc, enc_mask = module.apply(
+        variables, src, src_lengths, method=NARS2UTModule.encode
+    )
+    length_logits = module.apply(
+        variables, enc, enc_mask, method=NARS2UTModule.forward_length
+    )
+    if true_length is not None:
+        length_tgt = jnp.asarray(true_length)
+    else:
+        length_tgt = jnp.argmax(length_logits, axis=-1)
+
+    use_cg = cond_scale != 1.0
+
+    if length_beam > 1:
+        b = enc.shape[0]
+        offsets = jnp.arange(length_beam) - length_beam // 2
+        length_tgt = (length_tgt[:, None] + offsets[None, :]).reshape(-1)
+        enc = jnp.repeat(enc, length_beam, axis=0)
+        enc_mask = jnp.repeat(enc_mask, length_beam, axis=0)
+
+    tokens, scores = init_canvas(length_tgt, max_len)
+
+    null_enc = null_mask = None
+    if use_cg:
+        drop = jnp.ones((enc.shape[0],), bool)
+        null_enc, null_mask = module.apply(
+            variables, enc, enc_mask, drop, method=NARS2UTModule.apply_cg_drop
+        )
+
+    def decode_lprobs(tok):
+        logits = module.apply(
+            variables, tok, enc, enc_mask, method=NARS2UTModule.decode
+        )
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        if use_cg:
+            null_logits = module.apply(
+                variables, tok, null_enc, null_mask, method=NARS2UTModule.decode
+            )
+            null_lp = jax.nn.log_softmax(null_logits.astype(jnp.float32), axis=-1)
+            lp = null_lp + cond_scale * (lp - null_lp)
+        return lp
+
+    max_step = max_iter + 1
+
+    def step_fn(carry, step):
+        tokens, scores, done, prev_tokens = carry
+        lp = decode_lprobs(tokens)
+        new_scores = jnp.max(lp, axis=-1)
+        new_tokens = jnp.argmax(lp, axis=-1).astype(jnp.int32)
+        masks = tokens == UNK
+        filled_tokens = jnp.where(masks, new_tokens, tokens)
+        filled_scores = jnp.where(masks, new_scores, scores)
+
+        p = 1.0 - (step.astype(jnp.float32) + 1.0) / max_step
+        do_remask = (step + 1) < max_step
+        smask = skeptical_mask(filled_scores, filled_tokens != PAD, p) & do_remask
+        out_tokens = jnp.where(smask, UNK, filled_tokens)
+        out_scores = jnp.where(smask, 0.0, filled_scores)
+
+        # adaptive loop-detection: freeze rows whose canvas did not change
+        now_done = jnp.all(out_tokens == prev_tokens, axis=1)
+        out_tokens = jnp.where(done[:, None], tokens, out_tokens)
+        out_scores = jnp.where(done[:, None], scores, out_scores)
+        steps_used = jnp.where(done, 0, 1)
+        new_done = done | now_done
+        return (out_tokens, out_scores, new_done, out_tokens), steps_used
+
+    done0 = jnp.zeros((tokens.shape[0],), bool)
+    (tokens, scores, done, _), steps = jax.lax.scan(
+        step_fn,
+        (tokens, scores, done0, tokens),
+        jnp.arange(max_step),
+    )
+    n_steps = jnp.sum(steps, axis=0)
+
+    if length_beam > 1:
+        non_pad = tokens != PAD
+        mean_score = jnp.sum(scores * non_pad, axis=1) / jnp.maximum(
+            jnp.sum(non_pad, axis=1), 1
+        )
+        mean_score = mean_score.reshape(-1, length_beam)
+        best = jnp.argmax(mean_score, axis=1)
+        tokens = tokens.reshape(-1, length_beam, tokens.shape[-1])[
+            jnp.arange(best.shape[0]), best
+        ]
+        scores = scores.reshape(-1, length_beam, scores.shape[-1])[
+            jnp.arange(best.shape[0]), best
+        ]
+    return tokens, scores, n_steps
+
+
+def jit_decoder(model, max_iter: int = 15, max_len: int = 256,
+                cond_scale: float = 1.0, length_beam: int = 1):
+    """Build a jitted decode fn (variables, src, src_lengths) -> outputs."""
+
+    @functools.partial(jax.jit, static_argnames=())
+    def fn(variables, src, src_lengths):
+        return mask_predict_decode(
+            model, variables, src, src_lengths,
+            max_iter=max_iter, max_len=max_len,
+            cond_scale=cond_scale, length_beam=length_beam,
+        )
+
+    return fn

@@ -19,6 +19,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The image's sitecustomize pins jax_platforms to "axon,cpu" (the remote TPU
+# tunnel), which silently overrides JAX_PLATFORMS env — force CPU here, before
+# any backend initializes, so tests are hermetic and fast.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 

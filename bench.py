@@ -1,0 +1,98 @@
+"""Headline benchmark: DiffNorm DDIM normalization throughput on one chip.
+
+Runs the full normalization kernel (frozen-VAE encode -> 49-step DDIM
+reverse scan over the 512-d denoiser -> VAE decode -> unit argmax) at the
+reference's released configuration (latent 128, T=200, start_step 50 —
+scripts/diffusion/unit_gen.sh) in bfloat16 compute, and reports the
+real-time factor: seconds of (20 ms/unit) audio normalized per wall second.
+
+vs_baseline is RTF / 5.0 — BASELINE.json's driver target is >=5x real-time
+per v5e chip at parity quality (the reference publishes no perf numbers).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 16
+SEQ = 128
+START_STEP = 50
+SECONDS_PER_UNIT = 0.02  # 50 Hz unit rate
+
+
+def main():
+    from diffnorm_tpu.config import Config
+    from diffnorm_tpu.models.diffusion import LatentDiffusionModel, ddim_sample
+    from diffnorm_tpu.registry import _import_all
+
+    _import_all()
+    cfg = Config(
+        hidden_dim=512, latent_dim=128, feature_dim=768, timesteps=200,
+        vocab_size=1004, dtype="bfloat16",
+    )
+    model = LatentDiffusionModel.build_model(cfg)
+
+    rng = jax.random.PRNGKey(0)
+    feat = jnp.asarray(
+        np.random.default_rng(0).normal(size=(BATCH, SEQ, 768)), jnp.float32
+    )
+    mask = jnp.ones((BATCH, SEQ), bool)
+    variables = model.module.init(
+        {"params": rng}, feat, mask, rng, deterministic=True
+    )
+
+    REPEATS = 8
+
+    def run_many(v, f, m, r):
+        """REPEATS full normalizations inside one jit (the axon tunnel's
+        block_until_ready is a no-op, so timing syncs on a scalar checksum;
+        repeating inside the program amortizes the ~30 ms tunnel latency)."""
+        def body(carry, i):
+            units, recon = ddim_sample(
+                model, v, f, m, jax.random.fold_in(r, i),
+                start_step=START_STEP,
+            )
+            return carry + jnp.sum(units), ()
+        total, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32),
+                                jnp.arange(REPEATS))
+        return total
+
+    fn = jax.jit(run_many)
+    _ = float(fn(variables, feat, mask, rng))  # warmup/compile
+
+    # measure tunnel round-trip latency with a trivial program
+    tiny = jax.jit(lambda x: jnp.sum(x))
+    _ = float(tiny(jnp.ones((8,))))
+    lat = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = float(tiny(jnp.ones((8,))))
+        lat.append(time.perf_counter() - t0)
+    latency = min(lat)
+
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        _ = float(fn(variables, feat, mask, jax.random.fold_in(rng, i)))
+        times.append(time.perf_counter() - t0)
+
+    wall = max(min(times) - latency, 1e-9) / REPEATS
+    audio_seconds = BATCH * SEQ * SECONDS_PER_UNIT
+    rtf = audio_seconds / wall
+    print(json.dumps({
+        "metric": "diffnorm_ddim_normalization_rtf",
+        "value": round(rtf, 3),
+        "unit": "audio_s/wall_s (B16xT128, 49 DDIM steps, bf16, 1 chip)",
+        "vs_baseline": round(rtf / 5.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""DiffNorm normalization driver: rewrite unit manifests with
+diffusion-normalized units.
+
+Capability parity with research/TranSpeech/diff_norm_synthesis.py: loads a
+trained latent-diffusion checkpoint, joins the translation manifest with
+per-utterance target feature dumps, re-derives the reduced-frame indices,
+runs `ddim_sample` (partial noise at --start-step of T=200), re-reduces the
+output units, and writes new `{split}.tsv` manifests that become the S2UT
+training targets.
+
+TPU redesign: utterances are grouped into length buckets so the jitted
+sampler compiles for a handful of shapes; each bucket batch runs the whole
+49-step reverse loop as one program.
+
+  python -m diffnorm_tpu.cli.diff_norm_synthesis $DATA \
+      --ckpt ckpt/diffusion/step_002000000 --tgt-feat-dir feat/ \
+      --output-dir diff_unit_vae_50 --start-step 50 --batch-size 100
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffnorm_tpu.cli.args import parse_args
+from diffnorm_tpu.config import Config
+from diffnorm_tpu.data.batching import bucket_length
+from diffnorm_tpu.data.manifest import (
+    read_feature_manifest,
+    read_translation_manifest,
+    write_translation_manifest,
+)
+from diffnorm_tpu.models.diffusion import ddim_sample
+from diffnorm_tpu.ops.unit_reduce import reduce_units
+from diffnorm_tpu.registry import TASKS, _import_all
+from diffnorm_tpu.train.checkpoint import load_checkpoint_params
+
+logger = logging.getLogger("diffnorm_tpu.diff_norm")
+
+
+def main(cfg: Optional[Config] = None) -> int:
+    logging.basicConfig(level=logging.INFO, force=True,
+                        format="%(asctime)s | %(levelname)s | %(message)s")
+    _import_all()
+    if cfg is None:
+        cfg = parse_args()
+    if cfg.get("cpu"):
+        jax.config.update("jax_platforms", "cpu")
+
+    cfg.setdefault("task", "speech_diffusion_discrete")
+    cfg.setdefault("arch", "diff_discrete")
+    cfg.setdefault("criterion", "ddpm_discrete_loss")
+    task = TASKS.get(cfg["task"]).setup_task(cfg)
+    model = task.build_model()
+
+    start_step = cfg.get("start_step", 50)
+    batch_size = cfg.get("batch_size", 100)
+    out_dir = cfg.get("output_dir")
+    os.makedirs(out_dir, exist_ok=True)
+
+    # restore checkpoint (a TrainState dict: params + frozen vae)
+    dummy = task.dummy_batch(1, 8)
+    variables = task.init_variables(model, jax.random.PRNGKey(0), dummy)
+    restored = load_checkpoint_params(cfg["ckpt"])
+    if "params" in restored and "frozen_params" in restored:
+        params = {**restored["params"], **restored["frozen_params"]}
+    else:
+        params = restored.get("params", restored)
+    variables = {"params": params}
+    logger.info("restored diffusion checkpoint from %s", cfg["ckpt"])
+
+    sample_fn = jax.jit(
+        lambda v, f, m, r: ddim_sample(model, v, f, m, r, start_step=start_step),
+    )
+
+    rng = jax.random.PRNGKey(cfg.get("seed", 1))
+    splits = str(cfg.get("splits", "test,dev,train")).split(",")
+    for split in splits:
+        manifest_path = os.path.join(cfg.get("data"), f"{split}.tsv")
+        if not os.path.exists(manifest_path):
+            logger.warning("skipping %s (no %s)", split, manifest_path)
+            continue
+        rows = read_translation_manifest(manifest_path)
+        feats = read_feature_manifest(
+            os.path.join(cfg["tgt_feat_dir"], f"{split}.manifest.tsv")
+        )
+        # sort by reduced length, bucket for few jit shapes
+        items = []
+        for row in rows:
+            if row["id"] not in feats:
+                continue
+            full_units = np.asarray(
+                [int(x) for x in row["tgt_audio"].split()], np.int64
+            )
+            dedup, _, keep = reduce_units(full_units)
+            items.append((row, feats[row["id"]][0], dedup, keep))
+        items.sort(key=lambda it: len(it[2]))
+
+        out_rows, n_match, n_total = [], 0, 0
+        t0 = time.time()
+        for i in range(0, len(items), batch_size):
+            chunk = items[i:i + batch_size]
+            max_len = bucket_length(max(len(c[2]) for c in chunk))
+            bsz = len(chunk)
+            feat_batch = np.zeros((bsz, max_len, 768), np.float32)
+            mask = np.zeros((bsz, max_len), bool)
+            for j, (_, fpath, dedup, keep) in enumerate(chunk):
+                f = np.load(fpath)[keep]
+                feat_batch[j, : len(dedup)] = f
+                mask[j, : len(dedup)] = True
+            rng, r = jax.random.split(rng)
+            units, _ = sample_fn(variables, jnp.asarray(feat_batch),
+                                 jnp.asarray(mask), r)
+            units = np.asarray(units)
+            for j, (row, _, dedup, _) in enumerate(chunk):
+                pred = units[j, : len(dedup)]
+                n_match += int((pred == dedup).sum())
+                n_total += len(dedup)
+                norm_units, _, _ = reduce_units(pred)
+                new_row = dict(row)
+                new_row["tgt_audio"] = " ".join(str(int(u)) for u in norm_units)
+                new_row["tgt_n_frames"] = len(norm_units)
+                out_rows.append(new_row)
+        acc = n_match / max(n_total, 1)
+        logger.info(
+            "%s: normalized %d utts in %.1fs (unit acc vs orig %.3f)",
+            split, len(out_rows), time.time() - t0, acc,
+        )
+        write_translation_manifest(os.path.join(out_dir, f"{split}.tsv"), out_rows)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,140 @@
+"""Generation CLI (reference: fairseq_cli/generate.py).
+
+Loads a checkpoint, decodes a split with the jitted mask-predict generator,
+writes `generate-{split}.txt` with the reference's H-/T-/D- line format
+(fairseq_cli/generate.py:282-420) and reports corpus unit-BLEU via the
+native BLEU counters (falling back to sacrebleu when available).
+
+  python -m diffnorm_tpu.cli.generate $DATA --task speech_to_speech_fasttranslate \
+      --path ckpt/nar/step_000400000 --arch nar_s2ut_conformer \
+      --gen-subset test --max-tokens 20000 --iter-decode-max-iter 15 \
+      --results-path results/
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from diffnorm_tpu.cli.args import parse_args
+from diffnorm_tpu.config import Config
+from diffnorm_tpu.data.iterators import EpochBatchIterator
+from diffnorm_tpu.generate.mask_predict import mask_predict_decode
+from diffnorm_tpu.registry import TASKS, _import_all
+from diffnorm_tpu.train.checkpoint import load_checkpoint_params
+
+logger = logging.getLogger("diffnorm_tpu.generate")
+
+PAD, EOS = 1, 2
+
+
+def strip_special(tokens, dictionary):
+    """Drop pad/eos; map dictionary ids back to raw unit strings."""
+    toks = [int(t) for t in tokens if int(t) not in (PAD, EOS)]
+    return " ".join(dictionary[t] for t in toks)
+
+
+def main(cfg: Optional[Config] = None) -> int:
+    logging.basicConfig(level=logging.INFO, force=True,
+                        format="%(asctime)s | %(levelname)s | %(message)s")
+    _import_all()
+    if cfg is None:
+        cfg = parse_args()
+    if cfg.get("cpu"):
+        jax.config.update("jax_platforms", "cpu")
+
+    task = TASKS.get(cfg.get("task")).setup_task(cfg)
+    model = task.build_model()
+    split = cfg.get("gen_subset", "test")
+    dataset = task.dataset(split)
+    tgt_dict = task.target_dictionary
+
+    # restore parameters
+    batch0 = dataset.collater([dataset[0]]) if hasattr(dataset, "collater") else task.dummy_batch()
+    batch0.setdefault("prev_target", batch0["target"])
+    variables = task.init_variables(model, jax.random.PRNGKey(0), batch0)
+    path = cfg.get("path")
+    if path:
+        restored = load_checkpoint_params(path, target=jax.device_get(variables) if cfg.get("strict_restore", True) else None)
+        if hasattr(restored, "params"):  # a full TrainState
+            params = {**restored.params, **(restored.frozen_params or {})}
+            variables = {"params": params, **(restored.model_state or {})}
+        elif isinstance(restored, dict) and "params" in restored:
+            if "step" in restored:  # TrainState-as-dict
+                params = {**restored["params"], **(restored.get("frozen_params") or {})}
+                variables = {"params": params, **(restored.get("model_state") or {})}
+            else:
+                variables = restored
+        logger.info("restored checkpoint from %s", path)
+
+    max_iter = cfg.get("iter_decode_max_iter", 15)
+    beam = cfg.get("iter_decode_with_beam", 1)
+    cond_scale = cfg.get("cond_scale", 1.0)
+    max_len = cfg.get("max_target_positions", 256)
+
+    decode = jax.jit(
+        lambda v, src, lengths: mask_predict_decode(
+            model, v, src, lengths, max_iter=max_iter, max_len=min(max_len, 256),
+            cond_scale=cond_scale, length_beam=beam,
+        )
+    )
+
+    if hasattr(dataset, "collater"):
+        itr = EpochBatchIterator(
+            dataset,
+            max_tokens=cfg.get("max_tokens"),
+            max_sentences=cfg.get("batch_size"),
+            shuffle=False,
+        ).next_epoch_itr(shuffle=False)
+    else:  # synthetic iterable dataset (dummy tasks)
+        itr = iter(dataset)
+
+    results_path = cfg.get("results_path")
+    out_f = sys.stdout
+    if results_path:
+        os.makedirs(results_path, exist_ok=True)
+        out_f = open(os.path.join(results_path, f"generate-{split}.txt"), "w")
+
+    from diffnorm_tpu.eval.bleu import BleuAccumulator
+
+    bleu = BleuAccumulator()
+    n_sent, t0, total_steps = 0, time.time(), 0
+    for batch in itr:
+        if "id" not in batch:
+            batch["id"] = np.arange(n_sent, n_sent + len(batch["src_lengths"]))
+        tokens, scores, steps = decode(
+            variables, batch["src_tokens"], batch["src_lengths"]
+        )
+        tokens = np.asarray(tokens)
+        scores = np.asarray(scores)
+        total_steps += int(np.asarray(steps).sum())
+        for i in range(tokens.shape[0]):
+            sid = int(batch["id"][i])
+            hyp = strip_special(tokens[i], tgt_dict)
+            ref = strip_special(batch["target"][i], tgt_dict)
+            score = float(scores[i][tokens[i] != PAD].mean()) if (tokens[i] != PAD).any() else 0.0
+            print(f"T-{sid}\t{ref}", file=out_f)
+            print(f"H-{sid}\t{score:.4f}\t{hyp}", file=out_f)
+            print(f"D-{sid}\t{score:.4f}\t{hyp}", file=out_f)
+            bleu.add(ref.split(), hyp.split())
+            n_sent += 1
+    wall = time.time() - t0
+    logger.info(
+        "decoded %d sentences in %.1fs (%.2f sent/s, avg %.1f iters)",
+        n_sent, wall, n_sent / max(wall, 1e-6),
+        total_steps / max(n_sent, 1),
+    )
+    logger.info("Generate %s with beam=%d: %s", split, beam, bleu.result_string())
+    if results_path:
+        out_f.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -225,7 +225,14 @@ class CodeHiFiGANVocoder:
         if variables is None:
             rng = rng if rng is not None else jax.random.PRNGKey(0)
             code = jnp.zeros((1, 8), jnp.int32)
-            variables = module.init(rng, code)
+
+            def init_all(m, c):
+                out = m(c)
+                if m.dur_predictor:
+                    m.predict_durations(c)
+                return out
+
+            variables = module.init(rng, code, method=init_all)
         return cls(module, variables)
 
     def __call__(self, units: np.ndarray, dur_prediction: bool = False,

@@ -144,6 +144,7 @@ class NATUnitDecoder(nn.Module):
             for i in range(self.layers)
         ]
         self.final_norm = nn.LayerNorm(dtype=self.dtype, name="layer_norm")
+        self.embed_dropout = nn.Dropout(self.dropout)
         if not self.share_input_output_embed:
             self.output_proj = nn.Dense(
                 self.vocab_size, use_bias=False, dtype=self.dtype, name="output_proj"
@@ -159,7 +160,7 @@ class NATUnitDecoder(nn.Module):
         valid = tokens != PAD
         x = self.embed_tokens(tokens) * math.sqrt(self.dim)
         x = x + sinusoidal_positions(valid, self.dim, padding_idx=PAD).astype(x.dtype)
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = self.embed_dropout(x, deterministic=deterministic)
         for layer in self.dec_layers:
             x = layer(x, valid, enc, enc_mask, deterministic=deterministic)
         x = self.final_norm(x)

@@ -81,20 +81,26 @@ class Trainer:
 
     # ------------------------------------------------------------------ init
     def init_state(self, rng, example_batch) -> TrainState:
+        from diffnorm_tpu.parallel.sharding_rules import shard_params
+
         variables = self.task.init_variables(self.model, rng, example_batch)
         params = variables.pop("params")
         model_state = dict(variables)  # batch_stats etc.
         trainable, frozen = partition_params(params, self.task.frozen_param_keys)
         frozen = self.task.load_frozen_params(frozen)
+        # TP: place params by Megatron-style rules over the "model" axis;
+        # GSPMD propagates layouts through the jitted steps
+        trainable = shard_params(trainable, self.mesh)
+        frozen = shard_params(frozen, self.mesh)
         opt_state = self.tx.init(trainable)
         state = TrainState(
-            step=jnp.zeros((), jnp.int32),
+            step=replicate(jnp.zeros((), jnp.int32), self.mesh),
             params=trainable,
             frozen_params=frozen,
-            model_state=model_state,
+            model_state=replicate(model_state, self.mesh),
             opt_state=opt_state,
         )
-        return replicate(state, self.mesh)
+        return state
 
     # ------------------------------------------------------------ step fns
     def _loss(self, trainable, frozen, model_state, batch, rng, train):

@@ -1,0 +1,210 @@
+"""Data layer: dictionary, unit reduction, batching (py + C++), iterators,
+manifests, datasets over a synthetic data dir."""
+
+import os
+
+import numpy as np
+import pytest
+
+from diffnorm_tpu.data.batching import _load_native, batch_by_size
+from diffnorm_tpu.data.dictionary import Dictionary
+from diffnorm_tpu.data.iterators import EpochBatchIterator, GroupedIterator
+from diffnorm_tpu.data.manifest import (
+    read_feature_manifest,
+    read_translation_manifest,
+    write_feature_manifest,
+    write_translation_manifest,
+)
+from diffnorm_tpu.ops.unit_reduce import expand_units, reduce_units
+
+
+def test_dictionary_special_layout():
+    d = Dictionary.unit_dictionary(1000)
+    assert (d.bos(), d.pad(), d.eos(), d.unk()) == (0, 1, 2, 3)
+    assert len(d) == 1004
+    assert d.index("0") == 4          # +4 unit offset parity
+    assert d.index("999") == 1003
+    enc = d.encode_line("5 7 7 2", append_eos=True)
+    np.testing.assert_array_equal(enc, [9, 11, 11, 6, 2])
+
+
+def test_dictionary_save_load(tmp_path):
+    d = Dictionary.unit_dictionary(10)
+    p = str(tmp_path / "dict.txt")
+    d.save(p)
+    d2 = Dictionary.load(p)
+    assert d == d2
+
+
+def test_reduce_units_semantics():
+    toks = [5, 5, 5, 7, 7, 3, 5, 5]
+    dedup, dur, keep = reduce_units(toks)
+    np.testing.assert_array_equal(dedup, [5, 7, 3, 5])
+    np.testing.assert_array_equal(dur, [3, 2, 1, 2])
+    np.testing.assert_array_equal(keep, [0, 3, 5, 6])
+    np.testing.assert_array_equal(expand_units(dedup, dur), toks)
+
+
+def test_reduce_units_padded_matches_numpy():
+    import jax.numpy as jnp
+
+    from diffnorm_tpu.ops.unit_reduce import reduce_units_padded
+
+    rng = np.random.default_rng(0)
+    toks = rng.integers(0, 5, size=24).astype(np.int32)
+    valid = np.ones(24, bool)
+    valid[20:] = False
+    out, keep, count = reduce_units_padded(jnp.asarray(toks), jnp.asarray(valid))
+    ref_dedup, _, ref_keep = reduce_units(toks[:20])
+    assert int(count) == len(ref_dedup)
+    np.testing.assert_array_equal(np.asarray(out)[: int(count)], ref_dedup)
+
+
+def test_batch_by_size_max_tokens():
+    sizes = np.asarray([10, 10, 10, 5, 5, 5])
+    indices = np.arange(6)
+    batches = batch_by_size(indices, sizes, max_tokens=20)
+    # padding-aware: batch cost = count * max_len in batch
+    for b in batches:
+        assert len(b) * sizes[b].max() <= 20
+    assert sorted(int(i) for b in batches for i in b) == list(range(6))
+
+
+def test_batch_by_size_native_matches_python():
+    lib = _load_native()
+    if not lib:
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(0)
+    sizes = rng.integers(1, 50, size=200)
+    indices = np.argsort(-sizes, kind="stable")
+    from diffnorm_tpu.data.batching import _batch_by_size_py
+
+    native = batch_by_size(indices, sizes, max_tokens=256, max_sentences=16,
+                           required_batch_size_multiple=2)
+    py = _batch_by_size_py(indices, sizes[indices], 256, 16, 2)
+    assert len(native) == len(py)
+    for a, b in zip(native, py):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_grouped_iterator():
+    g = GroupedIterator(iter(range(7)), 3)
+    chunks = list(g)
+    assert chunks == [[0, 1, 2], [3, 4, 5], [6]]
+
+
+class _ToyDataset:
+    def __init__(self, n=10):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def num_tokens(self, i):
+        return 4
+
+    def ordered_indices(self):
+        return np.arange(self.n)
+
+    def __getitem__(self, i):
+        return i
+
+    def collater(self, samples):
+        return np.asarray(samples)
+
+
+def test_epoch_iterator_resume():
+    ds = _ToyDataset(10)
+    it = EpochBatchIterator(ds, max_sentences=2, shuffle=False, num_prefetch=0)
+    epoch = it.next_epoch_itr()
+    first_two = [next(epoch), next(epoch)]
+    state = it.state_dict()
+    assert state["offset"] == 2
+    # fresh iterator resumes at batch 2
+    it2 = EpochBatchIterator(ds, max_sentences=2, shuffle=False, num_prefetch=0)
+    it2.load_state_dict(state)
+    rest = list(it2.next_epoch_itr())
+    assert len(rest) == 3
+    np.testing.assert_array_equal(rest[0], [4, 5])
+
+
+def test_manifest_roundtrip(tmp_path):
+    fpath = str(tmp_path / "train.manifest.tsv")
+    write_feature_manifest(fpath, "/feats", [("utt1.feat.npy", 10), ("utt2.feat.npy", 20)])
+    m = read_feature_manifest(fpath)
+    assert m["utt1"] == ("/feats/utt1.feat.npy", 10)
+
+    tpath = str(tmp_path / "train.tsv")
+    rows = [
+        {"id": "utt1", "src_audio": "a.wav", "src_n_frames": 100,
+         "tgt_audio": "1 2 3", "tgt_n_frames": 3},
+    ]
+    write_translation_manifest(tpath, rows)
+    back = read_translation_manifest(tpath)
+    assert back[0]["tgt_audio"] == "1 2 3"
+
+
+def make_repr_data_dir(tmp_path, n=6, feat_dim=16, seed=0):
+    """Synthesize a reference-format data dir (per tests/test_binaries.py
+    create_dummy_data strategy)."""
+    rng = np.random.default_rng(seed)
+    feat_dir = tmp_path / "feat"
+    feat_dir.mkdir(exist_ok=True)
+    rows, frows = [], []
+    for i in range(n):
+        t = int(rng.integers(6, 14))
+        units = rng.integers(0, 8, size=t)
+        feat = rng.normal(size=(t, feat_dim)).astype(np.float32)
+        name = f"utt{i}.feat.npy"
+        np.save(feat_dir / name, feat)
+        frows.append((name, t))
+        rows.append({
+            "id": f"utt{i}", "src_audio": f"utt{i}.wav", "src_n_frames": t,
+            "tgt_audio": " ".join(map(str, units)), "tgt_n_frames": t,
+        })
+    write_feature_manifest(str(tmp_path / "train.manifest.tsv"), str(feat_dir), frows)
+    # dataset joins {feat_dir}/{split}.manifest.tsv; put a copy there
+    write_feature_manifest(str(feat_dir / "train.manifest.tsv"), str(feat_dir), frows)
+    write_translation_manifest(str(tmp_path / "train.tsv"), rows)
+    return tmp_path
+
+
+def test_repr_dataset_end_to_end(tmp_path):
+    from diffnorm_tpu.data.repr_unit_dataset import ReprToReprUnitDataset
+
+    make_repr_data_dir(tmp_path)
+    d = Dictionary.unit_dictionary(8)
+    ds = ReprToReprUnitDataset.from_tsv(
+        root=str(tmp_path), tgt_feat_dir=str(tmp_path / "feat"), split="train",
+        tgt_dict=d, is_train=True,
+    )
+    assert len(ds) == 6
+    item = ds[0]
+    assert (item["reduce_tgt_unit"] >= 4).all()  # +4 offset applied
+    assert item["reduce_tgt_feat"].shape[0] == item["reduce_tgt_unit"].shape[0]
+    batch = ds.collater([ds[i] for i in range(3)])
+    assert batch["reduce_target"].shape[0] == 3
+    assert batch["ntokens"] == int(batch["reduce_target_lengths"].sum())
+    # padding is 0 (parity: VAE losses use ignore_index=0)
+    lens = batch["reduce_target_lengths"]
+    assert (batch["reduce_target_unit"][0, lens[0]:] == 0).all() or lens[0] == batch["reduce_target_unit"].shape[1]
+
+
+def test_fbank_shapes():
+    from diffnorm_tpu.data.audio import UtteranceCMVN, logmel_fbank
+
+    wav = np.random.default_rng(0).normal(size=16000).astype(np.float32)
+    feat = logmel_fbank(wav)
+    assert feat.shape == ((16000 - 400) // 160 + 1, 80)
+    norm = UtteranceCMVN()(feat)
+    np.testing.assert_allclose(norm.mean(axis=0), 0.0, atol=1e-3)
+    np.testing.assert_allclose(norm.std(axis=0), 1.0, atol=1e-2)
+
+
+def test_specaugment_masks():
+    from diffnorm_tpu.data.audio import SpecAugment
+
+    x = np.ones((50, 80), np.float32)
+    sa = SpecAugment(freq_mask_n=2, freq_mask_f=10, time_mask_n=2, time_mask_t=10)
+    out = sa(x, rng=np.random.default_rng(0))
+    assert out.shape == x.shape

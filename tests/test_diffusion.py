@@ -1,0 +1,120 @@
+"""Latent diffusion: training forward components, DDIM scan vs python-loop
+golden parity, frozen-VAE param partition."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffnorm_tpu.config import Config
+from diffnorm_tpu.models.diffusion import (
+    DDPMSchedule,
+    LatentDiffusionModel,
+    LatentDiffusionModule,
+    ddim_sample,
+    extract,
+    safe_div,
+)
+from diffnorm_tpu.registry import TASKS
+
+
+def tiny_cfg(**kw):
+    cfg = Config(
+        arch="diff_discrete", criterion="ddpm_discrete_loss",
+        hidden_dim=16, latent_dim=3, feature_dim=24, chan_mults=[4],
+        vae_decoder_depth=1, vae_decoder_dim_head=8, vae_decoder_heads=2,
+        denoiser_depth=1, wavenet_layers=2, wavenet_stacks=1,
+        timesteps=20, target_code_size=16, lr=1e-4,
+    )
+    cfg.update(**kw)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def built():
+    cfg = tiny_cfg()
+    task = TASKS.get("speech_diffusion_discrete").setup_task(cfg)
+    # reuse the dummy VAE batch format
+    from diffnorm_tpu.tasks.dummy import DummyVAETask
+
+    dummy = DummyVAETask(cfg)
+    batch = dummy.dummy_batch(2, 10)
+    model = task.build_model()
+    crit = task.build_criterion()
+    variables = task.init_variables(model, jax.random.PRNGKey(0), batch)
+    return task, model, crit, batch, variables
+
+
+def test_training_forward_finite(built):
+    task, model, crit, batch, variables = built
+    loss, mets, _ = crit(model, variables, batch, jax.random.PRNGKey(1),
+                         train=False)
+    assert np.isfinite(float(loss))
+    for k in ("noise_loss", "recon_mse_loss", "nll_loss", "acc"):
+        assert np.isfinite(float(mets[k])), k
+
+
+def test_frozen_partition(built):
+    from diffnorm_tpu.train.trainer import merge_params, partition_params
+
+    task, model, crit, batch, variables = built
+    trainable, frozen = partition_params(
+        variables["params"], task.frozen_param_keys
+    )
+    assert set(frozen) == {"vae"}
+    assert "denoiser" in trainable
+    merged = merge_params(trainable, frozen)
+    assert set(merged) == set(variables["params"])
+
+
+def test_ddim_scan_matches_python_loop(built):
+    """The lax.scan DDIM must match a step-by-step python re-implementation
+    of the reference update rule (latent_module.py:1411-1445, eta=0)."""
+    task, model, crit, batch, variables = built
+    module = model.module
+    feature = jnp.asarray(batch["reduce_target"])
+    mask = jnp.ones(feature.shape[:2], bool)
+    rng = jax.random.PRNGKey(7)
+    start_step = 6
+
+    units, recon = ddim_sample(model, variables, feature, mask, rng,
+                               start_step=start_step)
+
+    # python reference loop with the same rngs
+    schedule = DDPMSchedule.create(module.timesteps, module.schedule_name)
+    r_enc, r_noise = jax.random.split(rng)
+    z = module.apply(variables, feature, r_enc,
+                     method=LatentDiffusionModule.encode)
+    b = z.shape[0]
+    t0 = jnp.full((b,), start_step, jnp.int32)
+    x = (extract(schedule.sqrt_alphas_cumprod, t0, z.ndim) * z
+         + extract(schedule.sqrt_one_minus_alphas_cumprod, t0, z.ndim)
+         * jax.random.normal(r_noise, z.shape, z.dtype))
+    for time in range(start_step - 1, 0, -1):
+        t = jnp.full((b,), time, jnp.int32)
+        noise = module.apply(variables, x, t, mask,
+                             method=LatentDiffusionModule.denoise)
+        sac = extract(schedule.sqrt_alphas_cumprod, t, noise.ndim)
+        s1mac = extract(schedule.sqrt_one_minus_alphas_cumprod, t, noise.ndim)
+        x1_hat = safe_div(x - s1mac * noise, sac)
+        pred_noise = safe_div(x - sac * x1_hat, s1mac)
+        ab_prev = extract(schedule.alphas_cumprod_prev, t, noise.ndim)
+        x = x1_hat * jnp.sqrt(ab_prev) + jnp.sqrt(1 - ab_prev) * pred_noise
+    feat2, logits2 = module.apply(variables, x, mask,
+                                  method=LatentDiffusionModule.decode)
+    units2 = jnp.argmax(logits2, axis=-1).astype(jnp.int32) - 4
+    np.testing.assert_array_equal(np.asarray(units), np.asarray(units2))
+    np.testing.assert_allclose(np.asarray(recon), np.asarray(feat2),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_unit_offset_minus_4(built):
+    """ddim_sample output must be in raw-unit space (dictionary -4 offset,
+    latent_module.py:1450-1451)."""
+    task, model, crit, batch, variables = built
+    feature = jnp.asarray(batch["reduce_target"])
+    mask = jnp.ones(feature.shape[:2], bool)
+    units, _ = ddim_sample(model, variables, feature, mask,
+                           jax.random.PRNGKey(0), start_step=4)
+    assert np.asarray(units).min() >= -4
+    assert np.asarray(units).max() < 16 + 4

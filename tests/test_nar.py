@@ -1,0 +1,154 @@
+"""NAR S2UT model: forward shapes, masking policies, mask-predict decode,
+skeptical unmasking, CG null context."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffnorm_tpu.config import Config
+from diffnorm_tpu.generate.mask_predict import (
+    init_canvas,
+    mask_predict_decode,
+    skeptical_mask,
+)
+from diffnorm_tpu.registry import TASKS
+from diffnorm_tpu.tasks.nar_s2ut_task import random_mask, side_mask
+
+PAD, BOS, EOS, UNK = 1, 0, 2, 3
+
+
+def tiny_cfg(**kw):
+    cfg = Config(
+        arch="nar_s2ut_conformer", criterion="nar_speech_to_unit",
+        encoder_layers=2, decoder_layers=2, encoder_embed_dim=32,
+        encoder_ffn_embed_dim=64, encoder_attention_heads=2,
+        decoder_attention_heads=2, decoder_embed_dim=32,
+        decoder_ffn_embed_dim=64, conv_channels=32,
+        depthwise_conv_kernel_size=7, target_code_size=20,
+        label_smoothing=0.2, lr=5e-4,
+    )
+    cfg.update(**kw)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def built():
+    cfg = tiny_cfg()
+    task = TASKS.get("dummy_nar").setup_task(cfg)
+    model = task.build_model()
+    crit = task.build_criterion()
+    batch = task.dummy_batch(2, 48)
+    variables = task.init_variables(model, jax.random.PRNGKey(0), batch)
+    return task, model, crit, batch, variables
+
+
+def test_forward_shapes(built):
+    task, model, crit, batch, variables = built
+    out = model.apply(
+        variables, batch["src_tokens"], batch["src_lengths"],
+        batch["prev_target"], tgt_tokens=batch["target"], deterministic=True,
+    )
+    b, t = batch["target"].shape
+    assert out["logits"].shape == (b, t, 24)
+    assert out["length_logits"].shape == (b, 256)
+    # word_ins_mask marks exactly the unk positions
+    np.testing.assert_array_equal(
+        np.asarray(out["word_ins_mask"]), batch["prev_target"] == UNK
+    )
+    # length target == non-pad count
+    np.testing.assert_array_equal(
+        np.asarray(out["length_tgt"]), (batch["target"] != PAD).sum(1)
+    )
+
+
+def test_criterion_finite(built):
+    task, model, crit, batch, variables = built
+    loss, mets, mutated = crit(model, variables, batch, jax.random.PRNGKey(1),
+                               train=True)
+    assert np.isfinite(float(loss))
+    assert "batch_stats" in mutated  # conformer batch-norm updated
+    loss2, mets2, _ = crit(model, variables, batch, jax.random.PRNGKey(1),
+                           train=False)
+    assert np.isfinite(float(loss2))
+
+
+def test_random_mask_masks_only_tokens():
+    rng = np.random.default_rng(0)
+    target = np.array([
+        [10, 11, 12, 13, EOS, PAD, PAD],
+        [10, 11, EOS, PAD, PAD, PAD, PAD],
+    ], np.int32)
+    out = random_mask(target, rng)
+    # pad/eos/bos never masked
+    assert (out[target == PAD] == PAD).all()
+    assert (out[target == EOS] == EOS).all()
+    # at least one mask per row
+    assert (out == UNK).any(axis=1).all()
+
+
+def test_side_mask_masks_only_tokens():
+    rng = np.random.default_rng(0)
+    target = np.tile(np.arange(10, 30, dtype=np.int32), (4, 1))
+    target[:, -1] = EOS
+    out = side_mask(target, rng)
+    assert (out[target == EOS] == EOS).all()
+    assert out.shape == target.shape
+
+
+def test_skeptical_mask_counts():
+    scores = jnp.asarray([[-5.0, -1.0, -3.0, -2.0, 0.0, 0.0]])
+    non_pad = jnp.asarray([[True, True, True, True, False, False]])
+    m = np.asarray(skeptical_mask(scores, non_pad, 0.5))
+    # boundary = floor((4-2)*0.5) = 1 -> only the single worst position
+    assert m.sum() == 1 and m[0, 0]
+
+
+def test_init_canvas():
+    tokens, scores = init_canvas(jnp.asarray([3, 1]), 5)
+    np.testing.assert_array_equal(
+        np.asarray(tokens), [[UNK, UNK, UNK, PAD, PAD], [UNK, UNK, PAD, PAD, PAD]]
+    )  # min length clamps to 2
+
+
+def test_mask_predict_single_step_fills_all(built):
+    """max_iter=0 -> exactly one fill pass, no remask: every canvas position
+    gets written (an untrained argmax may legally emit any token id, unk
+    included — the reference does not ban specials in the base decode path,
+    nar_transformer.py:809-813)."""
+    task, model, crit, batch, variables = built
+    tokens, scores, steps = mask_predict_decode(
+        model, variables, batch["src_tokens"], batch["src_lengths"],
+        max_iter=0, max_len=32,
+    )
+    tokens = np.asarray(tokens)
+    scores = np.asarray(scores)
+    assert tokens.shape == (2, 32)
+    # every originally-masked position got a real log-prob score; the
+    # positions beyond the predicted length stayed pad with score 0
+    assert (scores < 0).any(axis=1).all()
+    assert int(np.asarray(steps).max()) == 1
+
+
+def test_mask_predict_decode_runs(built):
+    task, model, crit, batch, variables = built
+    tokens, scores, steps = mask_predict_decode(
+        model, variables, batch["src_tokens"], batch["src_lengths"],
+        max_iter=3, max_len=32,
+    )
+    tokens = np.asarray(tokens)
+    assert tokens.shape == (2, 32)
+    # untrained models may loop-freeze with masks left (reference adaptive
+    # termination finalizes those canvases too); pads must stay pads
+    lens = np.asarray((tokens != PAD).sum(1))
+    assert (lens >= 2).all()
+    assert int(np.asarray(steps).max()) <= 4
+
+
+def test_mask_predict_cg_and_beam(built):
+    task, model, crit, batch, variables = built
+    tokens, scores, steps = mask_predict_decode(
+        model, variables, batch["src_tokens"], batch["src_lengths"],
+        max_iter=2, max_len=32, cond_scale=1.5, length_beam=3,
+    )
+    assert np.asarray(tokens).shape == (2, 32)

@@ -17,6 +17,7 @@ stopping on patience, and metric logging.
 from __future__ import annotations
 
 import logging
+import os
 import sys
 import time
 from typing import Optional
@@ -122,6 +123,20 @@ def main(cfg: Optional[Config] = None) -> int:
     patience_left = tcfg.patience
     step = int(jax.device_get(state.step))
 
+    from diffnorm_tpu.train.progress import ProgressWriter
+    from diffnorm_tpu.utils.watchdog import Watchdog
+
+    progress = ProgressWriter(
+        log_format=cfg.get("log_format", "simple"),
+        tensorboard_logdir=cfg.get("tensorboard_logdir"),
+        wandb_project=cfg.get("wandb_project"),
+    )
+    watchdog = Watchdog(cfg.get("heartbeat_timeout", 0)).start()
+    if tcfg.profile:
+        jax.profiler.start_trace(
+            cfg.get("profile_dir", os.path.join(tcfg.save_dir, "profile"))
+        )
+
     def run_validation(state):
         if valid_split is None:
             return None
@@ -175,7 +190,9 @@ def main(cfg: Optional[Config] = None) -> int:
                 rng, step_rng = jax.random.split(rng)
                 state, mets = trainer.train_step(state, microbatches, step_rng)
                 step += 1
+                watchdog.pet()
                 if step % tcfg.log_interval == 0:
+                    progress.log(mets, step)
                     vals = interval_agg.get_smoothed_values()
                     ups = tcfg.log_interval / max(time.time() - t0, 1e-6)
                     logger.info(
@@ -215,6 +232,10 @@ def main(cfg: Optional[Config] = None) -> int:
                 if patience_left <= 0:
                     logger.info("early stop: patience exhausted")
                     done = True
+    watchdog.stop()
+    progress.close()
+    if tcfg.profile:
+        jax.profiler.stop_trace()
     logger.info("training done at step %d", step)
     return 0
 

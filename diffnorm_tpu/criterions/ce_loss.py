@@ -1,0 +1,56 @@
+"""Generic label-smoothed cross-entropy criterion for AR models
+(reference: fairseq/criterions/label_smoothed_cross_entropy.py)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from diffnorm_tpu.criterions.label_smoothing import label_smoothed_nll_loss
+from diffnorm_tpu.registry import register_criterion
+
+PAD = 1
+
+
+@register_criterion("label_smoothed_cross_entropy")
+class LabelSmoothedCrossEntropy:
+    def __init__(self, cfg=None, task=None):
+        self.eps = cfg.get("label_smoothing", 0.1) if cfg is not None else 0.1
+
+    def __call__(self, model, variables, batch, rng, train: bool = True):
+        src = batch["src_tokens"]
+        src_lengths = batch["src_lengths"]
+        prev = batch["prev_output_tokens"]
+        tgt = batch["target"]
+
+        if train:
+            out, mutated = model.apply(
+                variables, src, src_lengths, prev, deterministic=False,
+                rngs={"dropout": rng}, mutable=["batch_stats"],
+            )
+        else:
+            out = model.apply(
+                variables, src, src_lengths, prev, deterministic=True
+            )
+            mutated = {}
+
+        lprobs = jax.nn.log_softmax(out["logits"].astype(jnp.float32), axis=-1)
+        flat = lprobs.reshape(-1, lprobs.shape[-1])
+        flat_tgt = tgt.reshape(-1)
+        loss_sum, nll_sum = label_smoothed_nll_loss(
+            flat, flat_tgt, self.eps, ignore_index=PAD
+        )
+        ntokens = jnp.maximum(jnp.sum(tgt != PAD), 1)
+        loss = loss_sum / ntokens
+
+        pred = jnp.argmax(flat, axis=-1)
+        keep = flat_tgt != PAD
+        metrics = {
+            "loss": loss,
+            "nll_loss": nll_sum / ntokens,
+            "acc": jnp.sum((pred == flat_tgt) & keep) / ntokens,
+            "ntokens": ntokens,
+            "nsentences": src.shape[0],
+            "sample_size": ntokens,
+        }
+        return loss, metrics, mutated

@@ -1,0 +1,194 @@
+"""Jitted beam-search sequence generator for the AR unit decoder.
+
+Capability parity with fairseq/sequence_generator.py (beam search, length
+penalty, min/max length, ngram-repeat blocking — the CUDA op
+fairseq/clib/cuda/ngram_repeat_block* becomes a vectorized jnp mask inside
+the jitted loop) redesigned as one lax.while_loop over decode steps with a
+flax "cache" pytree threaded through the carry and gather-reordered on beam
+selection.
+
+Layout: sequences are [B*K, L]; beams of a sentence are contiguous.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PAD, BOS, EOS, UNK = 1, 0, 2, 3
+NEG_INF = -1.0e7
+
+
+def ngram_blocking_mask(seqs, step, vocab_size: int, ngram: int):
+    """Ban tokens that would complete an already-seen n-gram.
+
+    seqs: [N, L] generated so far (positions < step valid).
+    Returns additive mask [N, V] (0 or NEG_INF).
+    """
+    n, l = seqs.shape
+    if ngram <= 0:
+        return jnp.zeros((n, vocab_size), jnp.float32)
+
+    # suffix = last (ngram-1) tokens ending at step-1
+    def suffix_at(offset):
+        return jax.lax.dynamic_index_in_dim(
+            seqs, jnp.maximum(step - (ngram - 1) + offset, 0), axis=1,
+            keepdims=False,
+        )
+
+    suffix = jnp.stack([suffix_at(o) for o in range(ngram - 1)], axis=1)  # [N, n-1]
+
+    pos = jnp.arange(l)
+    banned = jnp.zeros((n, vocab_size), jnp.float32)
+
+    def body(i, banned):
+        # window seqs[:, i:i+ngram-1] followed by seqs[:, i+ngram-1]
+        window = jax.lax.dynamic_slice_in_dim(seqs, i, ngram - 1, axis=1)
+        nxt = jax.lax.dynamic_index_in_dim(
+            seqs, i + (ngram - 1), axis=1, keepdims=False
+        )
+        valid = (i + ngram - 1) < step  # whole window observed
+        match = jnp.all(window == suffix, axis=1) & valid
+        upd = jnp.where(match, NEG_INF, 0.0)
+        return banned.at[jnp.arange(n), nxt].add(upd)
+
+    max_windows = l - ngram + 1
+    banned = jax.lax.fori_loop(0, jnp.maximum(jnp.minimum(max_windows, step), 0),
+                               body, banned)
+    return jnp.maximum(banned, NEG_INF)  # collapse repeated adds
+
+
+def beam_search(
+    decode_step,
+    init_cache,
+    batch_size: int,
+    beam_size: int,
+    max_len: int,
+    vocab_size: int,
+    min_len: int = 1,
+    len_penalty: float = 1.0,
+    no_repeat_ngram: int = 0,
+    unk_penalty: float = 0.0,
+):
+    """Generic AR beam search.
+
+    decode_step(cache, tokens [N,1], positions [N]) -> (log_probs [N,V],
+    new_cache) where N = batch*beam. Returns (seqs [B, K, L], scores [B, K])
+    sorted best-first.
+    """
+    n = batch_size * beam_size
+
+    seqs = jnp.full((n, max_len), PAD, jnp.int32)
+    prev = jnp.full((n, 1), EOS, jnp.int32)  # fairseq starts with eos
+    # only beam 0 of each sentence live at step 0
+    scores = jnp.tile(
+        jnp.asarray([0.0] + [NEG_INF] * (beam_size - 1), jnp.float32),
+        (batch_size,),
+    )
+    finished = jnp.zeros((n,), bool)
+
+    def cond(state):
+        step, _, _, _, _, finished = state
+        return (step < max_len) & ~jnp.all(finished)
+
+    def body(state):
+        step, seqs, prev, scores, cache, finished = state
+        lp, new_cache = decode_step(cache, prev, jnp.full((n,), step))
+        lp = jax.nn.log_softmax(lp.astype(jnp.float32), axis=-1)
+        lp = lp.at[:, PAD].set(NEG_INF)
+        lp = lp.at[:, BOS].set(NEG_INF)
+        lp = lp.at[:, UNK].add(-unk_penalty)
+        lp = jnp.where(step < min_len, lp.at[:, EOS].set(NEG_INF), lp)
+        if no_repeat_ngram > 0:
+            lp = lp + ngram_blocking_mask(seqs, step, vocab_size,
+                                          no_repeat_ngram)
+        # finished rows: only extend with pad at zero cost
+        fin_row = jnp.full((vocab_size,), NEG_INF).at[PAD].set(0.0)
+        lp = jnp.where(finished[:, None], fin_row[None, :], lp)
+
+        cand = scores[:, None] + lp  # [N, V]
+        cand = cand.reshape(batch_size, beam_size * vocab_size)
+        top_scores, top_idx = jax.lax.top_k(cand, beam_size)  # [B, K]
+        beam_idx = top_idx // vocab_size  # source beam within sentence
+        token_idx = (top_idx % vocab_size).astype(jnp.int32)
+
+        flat_src = (
+            jnp.arange(batch_size)[:, None] * beam_size + beam_idx
+        ).reshape(-1)
+        new_seqs = seqs[flat_src].at[:, step].set(token_idx.reshape(-1))
+        new_scores = top_scores.reshape(-1)
+        new_prev = token_idx.reshape(-1, 1)
+        new_finished = finished[flat_src] | (new_prev[:, 0] == EOS)
+        new_cache = jax.tree_util.tree_map(
+            lambda c: c[flat_src] if (hasattr(c, "ndim") and c.ndim > 0 and
+                                      c.shape[0] == n) else c,
+            new_cache,
+        )
+        return (step + 1, new_seqs, new_prev, new_scores, new_cache,
+                new_finished)
+
+    state = (jnp.zeros((), jnp.int32), seqs, prev, scores, init_cache, finished)
+    step, seqs, _, scores, _, finished = jax.lax.while_loop(cond, body, state)
+
+    lengths = jnp.sum((seqs != PAD), axis=1)
+    norm = scores / jnp.maximum(lengths.astype(jnp.float32), 1.0) ** len_penalty
+    seqs = seqs.reshape(batch_size, beam_size, max_len)
+    norm = norm.reshape(batch_size, beam_size)
+    order = jnp.argsort(-norm, axis=1)
+    b_idx = jnp.arange(batch_size)[:, None]
+    return seqs[b_idx, order], norm[b_idx, order]
+
+
+def ar_generate(
+    model,
+    variables,
+    src,
+    src_lengths,
+    beam_size: int = 5,
+    max_len: int = 256,
+    min_len: int = 1,
+    len_penalty: float = 1.0,
+    no_repeat_ngram: int = 0,
+):
+    """End-to-end AR generation for ARS2UTModule (encode once, replicate
+    encoder states across beams, run the jitted beam loop)."""
+    from diffnorm_tpu.models.ar_transformer import ARS2UTModule
+
+    module = model.module
+    enc, enc_mask = module.apply(
+        variables, src, src_lengths, method=ARS2UTModule.encode
+    )
+    b = enc.shape[0]
+    enc_rep = jnp.repeat(enc, beam_size, axis=0)
+    mask_rep = jnp.repeat(enc_mask, beam_size, axis=0)
+
+    # init the cache by tracing one step with zero tokens
+    _, cache_vars = module.apply(
+        {**variables},
+        jnp.full((b * beam_size, 1), EOS, jnp.int32),
+        enc_rep, mask_rep, jnp.zeros((b * beam_size,), jnp.int32), max_len,
+        method=ARS2UTModule.decode_step, mutable=["cache"],
+    )
+    # reset the cache index/content to zero (the probe wrote one step)
+    cache0 = jax.tree_util.tree_map(jnp.zeros_like, cache_vars["cache"])
+
+    params_only = {k: v for k, v in variables.items() if k != "cache"}
+
+    def decode_step(cache, tokens, positions):
+        logits, mutated = module.apply(
+            {**params_only, "cache": cache},
+            tokens, enc_rep, mask_rep, positions, max_len,
+            method=ARS2UTModule.decode_step, mutable=["cache"],
+        )
+        return logits, mutated["cache"]
+
+    vocab = module.vocab_size
+    return beam_search(
+        decode_step, cache0, b, beam_size, max_len, vocab,
+        min_len=min_len, len_penalty=len_penalty,
+        no_repeat_ngram=no_repeat_ngram,
+    )

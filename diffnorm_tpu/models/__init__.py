@@ -3,3 +3,4 @@
 from diffnorm_tpu.models import vae  # noqa: F401
 from diffnorm_tpu.models import diffusion  # noqa: F401
 from diffnorm_tpu.models import nar_transformer  # noqa: F401
+from diffnorm_tpu.models import ar_transformer  # noqa: F401

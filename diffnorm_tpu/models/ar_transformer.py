@@ -1,0 +1,272 @@
+"""Autoregressive S2UT translator (the reference's AR baseline).
+
+Capability parity with fairseq/tasks/ar_speech_to_speech.py ("speech_to_speech_ar",
+S2UT transformer of https://arxiv.org/abs/2107.05604) + the fairseq
+TransformerDecoder incremental-decoding path: conformer/transformer speech
+encoder + causal unit decoder. TPU redesign: incremental decoding uses a
+flax "cache" collection (preallocated KV ring per layer, in-place
+dynamic-update-slice writes) so the whole beam-search loop jits into one
+program (generate/beam_search.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from diffnorm_tpu.config import Config
+from diffnorm_tpu.models.conformer import ConformerEncoder
+from diffnorm_tpu.models.layers import sinusoidal_positions
+from diffnorm_tpu.models.vae import ModelHolder
+from diffnorm_tpu.ops.attention import masked_attention
+from diffnorm_tpu.registry import register_architecture, register_model
+
+PAD, BOS, EOS, UNK = 1, 0, 2, 3
+
+
+class CachedMultiheadAttention(nn.Module):
+    """MHA with optional autoregressive KV cache.
+
+    decode=False: full-sequence attention (optionally causal).
+    decode=True : x is [B, 1, D]; keys/values append into a preallocated
+    cache ("cache" collection) at cache_index.
+    """
+
+    dim: int
+    heads: int
+    causal: bool = False
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, mask=None, deterministic: bool = True,
+                 decode: bool = False, max_decode_len: int = 256):
+        h = self.heads
+        d = self.dim // h
+        ctx = x if context is None else context
+        q = nn.Dense(self.dim, dtype=self.dtype, name="q_proj")(x)
+        k = nn.Dense(self.dim, dtype=self.dtype, name="k_proj")(ctx)
+        v = nn.Dense(self.dim, dtype=self.dtype, name="v_proj")(ctx)
+        b = x.shape[0]
+
+        def heads_of(z):
+            return z.reshape(b, -1, h, d).transpose(0, 2, 1, 3)
+
+        q, k, v = heads_of(q), heads_of(k), heads_of(v)
+
+        causal = self.causal
+        if decode and context is None:
+            # self-attention single step: append to cache
+            ck = self.variable(
+                "cache", "cached_key",
+                lambda: jnp.zeros((b, h, max_decode_len, d), k.dtype),
+            )
+            cv = self.variable(
+                "cache", "cached_value",
+                lambda: jnp.zeros((b, h, max_decode_len, d), v.dtype),
+            )
+            ci = self.variable(
+                "cache", "cache_index", lambda: jnp.zeros((), jnp.int32)
+            )
+            idx = ci.value
+            ck.value = jax.lax.dynamic_update_slice(
+                ck.value, k, (0, 0, idx, 0)
+            )
+            cv.value = jax.lax.dynamic_update_slice(
+                cv.value, v, (0, 0, idx, 0)
+            )
+            ci.value = idx + 1
+            k, v = ck.value, cv.value
+            # valid keys: positions <= idx
+            mask = (jnp.arange(max_decode_len) <= idx)[None, :]
+            mask = jnp.broadcast_to(mask, (b, max_decode_len))
+            causal = False
+
+        rng = None
+        if self.dropout > 0.0 and not deterministic:
+            rng = self.make_rng("dropout")
+        out = masked_attention(
+            q, k, v, mask=mask, dropout=self.dropout, dropout_rng=rng,
+            causal=causal,
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(b, -1, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(out)
+
+
+class ARDecoderLayer(nn.Module):
+    dim: int
+    ffn_dim: int
+    heads: int
+    dropout: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, self_mask, enc, enc_mask, deterministic=True,
+                 decode=False, max_decode_len: int = 256):
+        res = x
+        hmid = nn.LayerNorm(dtype=self.dtype, name="self_attn_layer_norm")(x)
+        hmid = CachedMultiheadAttention(
+            self.dim, self.heads, causal=True, dropout=self.dropout,
+            dtype=self.dtype, name="self_attn",
+        )(hmid, mask=self_mask, deterministic=deterministic, decode=decode,
+          max_decode_len=max_decode_len)
+        x = res + nn.Dropout(self.dropout)(hmid, deterministic=deterministic)
+
+        res = x
+        hmid = nn.LayerNorm(dtype=self.dtype, name="encoder_attn_layer_norm")(x)
+        hmid = CachedMultiheadAttention(
+            self.dim, self.heads, dropout=self.dropout, dtype=self.dtype,
+            name="encoder_attn",
+        )(hmid, context=enc, mask=enc_mask, deterministic=deterministic)
+        x = res + nn.Dropout(self.dropout)(hmid, deterministic=deterministic)
+
+        res = x
+        hmid = nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")(x)
+        hmid = nn.Dense(self.ffn_dim, dtype=self.dtype, name="fc1")(hmid)
+        hmid = nn.relu(hmid)
+        hmid = nn.Dropout(self.dropout)(hmid, deterministic=deterministic)
+        hmid = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(hmid)
+        hmid = nn.Dropout(self.dropout)(hmid, deterministic=deterministic)
+        return res + hmid
+
+
+class ARUnitDecoder(nn.Module):
+    vocab_size: int
+    dim: int = 512
+    ffn_dim: int = 2048
+    layers: int = 6
+    heads: int = 8
+    dropout: float = 0.1
+    share_input_output_embed: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens, enc, enc_mask, deterministic: bool = True,
+                 decode: bool = False, decode_position=None,
+                 max_decode_len: int = 256):
+        """tokens: [B, T] (T=1 when decode). Returns logits [B, T, V]."""
+        embed = nn.Embed(
+            self.vocab_size, self.dim,
+            embedding_init=nn.initializers.normal(self.dim ** -0.5),
+            dtype=self.dtype, name="embed_tokens",
+        )
+        x = embed(tokens) * math.sqrt(self.dim)
+        if decode:
+            # position for the single decoded step (pad offset +1 parity)
+            pos = decode_position
+            half = self.dim // 2
+            inv = jnp.exp(
+                jnp.arange(half, dtype=jnp.float32)
+                * -(math.log(10000.0) / (half - 1))
+            )
+            args = (pos.astype(jnp.float32) + 1 + PAD)[:, None] * inv[None, :]
+            pe = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+            x = x + pe[:, None, :].astype(x.dtype)
+            self_mask = None
+        else:
+            valid = tokens != PAD
+            x = x + sinusoidal_positions(valid, self.dim, padding_idx=PAD).astype(
+                x.dtype
+            )
+            self_mask = valid
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        for i in range(self.layers):
+            x = ARDecoderLayer(
+                dim=self.dim, ffn_dim=self.ffn_dim, heads=self.heads,
+                dropout=self.dropout, dtype=self.dtype, name=f"layer_{i}",
+            )(x, self_mask, enc, enc_mask, deterministic=deterministic,
+              decode=decode, max_decode_len=max_decode_len)
+        x = nn.LayerNorm(dtype=self.dtype, name="layer_norm")(x)
+        if self.share_input_output_embed:
+            return embed.attend(x)
+        return nn.Dense(self.vocab_size, use_bias=False, dtype=self.dtype,
+                        name="output_proj")(x)
+
+
+class ARS2UTModule(nn.Module):
+    vocab_size: int
+    encoder_dim: int = 512
+    encoder_ffn_dim: int = 2048
+    encoder_layers: int = 12
+    encoder_heads: int = 8
+    decoder_dim: int = 512
+    decoder_ffn_dim: int = 2048
+    decoder_layers: int = 6
+    decoder_heads: int = 8
+    dropout: float = 0.1
+    depthwise_kernel_size: int = 31
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = ConformerEncoder(
+            dim=self.encoder_dim, ffn_dim=self.encoder_ffn_dim,
+            layers=self.encoder_layers, heads=self.encoder_heads,
+            dropout=self.dropout,
+            depthwise_kernel_size=self.depthwise_kernel_size,
+            dtype=self.dtype, name="encoder",
+        )
+        self.decoder = ARUnitDecoder(
+            vocab_size=self.vocab_size, dim=self.decoder_dim,
+            ffn_dim=self.decoder_ffn_dim, layers=self.decoder_layers,
+            heads=self.decoder_heads, dropout=self.dropout,
+            dtype=self.dtype, name="decoder",
+        )
+
+    def encode(self, src, src_lengths, deterministic: bool = True):
+        return self.encoder(src, src_lengths, deterministic=deterministic)
+
+    def decode_step(self, token, enc, enc_mask, position,
+                    max_decode_len: int = 256):
+        """Single AR step: token [B, 1] -> logits [B, V] (cache-mutating)."""
+        logits = self.decoder(
+            token, enc, enc_mask, deterministic=True, decode=True,
+            decode_position=position, max_decode_len=max_decode_len,
+        )
+        return logits[:, 0]
+
+    def __call__(self, src, src_lengths, prev_tokens, deterministic=True):
+        enc, enc_mask = self.encoder(src, src_lengths,
+                                     deterministic=deterministic)
+        logits = self.decoder(prev_tokens, enc, enc_mask,
+                              deterministic=deterministic)
+        return dict(logits=logits)
+
+
+@register_model("ar_s2ut")
+class ARS2UTModel(ModelHolder):
+    @classmethod
+    def build_model(cls, cfg: Config, task=None) -> "ARS2UTModel":
+        vocab = cfg.get("vocab_size")
+        if vocab is None and task is not None and task.target_dictionary is not None:
+            vocab = len(task.target_dictionary)
+        module = ARS2UTModule(
+            vocab_size=vocab or 1004,
+            encoder_dim=cfg.get("encoder_embed_dim", 512),
+            encoder_ffn_dim=cfg.get("encoder_ffn_embed_dim", 2048),
+            encoder_layers=cfg.get("encoder_layers", 12),
+            encoder_heads=cfg.get("encoder_attention_heads", 8),
+            decoder_dim=cfg.get("decoder_embed_dim", 512),
+            decoder_ffn_dim=cfg.get("decoder_ffn_embed_dim", 2048),
+            decoder_layers=cfg.get("decoder_layers", 6),
+            decoder_heads=cfg.get("decoder_attention_heads", 8),
+            dropout=cfg.get("dropout", 0.1),
+            depthwise_kernel_size=cfg.get("depthwise_conv_kernel_size", 31),
+            dtype=jnp.dtype(cfg.get("dtype", "float32")),
+        )
+        return cls(module=module, cfg=cfg)
+
+
+@register_architecture("ar_s2ut", "s2ut_conformer")
+def s2ut_conformer_arch(cfg: Config):
+    cfg.setdefault("encoder_embed_dim", 512)
+    cfg.setdefault("encoder_ffn_embed_dim", 2048)
+    cfg.setdefault("encoder_layers", 12)
+    cfg.setdefault("encoder_attention_heads", 8)
+    cfg.setdefault("decoder_embed_dim", 512)
+    cfg.setdefault("decoder_ffn_embed_dim", 2048)
+    cfg.setdefault("decoder_layers", 6)
+    cfg.setdefault("decoder_attention_heads", 8)

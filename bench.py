@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = 16
+BATCH = 64  # the reference normalization driver batches ~100 utterances
 SEQ = 128
 START_STEP = 50
 SECONDS_PER_UNIT = 0.02  # 50 Hz unit rate
@@ -48,7 +48,7 @@ def main():
         {"params": rng}, feat, mask, rng, deterministic=True
     )
 
-    REPEATS = 8
+    REPEATS = 4
 
     def run_many(v, f, m, r):
         """REPEATS full normalizations inside one jit (the axon tunnel's
@@ -89,7 +89,7 @@ def main():
     print(json.dumps({
         "metric": "diffnorm_ddim_normalization_rtf",
         "value": round(rtf, 3),
-        "unit": "audio_s/wall_s (B16xT128, 49 DDIM steps, bf16, 1 chip)",
+        "unit": "audio_s/wall_s (B64xT128, 49 DDIM steps, bf16, 1 chip)",
         "vs_baseline": round(rtf / 5.0, 3),
     }))
 

@@ -87,3 +87,38 @@ class DDPMDiscreteLoss:
             "sample_size": feature.shape[0],
         }
         return loss, metrics, {}
+
+
+@register_criterion("ddpm_latent_loss")
+class DDPMLatentLoss:
+    """Continuous diffusion criterion (reference ddpm_latent_loss.py /
+    ddpm_loss.py): min-SNR weighted noise MSE only — used by the
+    `speech_diffusion` / `speech_diffusion_hubert` tasks."""
+
+    def __init__(self, cfg=None, task=None):
+        pass
+
+    def __call__(self, model, variables, batch, rng, train: bool = True):
+        feature = batch["reduce_target"]
+        lengths = batch["reduce_target_lengths"]
+        mask = lengths_to_mask(lengths, feature.shape[1])
+
+        r_model, r_drop = jax.random.split(rng)
+        out = model.apply(
+            variables, feature, mask, r_model,
+            deterministic=not train,
+            rngs={"dropout": r_drop},
+        )
+        diff = out["pred_noise"].astype(jnp.float32) - out["true_noise"].astype(
+            jnp.float32
+        )
+        sq = jnp.where(mask[..., None], jnp.square(diff), 0.0)
+        per_seq = jnp.mean(sq, axis=(1, 2))
+        loss = jnp.mean(per_seq * out["loss_weight"])
+        metrics = {
+            "loss": loss,
+            "ntokens": jnp.sum(lengths),
+            "nsentences": feature.shape[0],
+            "sample_size": feature.shape[0],
+        }
+        return loss, metrics, {}

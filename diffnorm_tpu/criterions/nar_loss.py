@@ -40,6 +40,7 @@ def _masked_label_smoothed_ce(lprobs, target, mask, epsilon: float):
 class NARSpeechToUnitLoss:
     def __init__(self, cfg=None, task=None):
         self.eps = cfg.get("label_smoothing", 0.2) if cfg is not None else 0.2
+        self.ctc_weight = cfg.get("multitask_loss_weight", 1.0) if cfg else 1.0
 
     def __call__(self, model, variables, batch, rng, train: bool = True):
         src = batch["src_tokens"]
@@ -84,6 +85,22 @@ class NARSpeechToUnitLoss:
         ntokens = jnp.maximum(jnp.sum(tgt != PAD), 1)
         loss = (ce_sum + len_sum) / ntokens
 
+        # optional multitask CTC over encoder states (reference
+        # MultitaskCriterion + CtcCriterion, nar_speech_to_unit.py:22-123)
+        ctc_loss = None
+        if "ctc_logits" in out and "ctc_target" in batch:
+            import optax
+
+            logit_lens = jnp.sum(out["ctc_mask"], axis=1)
+            logit_pad = (~out["ctc_mask"]).astype(jnp.float32)
+            tgt_pad = (batch["ctc_target"] == PAD).astype(jnp.float32)
+            per_seq = optax.ctc_loss(
+                out["ctc_logits"].astype(jnp.float32), logit_pad,
+                batch["ctc_target"], tgt_pad, blank_id=0,
+            )
+            ctc_loss = jnp.mean(per_seq)
+            loss = loss + self.ctc_weight * ctc_loss
+
         pred = jnp.argmax(lprobs, axis=-1)
         keep = out["word_ins_mask"] & (tgt != PAD)
         n_correct = jnp.sum((pred == tgt) & keep)
@@ -98,4 +115,6 @@ class NARSpeechToUnitLoss:
             "nsentences": src.shape[0],
             "sample_size": ntokens,
         }
+        if ctc_loss is not None:
+            metrics["ctc_loss"] = ctc_loss
         return loss, metrics, mutated

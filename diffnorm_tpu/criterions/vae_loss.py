@@ -76,3 +76,14 @@ class SpeechVAELoss:
             "sample_size": feature.shape[0],
         }
         return loss, metrics, {}
+
+
+@register_criterion("hubert_vae_loss")
+class HubertVAELoss(SpeechVAELoss):
+    """VAE over HuBERT features without the unit LM term (reference
+    fairseq/criterions/hubert_vae_loss.py: 10*recon + beta*kl)."""
+
+    def __init__(self, cfg=None, task=None):
+        super().__init__(cfg, task)
+        self.ce_weight = 0.0
+        self.kl_weight = cfg.get("kl_beta", 1e-4) if cfg is not None else 1e-4

@@ -1,0 +1,116 @@
+"""Unit<->waveform dataset for vocoder fine-tuning.
+
+Capability parity with the reference's unit-to-speech data path
+(fairseq/tasks/code_hifigan.py "unit_to_speech" + the CodeDataset of the
+vendored TranSpeech hifigan trainer): pairs a `name|u1 u2 ...` units file
+with 16 kHz waveforms; training samples are random fixed-length unit crops
+with the aligned waveform segment (320 samples per unit at 50 Hz / 16 kHz),
+so every batch is one static shape.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from diffnorm_tpu.data.audio import read_audio
+
+SAMPLES_PER_UNIT = 320  # 16000 Hz / 50 Hz unit rate
+
+
+def read_units_file(path: str) -> Dict[str, np.ndarray]:
+    out = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            name, units = line.split("|", 1)
+            out[name] = np.asarray([int(x) for x in units.split()], np.int32)
+    return out
+
+
+class CodeToSpeechDataset:
+    def __init__(
+        self,
+        names: List[str],
+        audio_paths: List[str],
+        units: List[np.ndarray],
+        crop_units: int = 32,
+        is_train: bool = True,
+        seed: int = 1,
+    ):
+        self.names = names
+        self.audio_paths = audio_paths
+        self.units = units
+        self.crop_units = crop_units
+        self.is_train = is_train
+        self.shuffle = is_train
+        self._rng = np.random.default_rng(seed)
+        self.seed = seed
+
+    def __len__(self):
+        return len(self.names)
+
+    def num_tokens(self, index: int) -> int:
+        return self.crop_units
+
+    @property
+    def sizes(self):
+        return np.full((len(self),), self.crop_units, np.int64)
+
+    def ordered_indices(self) -> np.ndarray:
+        if self.shuffle:
+            return np.random.default_rng(self.seed).permutation(len(self))
+        return np.arange(len(self))
+
+    def __getitem__(self, index: int) -> Dict:
+        wav, sr = read_audio(self.audio_paths[index])
+        assert sr == 16000, f"expected 16 kHz, got {sr}"
+        units = self.units[index]
+        n = self.crop_units
+        if len(units) > n and self.is_train:
+            start = int(self._rng.integers(0, len(units) - n))
+        else:
+            start = 0
+        u = units[start:start + n]
+        seg = wav[start * SAMPLES_PER_UNIT: (start + n) * SAMPLES_PER_UNIT]
+        if len(u) < n:  # pad short utterances
+            u = np.pad(u, (0, n - len(u)))
+        want = n * SAMPLES_PER_UNIT
+        if len(seg) < want:
+            seg = np.pad(seg, (0, want - len(seg)))
+        return {"index": index, "code": u.astype(np.int32),
+                "wav": seg.astype(np.float32)}
+
+    def collater(self, samples: List[Dict]) -> Dict:
+        return {
+            "id": np.asarray([s["index"] for s in samples], np.int64),
+            "code": np.stack([s["code"] for s in samples]),
+            "wav": np.stack([s["wav"] for s in samples]),
+            "ntokens": len(samples) * self.crop_units,
+            "nsentences": len(samples),
+        }
+
+    @classmethod
+    def from_files(
+        cls,
+        units_file: str,
+        audio_dir: str,
+        crop_units: int = 32,
+        is_train: bool = True,
+        audio_suffix: str = ".wav",
+        seed: int = 1,
+    ) -> "CodeToSpeechDataset":
+        units_map = read_units_file(units_file)
+        names, paths, units = [], [], []
+        for name, u in units_map.items():
+            p = os.path.join(audio_dir, name + audio_suffix)
+            if os.path.exists(p):
+                names.append(name)
+                paths.append(p)
+                units.append(u)
+        return cls(names, paths, units, crop_units=crop_units,
+                   is_train=is_train, seed=seed)

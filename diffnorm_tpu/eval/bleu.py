@@ -81,9 +81,9 @@ class BleuAccumulator:
             return 0.0
         log_p = 0.0
         for m, t in zip(match, total):
-            if t == 0:
+            if t == 0 or m == 0:  # unsmoothed corpus BLEU
                 return 0.0
-            log_p += math.log(max(m, 1e-9) / t) / 4.0
+            log_p += math.log(m / t) / 4.0
         bp = 1.0 if predlen >= reflen else math.exp(1 - reflen / max(predlen, 1))
         return 100.0 * bp * math.exp(log_p)
 

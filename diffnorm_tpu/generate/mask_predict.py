@@ -26,8 +26,6 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from diffnorm_tpu.models.nar_transformer import NARS2UTModule
-
 PAD, BOS, EOS, UNK = 1, 0, 2, 3
 
 
@@ -67,10 +65,10 @@ def mask_predict_decode(
     module = model.module
 
     enc, enc_mask = module.apply(
-        variables, src, src_lengths, method=NARS2UTModule.encode
+        variables, src, src_lengths, method="encode"
     )
     length_logits = module.apply(
-        variables, enc, enc_mask, method=NARS2UTModule.forward_length
+        variables, enc, enc_mask, method="forward_length"
     )
     if true_length is not None:
         length_tgt = jnp.asarray(true_length)
@@ -92,17 +90,17 @@ def mask_predict_decode(
     if use_cg:
         drop = jnp.ones((enc.shape[0],), bool)
         null_enc, null_mask = module.apply(
-            variables, enc, enc_mask, drop, method=NARS2UTModule.apply_cg_drop
+            variables, enc, enc_mask, drop, method="apply_cg_drop"
         )
 
     def decode_lprobs(tok):
         logits = module.apply(
-            variables, tok, enc, enc_mask, method=NARS2UTModule.decode
+            variables, tok, enc, enc_mask, method="decode"
         )
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         if use_cg:
             null_logits = module.apply(
-                variables, tok, null_enc, null_mask, method=NARS2UTModule.decode
+                variables, tok, null_enc, null_mask, method="decode"
             )
             null_lp = jax.nn.log_softmax(null_logits.astype(jnp.float32), axis=-1)
             lp = null_lp + cond_scale * (lp - null_lp)

@@ -4,3 +4,5 @@ from diffnorm_tpu.models import vae  # noqa: F401
 from diffnorm_tpu.models import diffusion  # noqa: F401
 from diffnorm_tpu.models import nar_transformer  # noqa: F401
 from diffnorm_tpu.models import ar_transformer  # noqa: F401
+from diffnorm_tpu.models import sedd  # noqa: F401
+from diffnorm_tpu.models import cmlm_text  # noqa: F401

@@ -176,9 +176,23 @@ class LatentDiffusionModule(nn.Module):
     vae_decoder_dim_head: int = 96
     vae_decoder_heads: int = 8
     chan_mults: Optional[tuple] = None
+    # use_vae=False runs the diffusion directly in feature space (reference
+    # continuous variants: tasks "speech_diffusion"/"speech_diffusion_hubert")
+    use_vae: bool = True
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
+        if not self.use_vae:
+            self.denoiser = Denoiser(
+                dim=self.dim, latent_dim=self.latent_dim,
+                depth=self.denoiser_depth,
+                wavenet_layers=self.wavenet_layers,
+                wavenet_stacks=self.wavenet_stacks,
+                dtype=self.dtype,
+                name="denoiser",
+            )
+            self.schedule = DDPMSchedule.create(self.timesteps, self.schedule_name)
+            return
         self.vae = SpeechVAEModule(
             dim=self.feature_dim,
             latent_dim=self.latent_dim,
@@ -201,6 +215,8 @@ class LatentDiffusionModule(nn.Module):
         self.schedule = DDPMSchedule.create(self.timesteps, self.schedule_name)
 
     def encode(self, feature, rng):
+        if not self.use_vae:
+            return feature
         return self.vae.encode(feature, rng)
 
     def decode(self, latent, mask):
@@ -222,7 +238,7 @@ class LatentDiffusionModule(nn.Module):
         times = jax.random.randint(r_t, (b,), 1, self.timesteps)
 
         # frozen-VAE encode (t ~ no_grad; params frozen by the optimizer mask)
-        z = jax.lax.stop_gradient(self.vae.encode(feature, r_enc))
+        z = jax.lax.stop_gradient(self.encode(feature, r_enc))
 
         beta0 = float(self.schedule.betas[0])
         x1 = z + jax.random.normal(r_x1, z.shape, z.dtype) * beta0
@@ -237,17 +253,18 @@ class LatentDiffusionModule(nn.Module):
         snr = self.schedule.snr(times)
         loss_weight = jnp.minimum(snr, self.min_snr_gamma) / snr
 
-        x1_hat = safe_div(x_t - s1mac * pred_noise, sac)
-        recon_feature, lm_logits = self.vae.decode(x1_hat, mask)
-
-        return dict(
+        out = dict(
             pred_noise=pred_noise,
             true_noise=true_noise,
             loss_weight=loss_weight,
-            recon_feature=recon_feature,
-            lm_logits=lm_logits,
             times=times,
         )
+        if self.use_vae:
+            x1_hat = safe_div(x_t - s1mac * pred_noise, sac)
+            recon_feature, lm_logits = self.vae.decode(x1_hat, mask)
+            out["recon_feature"] = recon_feature
+            out["lm_logits"] = lm_logits
+        return out
 
 def ddim_sample(
     model: "LatentDiffusionModel",
@@ -327,6 +344,7 @@ class LatentDiffusionModel(ModelHolder):
             vae_decoder_dim_head=cfg.get("vae_decoder_dim_head", 96),
             vae_decoder_heads=cfg.get("vae_decoder_heads", 8),
             chan_mults=tuple(cfg["chan_mults"]) if cfg.get("chan_mults") else None,
+            use_vae=cfg.get("use_vae", True),
             dtype=jnp.dtype(cfg.get("dtype", "float32")),
         )
         return cls(module=module, cfg=cfg)
@@ -339,3 +357,33 @@ def diff_discrete_arch(cfg: Config):
     cfg.setdefault("latent_dim", 128)
     cfg.setdefault("timesteps", 200)
     cfg.setdefault("multitask", True)
+
+
+@register_architecture("latent_diffusion", "diff_latent")
+def diff_latent_arch(cfg: Config):
+    """Continuous latent diffusion (reference task "speech_diffusion"):
+    noise objective only, no unit-LM multitask."""
+    diff_discrete_arch(cfg)
+    cfg.setdefault("multitask", False)
+
+
+@register_architecture("latent_diffusion", "diff_hubert")
+def diff_hubert_arch(cfg: Config):
+    """Feature-space diffusion over raw 768-d mHuBERT features (reference
+    task "speech_diffusion_hubert"): no VAE at all."""
+    cfg.setdefault("hidden_dim", 512)
+    cfg.setdefault("latent_dim", 768)
+    cfg.setdefault("timesteps", 200)
+    cfg["use_vae"] = False
+    cfg["multitask"] = False
+
+
+@register_architecture("latent_diffusion", "diffusion_transformer")
+def diffusion_transformer_arch(cfg: Config):
+    """DiT-style pure-transformer denoiser (reference diff_transformer.py
+    DiffusionTransformerModel, mostly used for arg defaults): the wavenet
+    stacks collapse to zero and depth grows."""
+    diff_discrete_arch(cfg)
+    cfg.setdefault("wavenet_stacks", 1)
+    cfg.setdefault("wavenet_layers", 1)
+    cfg.setdefault("denoiser_depth", 16)

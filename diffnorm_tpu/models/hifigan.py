@@ -169,10 +169,14 @@ class CodeGenerator(nn.Module):
                 dtype=self.dtype, name="dur_predictor",
             )
 
+    def log_durations(self, code):
+        """Raw log-duration predictions [B, T] (training target:
+        log(duration + 1))."""
+        return self.duration_predictor(self.dict_emb(code))
+
     def predict_durations(self, code):
         """code: [B, T] -> int32 durations (>= 1), codehifigan.py:55-60."""
-        x = self.dict_emb(code)
-        log_dur = self.duration_predictor(x)
+        log_dur = self.log_durations(code)
         return jnp.maximum(
             jnp.round(jnp.exp(log_dur) - 1.0).astype(jnp.int32), 1
         )

@@ -193,6 +193,10 @@ class NARS2UTModule(nn.Module):
     dropout: float = 0.1
     depthwise_kernel_size: int = 31
     cg_prob: float = 0.0
+    # auxiliary multitask heads over encoder states (reference
+    # S2STransformerMultitaskModelBase.build_multitask_decoder with
+    # decoder_type="ctc": a linear CTC projection; nar_transformer.py:500-525)
+    ctc_vocab: int = 0
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -216,6 +220,10 @@ class NARS2UTModule(nn.Module):
             dtype=self.dtype,
             name="decoder",
         )
+        if self.ctc_vocab:
+            self.ctc_proj = nn.Dense(
+                self.ctc_vocab, dtype=self.dtype, name="ctc_proj"
+            )
 
     def encode(self, src, src_lengths, deterministic: bool = True):
         return self.encoder(src, src_lengths, deterministic=deterministic)
@@ -262,12 +270,16 @@ class NARS2UTModule(nn.Module):
             enc, enc_mask = self.apply_cg_drop(enc, enc_mask, drop)
 
         logits = self.decoder(prev_tokens, enc, enc_mask, deterministic=deterministic)
-        return dict(
+        out = dict(
             logits=logits,
             word_ins_mask=prev_tokens == UNK,
             length_logits=length_logits,
             length_tgt=length_tgt,
         )
+        if self.ctc_vocab:
+            out["ctc_logits"] = self.ctc_proj(enc)
+            out["ctc_mask"] = enc_mask
+        return out
 
 
 @register_model("nar_s2ut")
@@ -290,6 +302,7 @@ class NARS2UTModel(ModelHolder):
             dropout=cfg.get("dropout", 0.1),
             depthwise_kernel_size=cfg.get("depthwise_conv_kernel_size", 31),
             cg_prob=cfg.get("cg_prob", 0.0),
+            ctc_vocab=cfg.get("multitask_ctc_vocab", 0),
             dtype=jnp.dtype(cfg.get("dtype", "float32")),
         )
         return cls(module=module, cfg=cfg)

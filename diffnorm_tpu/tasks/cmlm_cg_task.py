@@ -1,0 +1,135 @@
+"""Text CMLM-CG task (reference "cmlm_cg", fairseq/tasks/cmlm_cg.py):
+classifier-free-guided CMLM applied to text machine translation. Reuses the
+NAR task's mask-injection policies over bitext pairs."""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List
+
+import jax
+import numpy as np
+
+from diffnorm_tpu.config import Config
+from diffnorm_tpu.data.dictionary import Dictionary
+from diffnorm_tpu.registry import register_task
+from diffnorm_tpu.tasks.nar_s2ut_task import NARS2UTTask, random_mask, side_mask
+
+PAD = 1
+
+
+class BitextDataset:
+    """Parallel text dataset from `{split}.{src}`/`{split}.{tgt}` line files
+    (simplified fairseq translation data path; no binarization required)."""
+
+    def __init__(self, src_seqs, tgt_seqs, seed: int = 1, is_train: bool = True):
+        self.src_seqs = src_seqs
+        self.tgt_seqs = tgt_seqs
+        self.shuffle = is_train
+        self.seed = seed
+        self._sizes = np.asarray([len(s) for s in src_seqs], np.int64)
+
+    def __len__(self):
+        return len(self.src_seqs)
+
+    def num_tokens(self, i):
+        return int(self._sizes[i])
+
+    @property
+    def sizes(self):
+        return self._sizes
+
+    def ordered_indices(self):
+        if self.shuffle:
+            order = np.random.default_rng(self.seed).permutation(len(self))
+        else:
+            order = np.arange(len(self))
+        return np.lexsort((order, -self._sizes))
+
+    def __getitem__(self, i):
+        return {"index": i, "src": self.src_seqs[i], "tgt": self.tgt_seqs[i]}
+
+    def collater(self, samples: List[Dict]) -> Dict:
+        s_lens = np.asarray([len(s["src"]) for s in samples], np.int32)
+        t_lens = np.asarray([len(s["tgt"]) for s in samples], np.int32)
+        src = np.full((len(samples), int(s_lens.max())), PAD, np.int32)
+        tgt = np.full((len(samples), int(t_lens.max())), PAD, np.int32)
+        for i, s in enumerate(samples):
+            src[i, : s_lens[i]] = s["src"]
+            tgt[i, : t_lens[i]] = s["tgt"]
+        return {
+            "id": np.asarray([s["index"] for s in samples], np.int64),
+            "src_tokens": src,
+            "src_lengths": s_lens,
+            "target": tgt,
+            "target_lengths": t_lens,
+            "ntokens": int(t_lens.sum()),
+            "nsentences": len(samples),
+        }
+
+    @classmethod
+    def from_files(cls, root, split, src_lang, tgt_lang, src_dict, tgt_dict,
+                   is_train=True, seed=1):
+        def read(path, d):
+            seqs = []
+            with open(path) as f:
+                for line in f:
+                    seqs.append(
+                        d.encode_line(line.strip(), append_eos=True,
+                                      add_if_not_exist=False).astype(np.int32)
+                    )
+            return seqs
+
+        return cls(
+            read(os.path.join(root, f"{split}.{src_lang}"), src_dict),
+            read(os.path.join(root, f"{split}.{tgt_lang}"), tgt_dict),
+            is_train=is_train, seed=seed,
+        )
+
+
+@register_task("cmlm_cg")
+class CMLMCGTask(NARS2UTTask):
+    def __init__(self, cfg: Config):
+        super().__init__(cfg)
+        src_dict_path = cfg.get("src_dict")
+        tgt_dict_path = cfg.get("tgt_dict_path")
+        self.src_dict = (
+            Dictionary.load(src_dict_path) if src_dict_path
+            else Dictionary.unit_dictionary(cfg.get("src_vocab_size", 1000) - 4)
+        )
+        if tgt_dict_path:
+            self.tgt_dict = Dictionary.load(tgt_dict_path)
+
+    def load_dataset(self, split: str, epoch: int = 1):
+        self.datasets[split] = BitextDataset.from_files(
+            self.cfg.get("data"), split,
+            self.cfg.get("source_lang", "src"), self.cfg.get("target_lang", "tgt"),
+            self.src_dict, self.tgt_dict,
+            is_train=split.startswith("train"),
+        )
+
+    def dummy_batch(self, batch_size: int = 2, seq_len: int = 16) -> Dict:
+        rng = np.random.default_rng(0)
+        src = rng.integers(4, len(self.src_dict),
+                           size=(batch_size, seq_len)).astype(np.int32)
+        tgt = rng.integers(4, len(self.tgt_dict),
+                           size=(batch_size, seq_len)).astype(np.int32)
+        tgt[:, -1] = 2
+        batch = {
+            "src_tokens": src,
+            "src_lengths": np.full((batch_size,), seq_len, np.int32),
+            "target": tgt,
+        }
+        return self.prepare_batch(batch, rng)
+
+
+@register_task("dummy_cmlm_cg")
+class DummyCMLMCGTask(CMLMCGTask):
+    def load_dataset(self, split: str, epoch: int = 1):
+        from diffnorm_tpu.tasks.dummy import _SyntheticDataset
+
+        bsz = self.cfg.get("batch_size", 4)
+        seq = self.cfg.get("tokens_per_sample", 16)
+        self.datasets[split] = _SyntheticDataset(
+            lambda: self.dummy_batch(bsz, seq), self.cfg.get("dataset_size", 8)
+        )

@@ -50,3 +50,28 @@ class SpeechDiffusionDiscreteTask(SpeechDecoderTask):
         restored = load_checkpoint_params(ckpt)
         vae_params = restored.get("params", restored)
         return {"vae": vae_params}
+
+
+@register_task("speech_diffusion")
+class SpeechDiffusionTask(SpeechDiffusionDiscreteTask):
+    """Continuous latent diffusion (reference speech_diffusion_task.py):
+    same data/VAE composition, noise objective only (criterion
+    ddpm_latent_loss, arch diff_latent)."""
+
+
+@register_task("speech_diffusion_hubert")
+class SpeechDiffusionHubertTask(SpeechDiffusionDiscreteTask):
+    """Feature-space diffusion over raw mHuBERT features (reference
+    speech_diffusion_hubert_task.py): no VAE (arch diff_hubert), so nothing
+    is frozen."""
+
+    frozen_param_keys = ()
+
+    def load_frozen_params(self, frozen):
+        return frozen
+
+
+@register_task("hubert_vae")
+class HubertVAETask(SpeechDecoderTask):
+    """HuBERT-feature VAE without the unit LM objective (reference
+    hubert_vae_task.py + hubert_vae_loss)."""

@@ -1,0 +1,149 @@
+"""GAN trainer for vocoder fine-tuning (code-HiFi-GAN).
+
+Capability parity with the reference's vendored HiFi-GAN training loop
+(research/TranSpeech/hifigan/ + fairseq/tasks/code_hifigan.py
+"unit_to_speech"): alternating discriminator/generator updates with LSGAN
+losses, feature matching (x2), log-mel L1 (x45), and duration-predictor MSE
+when the generator carries one. Both steps are single jitted programs; the
+two AdamW optimizers follow HiFi-GAN's (0.8, 0.99) betas.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from diffnorm_tpu.models.hifigan_disc import (
+    MultiPeriodDiscriminator,
+    MultiScaleDiscriminator,
+    discriminator_loss,
+    feature_matching_loss,
+    generator_adv_loss,
+)
+from diffnorm_tpu.ops.mel import mel_spectrogram
+
+
+class GanTrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    g_params: Any
+    d_params: Any
+    g_opt: Any
+    d_opt: Any
+
+
+class GanTrainer:
+    def __init__(self, generator_module, cfg):
+        self.gen = generator_module
+        self.mpd = MultiPeriodDiscriminator()
+        self.msd = MultiScaleDiscriminator()
+        self.cfg = cfg
+        lr = cfg.get("lr", 2e-4)
+        betas = (cfg.get("adam_b1", 0.8), cfg.get("adam_b2", 0.99))
+        decay = cfg.get("lr_decay", 0.999)
+        sched = optax.exponential_decay(lr, cfg.get("decay_steps", 1000), decay)
+        self.g_tx = optax.adamw(sched, b1=betas[0], b2=betas[1])
+        self.d_tx = optax.adamw(sched, b1=betas[0], b2=betas[1])
+        self.mel_weight = cfg.get("mel_weight", 45.0)
+        self.fm_weight = cfg.get("fm_weight", 2.0)
+        self.dur_weight = cfg.get("dur_weight", 1.0)
+        self.mel_kw = dict(
+            n_fft=cfg.get("n_fft", 1024), hop=cfg.get("hop_size", 256),
+            win=cfg.get("win_size", 1024), num_mels=cfg.get("num_mels", 80),
+            sample_rate=cfg.get("sampling_rate", 16000),
+        )
+        self._d_step = jax.jit(self.d_step)
+        self._g_step = jax.jit(self.g_step)
+
+    # ------------------------------------------------------------- init ----
+    def init_state(self, rng, example_code, example_wav) -> GanTrainState:
+        r_g, r_mpd, r_msd = jax.random.split(rng, 3)
+
+        def init_all(m, c):
+            out = m(c)
+            if m.dur_predictor:
+                m.predict_durations(c)
+            return out
+
+        g_vars = self.gen.init(r_g, example_code, method=init_all)
+        fake = self.gen.apply(g_vars, example_code)
+        d_params = {
+            "mpd": self.mpd.init(r_mpd, example_wav, fake)["params"],
+            "msd": self.msd.init(r_msd, example_wav, fake)["params"],
+        }
+        return GanTrainState(
+            step=jnp.zeros((), jnp.int32),
+            g_params=g_vars["params"],
+            d_params=d_params,
+            g_opt=self.g_tx.init(g_vars["params"]),
+            d_opt=self.d_tx.init(d_params),
+        )
+
+    def _generate(self, g_params, code):
+        return self.gen.apply({"params": g_params}, code)
+
+    # ------------------------------------------------------------ d step ---
+    def d_step(self, state: GanTrainState, code, wav):
+        fake = jax.lax.stop_gradient(self._generate(state.g_params, code))
+        wav = wav[:, : fake.shape[1]]
+
+        def loss_fn(d_params):
+            mpd_outs = self.mpd.apply({"params": d_params["mpd"]}, wav, fake)
+            msd_outs = self.msd.apply({"params": d_params["msd"]}, wav, fake)
+            return discriminator_loss(mpd_outs) + discriminator_loss(msd_outs)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.d_params)
+        updates, new_opt = self.d_tx.update(grads, state.d_opt, state.d_params)
+        new_params = optax.apply_updates(state.d_params, updates)
+        return state.replace(d_params=new_params, d_opt=new_opt), loss
+
+    # ------------------------------------------------------------ g step ---
+    def g_step(self, state: GanTrainState, code, wav, durations=None):
+        def loss_fn(g_params):
+            fake = self._generate(g_params, code)
+            real = wav[:, : fake.shape[1]]
+            mpd_outs = self.mpd.apply({"params": state.d_params["mpd"]}, real, fake)
+            msd_outs = self.msd.apply({"params": state.d_params["msd"]}, real, fake)
+            adv = generator_adv_loss(mpd_outs) + generator_adv_loss(msd_outs)
+            fm = feature_matching_loss(mpd_outs) + feature_matching_loss(msd_outs)
+            mel_r = mel_spectrogram(real, **self.mel_kw)
+            mel_f = mel_spectrogram(fake, **self.mel_kw)
+            mel = jnp.mean(jnp.abs(mel_r - mel_f))
+            loss = adv + self.fm_weight * fm + self.mel_weight * mel
+            aux = {"adv": adv, "fm": fm, "mel": mel}
+            if durations is not None and self.gen.dur_predictor:
+                from diffnorm_tpu.models.hifigan import CodeGenerator
+
+                log_dur = self.gen.apply(
+                    {"params": g_params}, code,
+                    method=CodeGenerator.log_durations,
+                )
+                dur_tgt = jnp.log(durations.astype(jnp.float32) + 1.0)
+                dur_mse = jnp.mean((log_dur - dur_tgt) ** 2)
+                loss = loss + self.dur_weight * dur_mse
+                aux["dur_mse"] = dur_mse
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.g_params
+        )
+        updates, new_opt = self.g_tx.update(grads, state.g_opt, state.g_params)
+        new_params = optax.apply_updates(state.g_params, updates)
+        new_state = state.replace(
+            step=state.step + 1, g_params=new_params, g_opt=new_opt
+        )
+        return new_state, loss, aux
+
+    # ------------------------------------------------------------ public ---
+    def train_step(self, state: GanTrainState, batch) -> Tuple[GanTrainState, Dict]:
+        code = batch["code"]
+        wav = batch["wav"]
+        state, d_loss = self._d_step(state, code, wav)
+        state, g_loss, aux = self._g_step(state, code, wav,
+                                          batch.get("durations"))
+        mets = {"loss_d": float(d_loss), "loss_g": float(g_loss)}
+        mets.update({k: float(v) for k, v in aux.items()})
+        return state, mets

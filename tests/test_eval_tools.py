@@ -1,0 +1,101 @@
+"""Eval tooling: unit-BLEU parsing, BLEU accumulator, MCD, indexed datasets,
+preprocess CLI, score CLI."""
+
+import os
+
+import numpy as np
+import pytest
+
+from diffnorm_tpu.data.dictionary import Dictionary
+from diffnorm_tpu.data.indexed_dataset import (
+    IndexedDataset,
+    IndexedDatasetBuilder,
+    binarize_file,
+)
+from diffnorm_tpu.eval.bleu import BleuAccumulator, corpus_bleu
+from diffnorm_tpu.eval.mcd import mel_cepstral_distortion
+from diffnorm_tpu.eval.unit_bleu import extract_unit_files, unit_bleu
+
+
+def test_bleu_accumulator_sanity():
+    acc = BleuAccumulator()
+    acc.add("1 2 3 4 5".split(), "1 2 3 4 5".split())
+    assert acc.score() == pytest.approx(100.0, abs=0.01)
+    acc2 = BleuAccumulator()
+    acc2.add("1 2 3 4 5".split(), "9 9 9 9 9".split())
+    assert acc2.score() == 0.0
+
+
+def test_corpus_bleu_against_sacrebleu():
+    sacrebleu = pytest.importorskip("sacrebleu")
+    refs = ["5 6 7 8 9 10", "1 2 3 4 5 6 7"]
+    hyps = ["5 6 7 8 9 10", "1 2 3 9 5 6 7"]
+    ours = BleuAccumulator()
+    for r, h in zip(refs, hyps):
+        ours.add(r.split(), h.split())
+    theirs = sacrebleu.corpus_bleu(
+        hyps, [refs], tokenize="none", smooth_method="none"
+    ).score
+    assert ours.score() == pytest.approx(theirs, abs=0.5)
+
+
+def test_unit_bleu_roundtrip(tmp_path):
+    gen = tmp_path / "generate-test.txt"
+    gen.write_text(
+        "T-0\t5 6 7 8 9\nH-0\t-0.5\t5 6 7 8 9\nD-0\t-0.5\t5 6 7 8 9\n"
+        "T-1\t8 9 10 11\nH-1\t-0.7\t8 9 10 11\nD-1\t-0.7\t8 9 10 11\n"
+    )
+    hyp, ref = extract_unit_files(str(gen), str(tmp_path))
+    assert os.path.exists(hyp) and os.path.exists(ref)
+    assert unit_bleu(str(gen)) == pytest.approx(100.0, abs=0.1)
+
+
+def test_mcd_identical_is_zero():
+    rng = np.random.default_rng(0)
+    wav = rng.normal(size=8000).astype(np.float32)
+    assert mel_cepstral_distortion(wav, wav) == pytest.approx(0.0, abs=1e-4)
+    wav2 = rng.normal(size=8000).astype(np.float32)
+    assert mel_cepstral_distortion(wav, wav2) > 1.0
+
+
+def test_indexed_dataset_roundtrip(tmp_path):
+    prefix = str(tmp_path / "data")
+    b = IndexedDatasetBuilder(prefix)
+    seqs = [np.array([4, 5, 6], np.int32), np.array([7], np.int32),
+            np.array([8, 9], np.int32)]
+    for s in seqs:
+        b.add_item(s)
+    b.finalize()
+    ds = IndexedDataset(prefix)
+    assert len(ds) == 3
+    for i, s in enumerate(seqs):
+        np.testing.assert_array_equal(ds[i], s)
+        assert ds.num_tokens(i) == len(s)
+
+
+def test_preprocess_cli(tmp_path):
+    (tmp_path / "train.src").write_text("a b c\nb c d\n")
+    (tmp_path / "train.tgt").write_text("x y\ny z\n")
+    from diffnorm_tpu.cli.preprocess import main
+
+    dest = str(tmp_path / "bin")
+    main([
+        "--source-lang", "src", "--target-lang", "tgt",
+        "--trainpref", str(tmp_path / "train"), "--destdir", dest,
+    ])
+    d = Dictionary.load(os.path.join(dest, "dict.src.txt"))
+    assert d.index("b") >= 4  # most frequent source word after specials
+    ds = IndexedDataset(os.path.join(dest, "train.src-tgt.src"))
+    assert len(ds) == 2
+    # eos appended
+    assert ds[0][-1] == d.eos()
+
+
+def test_score_cli(tmp_path, capsys):
+    (tmp_path / "hyp.txt").write_text("5 6 7 8\n8 9 10 11\n")
+    (tmp_path / "ref.txt").write_text("5 6 7 8\n8 9 10 11\n")
+    from diffnorm_tpu.cli.score import main
+
+    main(["--sys", str(tmp_path / "hyp.txt"), "--ref", str(tmp_path / "ref.txt")])
+    out = capsys.readouterr().out
+    assert "BLEU4 = 100.00" in out

@@ -1,0 +1,70 @@
+"""Vocoder GAN training: discriminator shapes, losses, one d+g step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffnorm_tpu.config import Config
+from diffnorm_tpu.models.hifigan import CodeGenerator
+from diffnorm_tpu.models.hifigan_disc import (
+    MultiPeriodDiscriminator,
+    MultiScaleDiscriminator,
+    discriminator_loss,
+    generator_adv_loss,
+)
+from diffnorm_tpu.ops.mel import mel_spectrogram
+from diffnorm_tpu.train.gan_trainer import GanTrainer
+
+
+def test_mel_shapes_and_grad():
+    wav = jnp.asarray(np.random.default_rng(0).normal(size=(2, 2048)), jnp.float32)
+    mel = mel_spectrogram(wav, n_fft=512, hop=128, win=512, num_mels=20)
+    assert mel.shape[0] == 2 and mel.shape[2] == 20
+    g = jax.grad(lambda w: jnp.sum(mel_spectrogram(w, n_fft=512, hop=128,
+                                                   win=512, num_mels=20)))(wav)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_discriminators():
+    rng = jax.random.PRNGKey(0)
+    real = jnp.asarray(np.random.default_rng(0).normal(size=(2, 1024)), jnp.float32)
+    fake = real + 0.1
+    mpd = MultiPeriodDiscriminator(periods=(2, 3))
+    vars_mpd = mpd.init(rng, real, fake)
+    outs = mpd.apply(vars_mpd, real, fake)
+    assert len(outs) == 2
+    d_loss = discriminator_loss(outs)
+    g_loss = generator_adv_loss(outs)
+    assert np.isfinite(float(d_loss)) and np.isfinite(float(g_loss))
+
+    msd = MultiScaleDiscriminator(scales=2)
+    outs2 = msd.apply(msd.init(rng, real, fake), real, fake)
+    assert len(outs2) == 2
+
+
+def test_gan_train_step():
+    gen = CodeGenerator(
+        num_embeddings=10, embedding_dim=8,
+        upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 2),), dur_predictor=True,
+    )
+    cfg = Config(lr=1e-4, n_fft=64, hop_size=32, win_size=64, num_mels=20)
+    trainer = GanTrainer(gen, cfg)
+    rng = np.random.default_rng(0)
+    code = jnp.asarray(rng.integers(0, 10, size=(2, 16)), jnp.int32)
+    wav = jnp.asarray(rng.normal(size=(2, 16 * 8)) * 0.1, jnp.float32)
+    state = trainer.init_state(jax.random.PRNGKey(0), code, wav)
+    durations = jnp.ones((2, 16), jnp.int32)
+    state, mets = trainer.train_step(
+        state, {"code": code, "wav": wav, "durations": durations}
+    )
+    for k in ("loss_d", "loss_g", "mel", "adv", "fm", "dur_mse"):
+        assert np.isfinite(mets[k]), (k, mets)
+    assert int(state.step) == 1
+    # a second step must reuse the jitted programs and still be finite
+    state, mets2 = trainer.train_step(
+        state, {"code": code, "wav": wav, "durations": durations}
+    )
+    assert np.isfinite(mets2["loss_g"])

@@ -1,0 +1,99 @@
+"""Secondary model families: continuous diffusion, hubert-VAE, feature-space
+diffusion, text CMLM-CG, multitask CTC head."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffnorm_tpu.config import Config
+from diffnorm_tpu.registry import TASKS
+
+
+def test_hubert_vae_loss_excludes_ce():
+    cfg = Config(
+        arch="speech_vae_decoder", criterion="hubert_vae_loss",
+        feature_dim=24, latent_dim=3, chan_mults=[4], vae_decoder_depth=1,
+        vae_decoder_dim_head=8, vae_decoder_heads=2, target_code_size=16,
+    )
+    task = TASKS.get("hubert_vae").setup_task(cfg)
+    model = task.build_model()
+    crit = task.build_criterion()
+    from diffnorm_tpu.tasks.dummy import DummyVAETask
+
+    batch = DummyVAETask(cfg).dummy_batch(2, 8)
+    variables = task.init_variables(model, jax.random.PRNGKey(0), batch)
+    loss, mets, _ = crit(model, variables, batch, jax.random.PRNGKey(1),
+                         train=False)
+    # 10*mse + 1e-4*kl, no CE contribution
+    expected = 10 * float(mets["mse_loss"]) + 1e-4 * float(mets["kl_loss"])
+    np.testing.assert_allclose(float(loss), expected, rtol=1e-5)
+
+
+def test_feature_space_diffusion_no_vae():
+    cfg = Config(
+        arch="diff_hubert", criterion="ddpm_latent_loss",
+        hidden_dim=16, feature_dim=24, denoiser_depth=1, wavenet_layers=2,
+        wavenet_stacks=1, timesteps=10, target_code_size=16,
+    )
+    cfg["latent_dim"] = 24  # feature-space: latent == feature dim
+    task = TASKS.get("speech_diffusion_hubert").setup_task(cfg)
+    model = task.build_model()
+    crit = task.build_criterion()
+    assert task.frozen_param_keys == ()
+    from diffnorm_tpu.tasks.dummy import DummyVAETask
+
+    batch = DummyVAETask(Config(feature_dim=24, target_code_size=16)).dummy_batch(2, 8)
+    variables = task.init_variables(model, jax.random.PRNGKey(0), batch)
+    assert "vae" not in variables["params"]
+    loss, mets, _ = crit(model, variables, batch, jax.random.PRNGKey(1),
+                         train=False)
+    assert np.isfinite(float(loss))
+
+
+def test_text_cmlm_cg_forward_and_decode():
+    cfg = Config(
+        arch="cmlm_transformer", criterion="nar_speech_to_unit",
+        encoder_embed_dim=32, encoder_ffn_embed_dim=64, encoder_layers=1,
+        decoder_layers=1, encoder_attention_heads=2, target_code_size=20,
+        src_vocab_size=24, cg_prob=0.1, label_smoothing=0.1,
+    )
+    task = TASKS.get("dummy_cmlm_cg").setup_task(cfg)
+    model = task.build_model()
+    crit = task.build_criterion()
+    batch = task.dummy_batch(2, 10)
+    variables = task.init_variables(model, jax.random.PRNGKey(0), batch)
+    loss, mets, _ = crit(model, variables, batch, jax.random.PRNGKey(1),
+                         train=True)
+    assert np.isfinite(float(loss))
+    # mask-predict decoding works on the text model too (CG path included)
+    from diffnorm_tpu.generate.mask_predict import mask_predict_decode
+
+    tokens, scores, steps = mask_predict_decode(
+        model, variables, batch["src_tokens"], batch["src_lengths"],
+        max_iter=1, max_len=16, cond_scale=1.5,
+    )
+    assert np.asarray(tokens).shape == (2, 16)
+
+
+def test_nar_multitask_ctc():
+    cfg = Config(
+        arch="nar_s2ut_conformer", criterion="nar_speech_to_unit",
+        encoder_layers=1, decoder_layers=1, encoder_embed_dim=32,
+        encoder_ffn_embed_dim=64, encoder_attention_heads=2,
+        decoder_attention_heads=2, decoder_embed_dim=32,
+        decoder_ffn_embed_dim=64, conv_channels=32,
+        depthwise_conv_kernel_size=7, target_code_size=20,
+        label_smoothing=0.2, multitask_ctc_vocab=12,
+    )
+    task = TASKS.get("dummy_nar").setup_task(cfg)
+    model = task.build_model()
+    crit = task.build_criterion()
+    batch = task.dummy_batch(2, 48)
+    # aux CTC targets (e.g. source phonemes), pad=1, blank=0
+    batch["ctc_target"] = np.asarray([[5, 6, 7, 1], [4, 5, 1, 1]], np.int32)
+    variables = task.init_variables(model, jax.random.PRNGKey(0), batch)
+    loss, mets, _ = crit(model, variables, batch, jax.random.PRNGKey(1),
+                         train=True)
+    assert np.isfinite(float(loss))
+    assert "ctc_loss" in mets and np.isfinite(float(mets["ctc_loss"]))

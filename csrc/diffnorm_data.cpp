@@ -140,6 +140,65 @@ void edit_distance_batch(const int* refs, const int* hyps, long b, long rlen,
 }
 
 // ---------------------------------------------------------------------------
+// Levenshtein edit-path supervision (reference: fairseq/clib/libnat
+// suggested_ed2_path): for each (prev, tgt) pair, LCS-align and emit
+//   del_tgt  [b, plen]   1 where prev[i] should be deleted
+//   ins_tgt  [b, plen+1] number of tgt tokens to insert before kept prev[i]
+// prev/tgt padded with `pad`.
+// ---------------------------------------------------------------------------
+void edit_path_batch(const int* prevs, const int* tgts, long b, long plen,
+                     long tlen, int pad, int* del_tgt, int* ins_tgt) {
+  std::vector<long> dp;
+  for (long s = 0; s < b; ++s) {
+    const int* p = prevs + s * plen;
+    const int* t = tgts + s * tlen;
+    long pn = 0, tn = 0;
+    while (pn < plen && p[pn] != pad) ++pn;
+    while (tn < tlen && t[tn] != pad) ++tn;
+    // LCS DP
+    dp.assign((pn + 1) * (tn + 1), 0);
+    auto at = [&](long i, long j) -> long& { return dp[i * (tn + 1) + j]; };
+    for (long i = 1; i <= pn; ++i)
+      for (long j = 1; j <= tn; ++j)
+        at(i, j) = (p[i - 1] == t[j - 1])
+                       ? at(i - 1, j - 1) + 1
+                       : std::max(at(i - 1, j), at(i, j - 1));
+    // backtrack: matched prev positions keep, unmatched delete; tgt tokens
+    // between matches become insertions at the preceding slot
+    int* del_row = del_tgt + s * plen;
+    int* ins_row = ins_tgt + s * (plen + 1);
+    for (long i = 0; i < plen; ++i) del_row[i] = 0;
+    for (long i = 0; i <= plen; ++i) ins_row[i] = 0;
+    long i = pn, j = tn;
+    std::vector<long> kept;  // matched prev indices (reversed)
+    std::vector<long> match_t(pn, -1);
+    while (i > 0 && j > 0) {
+      if (p[i - 1] == t[j - 1] && at(i, j) == at(i - 1, j - 1) + 1) {
+        match_t[i - 1] = j - 1;
+        --i; --j;
+      } else if (at(i - 1, j) >= at(i, j - 1)) {
+        del_row[i - 1] = 1;
+        --i;
+      } else {
+        --j;
+      }
+    }
+    while (i > 0) { del_row[i - 1] = 1; --i; }
+    // insertion counts: walk tgt, count unmatched tgt tokens per slot.
+    // slot k (0..#kept) = before the k-th kept prev token (after deletions)
+    long slot = 0, tj = 0;
+    for (long pi = 0; pi < pn; ++pi) {
+      if (del_row[pi]) continue;
+      long mt = match_t[pi];
+      ins_row[slot] = (int)(mt - tj);
+      tj = mt + 1;
+      ++slot;
+    }
+    ins_row[slot] = (int)(tn - tj);
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Token-block slicing (LM datasets): given per-document sizes, produce
 // [start_doc, start_off, end_doc, end_off] slices of `block_size` tokens
 // ("none" mode: contiguous blocks across document boundaries).
@@ -170,6 +229,38 @@ long token_block_slices(const long* sizes, long n_docs, long block_size,
     slices[4 * blk + 3] = off;
   }
   return n_blocks;
+}
+
+// ---------------------------------------------------------------------------
+// Monotonic alignment (reference: examples/operators/alignment_train_*.cpp/.cu
+// used by simultaneous-MT / duration training): best monotonic path through a
+// [tx, ty] log-probability matrix (every source step advances 0 or 1 target
+// steps; all targets covered). Returns per-source target indices.
+// ---------------------------------------------------------------------------
+void best_monotonic_alignment(const float* logp, long tx, long ty,
+                              long* path) {
+  std::vector<float> prev(ty, -1e30f), cur(ty);
+  std::vector<unsigned char> back(tx * ty, 0);
+  prev[0] = logp[0];
+  for (long i = 1; i < tx; ++i) {
+    const float* row = logp + i * ty;
+    for (long j = 0; j < ty; ++j) {
+      float stay = prev[j];
+      float step = (j > 0) ? prev[j - 1] : -1e30f;
+      if (step > stay) {
+        cur[j] = step + row[j];
+        back[i * ty + j] = 1;
+      } else {
+        cur[j] = stay + row[j];
+      }
+    }
+    std::swap(prev, cur);
+  }
+  long j = ty - 1;
+  for (long i = tx - 1; i >= 0; --i) {
+    path[i] = j;
+    if (back[i * ty + j] && j > 0) --j;
+  }
 }
 
 }  // extern "C"

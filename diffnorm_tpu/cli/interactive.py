@@ -1,0 +1,82 @@
+"""Interactive generation CLI (reference: fairseq_cli/interactive.py).
+
+Reads inputs from stdin (text token lines for cmlm_cg/text models, audio
+file paths or .npy feature paths for the speech tasks), decodes with the
+task-appropriate generator, prints H- lines.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+from typing import Optional
+
+import jax
+import numpy as np
+
+from diffnorm_tpu.cli.args import parse_args
+from diffnorm_tpu.config import Config
+from diffnorm_tpu.registry import TASKS, _import_all
+from diffnorm_tpu.train.checkpoint import load_checkpoint_params
+
+logger = logging.getLogger("diffnorm_tpu.interactive")
+
+
+def main(cfg: Optional[Config] = None) -> int:
+    logging.basicConfig(level=logging.INFO, force=True)
+    _import_all()
+    if cfg is None:
+        cfg = parse_args()
+    if cfg.get("cpu"):
+        jax.config.update("jax_platforms", "cpu")
+
+    task = TASKS.get(cfg.get("task")).setup_task(cfg)
+    model = task.build_model()
+    batch0 = task.dummy_batch()
+    variables = task.init_variables(model, jax.random.PRNGKey(0), batch0)
+    if cfg.get("path"):
+        restored = load_checkpoint_params(cfg["path"])
+        if "params" in restored and "frozen_params" in restored:
+            variables = {"params": {**restored["params"],
+                                    **restored["frozen_params"]},
+                         **(restored.get("model_state") or {})}
+        elif "params" in restored:
+            variables = restored
+        logger.info("restored %s", cfg["path"])
+
+    is_speech = cfg.get("task") not in ("cmlm_cg", "dummy_cmlm_cg")
+    tgt_dict = task.target_dictionary
+    max_iter = cfg.get("iter_decode_max_iter", 15)
+
+    from diffnorm_tpu.generate.mask_predict import mask_predict_decode
+
+    print("| enter input (text tokens, or audio/.npy path); ctrl-d to quit",
+          file=sys.stderr)
+    for i, line in enumerate(sys.stdin):
+        line = line.strip()
+        if not line:
+            continue
+        if is_speech:
+            from diffnorm_tpu.data.audio import get_features_or_waveform
+
+            feat = np.asarray(get_features_or_waveform(line), np.float32)
+            src = feat[None]
+            src_lengths = np.asarray([feat.shape[0]], np.int32)
+        else:
+            enc = task.src_dict.encode_line(line, append_eos=True)
+            src = enc[None].astype(np.int32)
+            src_lengths = np.asarray([len(enc)], np.int32)
+        tokens, scores, _ = mask_predict_decode(
+            model, variables, src, src_lengths, max_iter=max_iter,
+            max_len=cfg.get("max_target_positions", 256),
+            cond_scale=cfg.get("cond_scale", 1.0),
+        )
+        toks = [int(t) for t in np.asarray(tokens)[0] if int(t) not in (1, 2)]
+        hyp = " ".join(tgt_dict[t] for t in toks)
+        print(f"H-{i}\t{hyp}")
+        sys.stdout.flush()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

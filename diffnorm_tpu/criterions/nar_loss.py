@@ -49,8 +49,8 @@ class NARSpeechToUnitLoss:
         tgt = batch["target"]
 
         if train:
-            r_drop, r_cg = jax.random.split(rng)
-            rngs = {"dropout": r_drop, "cg": r_cg}
+            r_drop, r_cg, r_sp = jax.random.split(rng, 3)
+            rngs = {"dropout": r_drop, "cg": r_cg, "sp": r_sp}
             out, mutated = model.apply(
                 variables,
                 src,

@@ -197,6 +197,11 @@ class NARS2UTModule(nn.Module):
     # S2STransformerMultitaskModelBase.build_multitask_decoder with
     # decoder_type="ctc": a linear CTC projection; nar_transformer.py:500-525)
     ctc_vocab: int = 0
+    # self-prompting (reference sp_forward, nar_transformer.py:188-299,
+    # arXiv 2305.04044): with prob 0.5 per step, draft y0 with the current
+    # model (no-grad, specials banned), prefix the encoder feature sequence
+    # with embed(y0), and train on the prompted context
+    use_sp: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -269,6 +274,27 @@ class NARS2UTModule(nn.Module):
             )
             enc, enc_mask = self.apply_cg_drop(enc, enc_mask, drop)
 
+        if self.use_sp and not deterministic:
+            # draft y0 without gradients, ban specials (sp_forward :229-237)
+            draft_logits = jax.lax.stop_gradient(
+                self.decoder(prev_tokens, enc, enc_mask, deterministic=True)
+            )
+            neg = jnp.finfo(jnp.float32).min
+            draft_logits = draft_logits.astype(jnp.float32).at[..., :4].set(neg)
+            keep = (prev_tokens == PAD) | (prev_tokens == EOS)
+            y0 = jnp.where(
+                keep, prev_tokens, jnp.argmax(draft_logits, -1).astype(jnp.int32)
+            )
+            prompt = jax.lax.stop_gradient(self.decoder.embed_tokens(y0))
+            prompt_mask = y0 != PAD
+            sp_enc = jnp.concatenate([prompt.astype(enc.dtype), enc], axis=1)
+            sp_mask = jnp.concatenate([prompt_mask, enc_mask], axis=1)
+            use_prompt = jax.random.bernoulli(self.make_rng("sp"), 0.5)
+            pad_enc = jnp.pad(enc, ((0, 0), (0, prompt.shape[1]), (0, 0)))
+            pad_mask = jnp.pad(enc_mask, ((0, 0), (0, prompt.shape[1])))
+            enc = jnp.where(use_prompt, sp_enc, pad_enc)
+            enc_mask = jnp.where(use_prompt, sp_mask, pad_mask)
+
         logits = self.decoder(prev_tokens, enc, enc_mask, deterministic=deterministic)
         out = dict(
             logits=logits,
@@ -303,6 +329,7 @@ class NARS2UTModel(ModelHolder):
             depthwise_kernel_size=cfg.get("depthwise_conv_kernel_size", 31),
             cg_prob=cfg.get("cg_prob", 0.0),
             ctc_vocab=cfg.get("multitask_ctc_vocab", 0),
+            use_sp=cfg.get("use_sp", False),
             dtype=jnp.dtype(cfg.get("dtype", "float32")),
         )
         return cls(module=module, cfg=cfg)

@@ -41,6 +41,20 @@ def masked_attention(
     Returns [B, H, Tq, D] in q.dtype.
     """
     orig_dtype = q.dtype
+    # long sequences: route to the Pallas flash kernel (no score matrix in
+    # HBM); only for the plain masked case — bias/causal/dropout stay on the
+    # fused-XLA path
+    if (
+        k.shape[-2] >= _PALLAS_MIN_LEN
+        and bias is None
+        and not causal
+        and (dropout == 0.0 or dropout_rng is None)
+        and jax.devices()[0].platform == "tpu"
+    ):
+        from diffnorm_tpu.ops.pallas_attention import flash_attention
+
+        return flash_attention(q, k, v, mask=mask)
+
     scale = q.shape[-1] ** -0.5
     sim = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     sim = sim * scale

@@ -6,5 +6,6 @@ from diffnorm_tpu.tasks import nar_s2ut_task  # noqa: F401
 from diffnorm_tpu.tasks import ar_s2ut_task  # noqa: F401
 from diffnorm_tpu.tasks import sedd_task  # noqa: F401
 from diffnorm_tpu.tasks import cmlm_cg_task  # noqa: F401
+from diffnorm_tpu.tasks import levenshtein_task  # noqa: F401
 from diffnorm_tpu.tasks import dummy  # noqa: F401
 from diffnorm_tpu.tasks.base import Task  # noqa: F401

@@ -94,7 +94,16 @@ def build_optimizer(cfg, lr_schedule, clip_norm: float = 0.0):
     if cfg.get("loss_scale"):  # fp16-parity static loss scaling
         scale = float(cfg["loss_scale"])
         chain.insert(0, optax.scale(1.0 / scale))
-    return optax.chain(*chain)
+    base = optax.chain(*chain)
+    if cfg.get("use_bmuf") or cfg.get("ddp_backend") == "slowmo":
+        base = bmuf(
+            base,
+            sync_freq=cfg.get("global_sync_iter", 50),
+            block_momentum=cfg.get("block_momentum", 0.875),
+            block_lr=cfg.get("block_lr", 1.0),
+            use_nesterov=cfg.get("use_nbm", True),
+        )
+    return base
 
 
 # ----------------------------------------------------------- ZeRO-2 -------
@@ -121,6 +130,74 @@ def shard_optimizer_state(opt_state, mesh, params_shardings=None):
         return jax.device_put(x, NamedSharding(mesh, P()))
 
     return jax.tree_util.tree_map(put, opt_state)
+
+
+# ----------------------------------------------------------- BMUF ---------
+
+def bmuf(base_tx, sync_freq: int = 50, block_momentum: float = 0.875,
+         block_lr: float = 1.0, use_nesterov: bool = True):
+    """Block-momentum model update filtering (reference fairseq/optim/bmuf.py
+    / --ddp-backend slowmo).
+
+    Wraps a base optax transform; every `sync_freq` steps the accumulated
+    block delta (params - last global snapshot) passes through a momentum
+    filter and the parameters snap to the filtered global model. Under SPMD
+    data-parallel the replicas are bit-identical so no collective is needed
+    (the psum already happened on the gradients); the state machine matches
+    the reference for multi-worker async setups.
+    """
+
+    def init(params):
+        return {
+            "base": base_tx.init(params),
+            "step": jnp.zeros((), jnp.int32),
+            "global": jax.tree_util.tree_map(jnp.copy, params),
+            "smoothed": jax.tree_util.tree_map(jnp.zeros_like, params),
+        }
+
+    def update(grads, state, params=None):
+        updates, new_base = base_tx.update(grads, state["base"], params)
+        step = state["step"] + 1
+        do_sync = (step % sync_freq) == 0
+
+        prelim = optax.apply_updates(params, updates)
+
+        def synced():
+            grad_blk = jax.tree_util.tree_map(
+                lambda g, p: g - p, state["global"], prelim
+            )  # global - params (descent direction of the block)
+            smoothed = jax.tree_util.tree_map(
+                lambda m, g: block_momentum * m + block_lr
+                * (1.0 - block_momentum) * (-g),
+                state["smoothed"], grad_blk,
+            )
+            new_global = jax.tree_util.tree_map(
+                lambda gl, m: gl + m, state["global"], smoothed
+            )
+            if use_nesterov:
+                new_params = jax.tree_util.tree_map(
+                    lambda gl, m: gl + block_momentum * m, new_global, smoothed
+                )
+            else:
+                new_params = new_global
+            return new_params, new_global, smoothed
+
+        def not_synced():
+            return prelim, state["global"], state["smoothed"]
+
+        new_params, new_global, new_smoothed = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(do_sync, a, b), synced(), not_synced()
+        )
+        # express the result as an additive update (optax contract)
+        final_updates = jax.tree_util.tree_map(
+            lambda np_, p: np_ - p, new_params, params
+        )
+        return final_updates, {
+            "base": new_base, "step": step,
+            "global": new_global, "smoothed": new_smoothed,
+        }
+
+    return optax.GradientTransformation(init, update)
 
 
 # ----------------------------------------------------------- EMA ----------

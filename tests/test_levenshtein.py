@@ -1,0 +1,94 @@
+"""Levenshtein transformer: edit-path supervision (native + numpy), training
+forward, host decode loop."""
+
+import jax
+import numpy as np
+import pytest
+
+from diffnorm_tpu.config import Config
+from diffnorm_tpu.models.levenshtein import (
+    edit_path_targets,
+    levenshtein_decode,
+)
+from diffnorm_tpu.registry import TASKS
+
+PAD, BOS, EOS, UNK = 1, 0, 2, 3
+
+
+def test_edit_path_subsequence():
+    # prev is a subsequence of tgt: no deletions, pure insertions
+    prev = np.array([[5, 7, PAD]], np.int32)
+    tgt = np.array([[5, 6, 7, 8]], np.int32)
+    del_tgt, ins_tgt = edit_path_targets(prev, tgt)
+    np.testing.assert_array_equal(del_tgt[0], [0, 0, 0])
+    # slots: before 5 -> 0 insertions, before 7 -> 1 (the 6), after 7 -> 1 (8)
+    np.testing.assert_array_equal(ins_tgt[0, :3], [0, 1, 1])
+
+
+def test_edit_path_with_deletions():
+    prev = np.array([[5, 9, 7]], np.int32)
+    tgt = np.array([[5, 7, PAD]], np.int32)
+    del_tgt, ins_tgt = edit_path_targets(prev, tgt)
+    np.testing.assert_array_equal(del_tgt[0], [0, 1, 0])
+    assert ins_tgt[0].sum() == 0
+
+
+def test_edit_path_native_matches_numpy():
+    from diffnorm_tpu.data.batching import _load_native
+
+    if not _load_native():
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(0)
+    prev = rng.integers(4, 10, size=(4, 8)).astype(np.int32)
+    tgt = rng.integers(4, 10, size=(4, 10)).astype(np.int32)
+    prev[:, 6:] = PAD
+    tgt[:, 7:] = PAD
+    d1, i1 = edit_path_targets(prev, tgt)
+    # force the numpy fallback by monkeypatching
+    import diffnorm_tpu.models.levenshtein as lev
+    import diffnorm_tpu.data.batching as batching
+
+    orig = batching._LIB
+    try:
+        batching._LIB = False
+        d2, i2 = edit_path_targets(prev, tgt)
+    finally:
+        batching._LIB = orig
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(i1, i2)
+
+
+@pytest.fixture(scope="module")
+def built():
+    cfg = Config(
+        arch="levenshtein_transformer", criterion="levenshtein_loss",
+        encoder_embed_dim=32, encoder_ffn_embed_dim=64, encoder_layers=1,
+        decoder_layers=1, encoder_attention_heads=2, target_code_size=20,
+        src_vocab_size=24, label_smoothing=0.1,
+    )
+    task = TASKS.get("dummy_lev").setup_task(cfg)
+    model = task.build_model()
+    crit = task.build_criterion()
+    batch = task.dummy_batch(2, 10)
+    variables = task.init_variables(model, jax.random.PRNGKey(0), batch)
+    return task, model, crit, batch, variables
+
+
+def test_levenshtein_training(built):
+    task, model, crit, batch, variables = built
+    loss, mets, _ = crit(model, variables, batch, jax.random.PRNGKey(1),
+                         train=True)
+    assert np.isfinite(float(loss))
+    for k in ("del_loss", "ins_loss", "word_loss"):
+        assert np.isfinite(float(mets[k])), k
+
+
+def test_levenshtein_decode(built):
+    task, model, crit, batch, variables = built
+    out = levenshtein_decode(
+        model, variables, batch["src_tokens"], batch["src_lengths"],
+        max_iter=2, max_len=16,
+    )
+    assert out.shape[0] == 2
+    assert (out[:, 0] == BOS).all()
+    assert not (out == UNK).any()  # all placeholders filled

@@ -1,0 +1,77 @@
+"""Pallas flash attention (interpret mode on CPU) + lightconv/dynamicconv."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffnorm_tpu.ops.attention import masked_attention
+from diffnorm_tpu.ops.lightconv import dynamicconv, lightconv
+from diffnorm_tpu.ops.pallas_attention import flash_attention
+
+
+def test_flash_attention_matches_reference():
+    rng = np.random.default_rng(0)
+    b, h, tq, tk, d = 2, 2, 64, 96, 32
+    q = jnp.asarray(rng.normal(size=(b, h, tq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, tk, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, tk, d)), jnp.float32)
+    mask = jnp.asarray(rng.random((b, tk)) > 0.3)
+
+    ref = masked_attention(q, k, v, mask=mask)
+    out = flash_attention(q, k, v, mask=mask, block_q=32, block_k=32,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_flash_attention_fully_masked_rows_are_finite():
+    q = jnp.ones((1, 1, 8, 16), jnp.float32)
+    k = jnp.ones((1, 1, 8, 16), jnp.float32)
+    v = jnp.ones((1, 1, 8, 16), jnp.float32)
+    mask = jnp.zeros((1, 8), bool)  # everything masked
+    out = flash_attention(q, k, v, mask=mask, block_q=8, block_k=8,
+                          interpret=True)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def _naive_lightconv(x, w, causal):
+    b, t, c = x.shape
+    h, k = w.shape
+    wn = np.exp(w - w.max(-1, keepdims=True))
+    wn = wn / wn.sum(-1, keepdims=True)
+    out = np.zeros_like(x)
+    base = -(k - 1) if causal else -(k // 2)
+    for bi in range(b):
+        for ti in range(t):
+            for ci in range(c):
+                head = ci // (c // h)
+                for ki in range(k):
+                    src = ti + base + ki
+                    if 0 <= src < t:
+                        out[bi, ti, ci] += wn[head, ki] * x[bi, src, ci]
+    return out
+
+
+def test_lightconv_matches_naive():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 6, 4)).astype(np.float32)
+    w = rng.normal(size=(2, 3)).astype(np.float32)
+    for causal in (True, False):
+        out = lightconv(jnp.asarray(x), jnp.asarray(w),
+                        padding="causal" if causal else "same")
+        ref = _naive_lightconv(x, w, causal)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_dynamicconv_shapes_and_causality():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 8, 4)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(1, 8, 2, 3)), jnp.float32)
+    out1 = dynamicconv(x, w, padding="causal")
+    assert out1.shape == (1, 8, 4)
+    # causality: changing x at t=7 must not affect out at t<7
+    x2 = x.at[0, 7].set(99.0)
+    out2 = dynamicconv(x2, w, padding="causal")
+    np.testing.assert_allclose(np.asarray(out1[0, :7]), np.asarray(out2[0, :7]),
+                               rtol=1e-5)

@@ -42,11 +42,7 @@ def main(cfg: Optional[Config] = None) -> int:
 
     with open(cfg["vocoder_cfg"]) as f:
         vcfg = json.load(f)
-    from diffnorm_tpu.models.hifigan import CodeGenerator
-
-    gen = CodeGenerator(
-        num_embeddings=vcfg["num_embeddings"],
-        embedding_dim=vcfg["embedding_dim"],
+    common = dict(
         upsample_rates=tuple(vcfg["upsample_rates"]),
         upsample_kernel_sizes=tuple(vcfg["upsample_kernel_sizes"]),
         upsample_initial_channel=vcfg["upsample_initial_channel"],
@@ -54,14 +50,35 @@ def main(cfg: Optional[Config] = None) -> int:
         resblock_dilation_sizes=tuple(
             tuple(d) for d in vcfg["resblock_dilation_sizes"]
         ),
-        dur_predictor=bool(vcfg.get("dur_predictor_params")),
     )
-    trainer = GanTrainer(gen, cfg)
+    if cfg.get("input_type", "code") == "features":
+        # repr_to_speech fine-tune (reference repr_hifigan_task.py)
+        from diffnorm_tpu.data.code_dataset import FeatureToSpeechDataset
+        from diffnorm_tpu.models.hifigan import FeatureGenerator
 
-    dataset = CodeToSpeechDataset.from_files(
-        cfg["units_file"], cfg["audio_dir"],
-        crop_units=cfg.get("crop_units", 32),
-    )
+        gen = FeatureGenerator(
+            feature_dim=vcfg.get("model_in_dim", 768),
+            embedding_dim=vcfg["embedding_dim"],
+            **common,
+        )
+        dataset = FeatureToSpeechDataset.from_manifest(
+            cfg["feat_manifest"], cfg["audio_dir"],
+            crop_units=cfg.get("crop_units", 32),
+        )
+    else:
+        from diffnorm_tpu.models.hifigan import CodeGenerator
+
+        gen = CodeGenerator(
+            num_embeddings=vcfg["num_embeddings"],
+            embedding_dim=vcfg["embedding_dim"],
+            dur_predictor=bool(vcfg.get("dur_predictor_params")),
+            **common,
+        )
+        dataset = CodeToSpeechDataset.from_files(
+            cfg["units_file"], cfg["audio_dir"],
+            crop_units=cfg.get("crop_units", 32),
+        )
+    trainer = GanTrainer(gen, cfg)
     logger.info("dataset: %d utterances", len(dataset))
     itr = EpochBatchIterator(
         dataset, max_sentences=cfg.get("batch_size", 16),
@@ -70,7 +87,8 @@ def main(cfg: Optional[Config] = None) -> int:
 
     example = dataset.collater([dataset[0]])
     state = trainer.init_state(
-        jax.random.PRNGKey(cfg.get("seed", 1)), example["code"], example["wav"]
+        jax.random.PRNGKey(cfg.get("seed", 1)),
+        example.get("features", example.get("code")), example["wav"]
     )
     ckpt = CheckpointManager(cfg.get("save_dir", "ckpt/vocoder"),
                              keep_last=cfg.get("keep_last_epochs", 3),

@@ -114,3 +114,60 @@ class CodeToSpeechDataset:
                 units.append(u)
         return cls(names, paths, units, crop_units=crop_units,
                    is_train=is_train, seed=seed)
+
+
+class FeatureToSpeechDataset(CodeToSpeechDataset):
+    """Continuous-feature -> waveform pairs for repr_to_speech vocoder
+    fine-tuning (reference repr_to_speech_dataset.py): per-utterance
+    `{id}.feat.npy` (50 Hz frames, 320 samples each) aligned with 16 kHz
+    audio, random fixed-length crops."""
+
+    def __init__(self, names, audio_paths, feat_paths, crop_units: int = 32,
+                 is_train: bool = True, seed: int = 1):
+        super().__init__(names, audio_paths, [None] * len(names),
+                         crop_units=crop_units, is_train=is_train, seed=seed)
+        self.feat_paths = feat_paths
+
+    def __getitem__(self, index: int) -> Dict:
+        wav, sr = read_audio(self.audio_paths[index])
+        assert sr == 16000
+        feat = np.load(self.feat_paths[index]).astype(np.float32)
+        n = self.crop_units
+        if len(feat) > n and self.is_train:
+            start = int(self._rng.integers(0, len(feat) - n))
+        else:
+            start = 0
+        f = feat[start:start + n]
+        seg = wav[start * SAMPLES_PER_UNIT: (start + n) * SAMPLES_PER_UNIT]
+        if len(f) < n:
+            f = np.pad(f, ((0, n - len(f)), (0, 0)))
+        want = n * SAMPLES_PER_UNIT
+        if len(seg) < want:
+            seg = np.pad(seg, (0, want - len(seg)))
+        return {"index": index, "features": f, "wav": seg.astype(np.float32)}
+
+    def collater(self, samples: List[Dict]) -> Dict:
+        return {
+            "id": np.asarray([s["index"] for s in samples], np.int64),
+            "features": np.stack([s["features"] for s in samples]),
+            "wav": np.stack([s["wav"] for s in samples]),
+            "ntokens": len(samples) * self.crop_units,
+            "nsentences": len(samples),
+        }
+
+    @classmethod
+    def from_manifest(cls, feat_manifest: str, audio_dir: str,
+                      crop_units: int = 32, is_train: bool = True,
+                      audio_suffix: str = ".wav", seed: int = 1):
+        from diffnorm_tpu.data.manifest import read_feature_manifest
+
+        m = read_feature_manifest(feat_manifest)
+        names, apaths, fpaths = [], [], []
+        for utt, (fpath, _) in m.items():
+            ap = os.path.join(audio_dir, utt + audio_suffix)
+            if os.path.exists(ap):
+                names.append(utt)
+                apaths.append(ap)
+                fpaths.append(fpath)
+        return cls(names, apaths, fpaths, crop_units=crop_units,
+                   is_train=is_train, seed=seed)

@@ -192,6 +192,40 @@ class CodeGenerator(nn.Module):
         return self.generator(x)
 
 
+class FeatureGenerator(nn.Module):
+    """Continuous-feature -> waveform generator (reference repr_to_speech /
+    hubert_to_speech tasks, fairseq/tasks/repr_hifigan_task.py): the unit
+    embedding table is replaced by a linear projection of e.g. 768-d mHuBERT
+    features; the HiFi-GAN stack is unchanged."""
+
+    feature_dim: int = 768
+    embedding_dim: int = 128
+    upsample_rates: Sequence[int] = (5, 4, 4, 2, 2)
+    upsample_kernel_sizes: Sequence[int] = (11, 8, 8, 4, 4)
+    upsample_initial_channel: int = 512
+    resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
+    resblock_dilation_sizes: Sequence[Sequence[int]] = ((1, 3, 5),) * 3
+    dur_predictor: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.proj = nn.Dense(self.embedding_dim, dtype=self.dtype, name="proj")
+        self.generator = HifiGanGenerator(
+            in_dim=self.embedding_dim,
+            upsample_rates=self.upsample_rates,
+            upsample_kernel_sizes=self.upsample_kernel_sizes,
+            upsample_initial_channel=self.upsample_initial_channel,
+            resblock_kernel_sizes=self.resblock_kernel_sizes,
+            resblock_dilation_sizes=self.resblock_dilation_sizes,
+            dtype=self.dtype,
+            name="generator",
+        )
+
+    def __call__(self, features):
+        """features: [B, T, feature_dim] -> waveform [B, T * upsample]."""
+        return self.generator(self.proj(features))
+
+
 class CodeHiFiGANVocoder:
     """Runtime wrapper (vocoder.py:214-243): config + converted weights."""
 

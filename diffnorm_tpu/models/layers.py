@@ -82,6 +82,12 @@ class CausalConv1d(nn.Module):
 
     Parity with reference CausalConv1d (latent_module.py:476-488):
     pad = dilation * (kernel - 1) on the left only.
+
+    TPU lowering: instead of lax.conv_general_dilated (whose dilated-kernel
+    path tiles poorly on the MXU), the k-tap conv is computed as k shifted
+    [B*T, C_in] x [C_in, C_out] matmuls — each a clean MXU call that XLA
+    fuses with the shifts. Parameter layout matches nn.Conv
+    ([k, in, out] kernel + [out] bias) so checkpoints are interchangeable.
     """
 
     features: int
@@ -92,15 +98,38 @@ class CausalConv1d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        pad = self.dilation * (self.kernel_size - 1)
-        return nn.Conv(
-            self.features,
-            kernel_size=(self.kernel_size,),
-            kernel_dilation=(self.dilation,),
-            padding=[(pad, 0)],
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-        )(x)
+        in_feat = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, in_feat, self.features), jnp.float32,
+        ).astype(self.dtype)
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32).astype(self.dtype)
+            if self.use_bias else None
+        )
+        xc = x.astype(self.dtype)
+        out = None
+        for i in range(self.kernel_size):
+            # tap i sees x[t - (k-1-i)*dilation]
+            shift = (self.kernel_size - 1 - i) * self.dilation
+            if shift == 0:
+                xi = xc
+            elif shift >= xc.shape[1]:
+                # the whole tap falls before the sequence: zero contribution
+                xi = jnp.zeros_like(xc)
+            else:
+                xi = jnp.pad(xc[:, :-shift], ((0, 0), (shift, 0), (0, 0)))
+            term = jnp.einsum(
+                "btc,cd->btd", xi, kernel[i],
+                preferred_element_type=jnp.float32,
+            )
+            out = term if out is None else out + term
+        out = out.astype(self.dtype)
+        if bias is not None:
+            out = out + bias
+        return out
 
 
 class GEGLU(nn.Module):

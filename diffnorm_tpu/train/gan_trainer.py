@@ -64,7 +64,9 @@ class GanTrainer:
 
         def init_all(m, c):
             out = m(c)
-            if m.dur_predictor:
+            if getattr(m, "dur_predictor", False) and hasattr(
+                m, "predict_durations"
+            ):
                 m.predict_durations(c)
             return out
 
@@ -139,7 +141,7 @@ class GanTrainer:
 
     # ------------------------------------------------------------ public ---
     def train_step(self, state: GanTrainState, batch) -> Tuple[GanTrainState, Dict]:
-        code = batch["code"]
+        code = batch["features"] if "features" in batch else batch["code"]
         wav = batch["wav"]
         state, d_loss = self._d_step(state, code, wav)
         state, g_loss, aux = self._g_step(state, code, wav,

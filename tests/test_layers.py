@@ -55,6 +55,28 @@ def test_causal_conv_is_causal():
     np.testing.assert_allclose(out1[0, :7], out2[0, :7], rtol=1e-5)
 
 
+def test_causal_conv_matches_lax_conv():
+    """Shifted-matmul formulation == conv_general_dilated, including
+    dilation >= sequence length (wavenet chains reach dilation 128)."""
+    rng = np.random.default_rng(1)
+    for t, d in [(10, 2), (8, 8), (6, 16)]:
+        x = rng.normal(size=(2, t, 3)).astype(np.float32)
+        m = CausalConv1d(features=5, kernel_size=3, dilation=d)
+        params = m.init(jax.random.PRNGKey(0), x)
+        out = np.asarray(m.apply(params, x))
+        import jax.numpy as jnp
+        from jax import lax
+
+        kernel = np.asarray(params["params"]["kernel"])  # [k, in, out]
+        bias = np.asarray(params["params"]["bias"])
+        ref = lax.conv_general_dilated(
+            jnp.asarray(x), jnp.asarray(kernel),
+            window_strides=(1,), padding=[(d * 2, 0)], rhs_dilation=(d,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        ) + bias
+        np.testing.assert_allclose(out, np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
 def test_rel_shift_matches_gather():
     rng = np.random.default_rng(0)
     t = 6

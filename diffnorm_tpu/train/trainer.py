@@ -20,6 +20,7 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -111,7 +112,13 @@ class Trainer:
         (loss, (mets, mutated)), grads = jax.value_and_grad(
             self._loss, has_aux=True
         )(state.params, state.frozen_params, state.model_state, batch, rng, True)
-        return grads, mets, mutated
+        # pack metrics into ONE array so the host pulls a single transfer
+        # (each scalar D2H costs a full round trip through the TPU tunnel);
+        # the key order is recorded at trace time (static per criterion)
+        keys = sorted(mets)
+        self._metric_keys = keys
+        vec = jnp.stack([jnp.asarray(mets[k], jnp.float32) for k in keys])
+        return grads, vec, mutated
 
     def _apply_step(self, state: TrainState, grads):
         model_state = state.model_state
@@ -144,7 +151,9 @@ class Trainer:
         _, (mets, _) = self._loss(
             state.params, state.frozen_params, state.model_state, batch, rng, False
         )
-        return mets
+        keys = sorted(mets)
+        self._valid_metric_keys = keys
+        return jnp.stack([jnp.asarray(mets[k], jnp.float32) for k in keys])
 
     # ------------------------------------------------------------- public
     def train_step(
@@ -159,8 +168,10 @@ class Trainer:
             r = jax.random.fold_in(rng, i)
             batch = shard_batch(batch, self.mesh)
             micro_state = state.replace(model_state=model_state)
-            grads, mets, mutated = self._jit_grad(micro_state, batch, r)
+            grads, met_vec, mutated = self._jit_grad(micro_state, batch, r)
             model_state = {**model_state, **mutated}
+            keys = self._metric_keys
+            mets = dict(zip(keys, np.asarray(jax.device_get(met_vec))))
             ss = float(mets.get("sample_size", 1.0))
             ss_total += ss
             scaled = jax.tree_util.tree_map(lambda g: g * ss, grads)
@@ -193,7 +204,11 @@ class Trainer:
 
     def valid_step(self, state: TrainState, batch, rng) -> Dict[str, float]:
         batch = shard_batch(batch, self.mesh)
-        mets = self._jit_valid(state, batch, rng)
-        out = {k: float(v) for k, v in mets.items()}
+        vec = self._jit_valid(state, batch, rng)
+        out = {
+            k: float(v)
+            for k, v in zip(self._valid_metric_keys,
+                            np.asarray(jax.device_get(vec)))
+        }
         metrics_mod.log_dict(out)
         return out

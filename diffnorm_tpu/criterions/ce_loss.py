@@ -54,3 +54,41 @@ class LabelSmoothedCrossEntropy:
             "sample_size": ntokens,
         }
         return loss, metrics, mutated
+
+
+@register_criterion("lm_cross_entropy")
+class LMCrossEntropy:
+    """Next-token CE for the decoder-only unit LM (reference cross_entropy
+    criterion + eval_lm scoring convention: eos-fronted shift)."""
+
+    def __init__(self, cfg=None, task=None):
+        self.eps = cfg.get("label_smoothing", 0.0) if cfg is not None else 0.0
+
+    def __call__(self, model, variables, batch, rng, train: bool = True):
+        tokens = batch["target_unit"]
+        EOS = 2
+        prev = jnp.concatenate(
+            [jnp.full((tokens.shape[0], 1), EOS, tokens.dtype),
+             tokens[:, :-1]], axis=1,
+        )
+        rngs = {"dropout": rng} if train else {}
+        logits = model.apply(
+            variables, prev, deterministic=not train, rngs=rngs
+        )
+        lprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        flat = lprobs.reshape(-1, lprobs.shape[-1])
+        flat_tgt = tokens.reshape(-1)
+        loss_sum, nll_sum = label_smoothed_nll_loss(
+            flat, flat_tgt, self.eps, ignore_index=PAD
+        )
+        ntokens = jnp.maximum(jnp.sum(tokens != PAD), 1)
+        loss = loss_sum / ntokens
+        metrics = {
+            "loss": loss,
+            "nll_loss": nll_sum / ntokens,
+            "ppl": jnp.exp(nll_sum / ntokens),
+            "ntokens": ntokens,
+            "nsentences": tokens.shape[0],
+            "sample_size": ntokens,
+        }
+        return loss, metrics, {}

@@ -71,3 +71,29 @@ class DummySEDDTask(SEDDTask):
         self.datasets[split] = _SyntheticDataset(
             lambda: self.dummy_batch(bsz, seq), self.cfg.get("dataset_size", 8)
         )
+
+
+@register_task("unit_lm")
+class UnitLMTask(SEDDTask):
+    """Autoregressive unit language modeling (reference transformer_lm task
+    capability over speech units; pairs with criterion lm_cross_entropy and
+    cli/eval_lm.py)."""
+
+    def init_variables(self, model, rng, batch):
+        r_p, r_d = jax.random.split(rng)
+        return model.init(
+            {"params": r_p, "dropout": r_d},
+            batch["target_unit"], deterministic=True,
+        )
+
+
+@register_task("dummy_unit_lm")
+class DummyUnitLMTask(UnitLMTask):
+    def load_dataset(self, split: str, epoch: int = 1):
+        from diffnorm_tpu.tasks.dummy import _SyntheticDataset
+
+        bsz = self.cfg.get("batch_size", 4)
+        seq = self.cfg.get("tokens_per_sample", 32)
+        self.datasets[split] = _SyntheticDataset(
+            lambda: self.dummy_batch(bsz, seq), self.cfg.get("dataset_size", 8)
+        )

@@ -107,9 +107,57 @@ def safe_div(num, den, eps: float = 1e-10):
 # Denoiser network (reference Model, latent_module.py:709-876)
 # --------------------------------------------------------------------------
 
+class PerceiverResampler(nn.Module):
+    """Resample a variable-length prompt into `num_latents` tokens
+    (reference latent_module.py:416-471: learned latents + sinusoidal
+    positions, cross-attention that includes the queries in the context,
+    GEGLU feedforward, final RMSNorm)."""
+
+    dim: int
+    depth: int = 2
+    dim_context: int = 768
+    num_latents: int = 64
+    dim_head: int = 64
+    heads: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, prompt, prompt_mask=None, deterministic: bool = True):
+        from diffnorm_tpu.models.layers import Attention, FeedForward, RMSNorm
+
+        b = prompt.shape[0]
+        ctx = nn.Dense(self.dim, dtype=self.dtype, name="proj_context")(prompt)
+        latents = self.param(
+            "latents", nn.initializers.normal(0.02),
+            (self.num_latents, self.dim), jnp.float32,
+        ).astype(self.dtype)
+        lat_mask = jnp.ones((b, self.num_latents), bool)
+        x = jnp.broadcast_to(latents[None], (b,) + latents.shape)
+        x = x + sinusoidal_positions(lat_mask, self.dim).astype(x.dtype)
+        if prompt_mask is None:
+            prompt_mask = jnp.ones(prompt.shape[:2], bool)
+        # queries are appended to the context (cross_attn_include_queries)
+        full_mask = jnp.concatenate([lat_mask, prompt_mask], axis=1)
+        for i in range(self.depth):
+            context = jnp.concatenate([x, ctx], axis=1)
+            x = x + Attention(
+                dim=self.dim, dim_head=self.dim_head, heads=self.heads,
+                dropout=0.1, dtype=self.dtype, name=f"attn_{i}",
+            )(x, context=context, mask=full_mask, deterministic=deterministic)
+            x = x + FeedForward(dim=self.dim, mult=4, dtype=self.dtype,
+                                name=f"ff_{i}")(x)
+        return RMSNorm(dim=self.dim, dtype=self.dtype, name="norm")(x)
+
+
 class Denoiser(nn.Module):
     """1x1 conv latent->dim, FiLM-time WaveNet (4 stacks x 8 chains),
-    sinusoidal positions, 12-layer adaptive-RMSNorm transformer, proj back."""
+    sinusoidal positions, 12-layer adaptive-RMSNorm transformer, proj back.
+
+    With condition_on_prompt=True (reference Model :747-773, unused by the
+    released DiffNorm recipe): a PerceiverResampler compresses 768-d prompt
+    features into 64 cross-attention tokens, the mean-pooled prompt joins
+    the time condition, and per-sequence classifier-free dropout swaps in
+    learned null embeddings."""
 
     dim: int = 512
     latent_dim: int = 128
@@ -120,22 +168,69 @@ class Denoiser(nn.Module):
     wavenet_layers: int = 8
     wavenet_stacks: int = 4
     dim_cond_mult: int = 4
+    condition_on_prompt: bool = False
+    dim_prompt: int = 768
+    num_latents_m: int = 64
+    resampler_depth: int = 2
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, times, mask=None, deterministic: bool = True):
+    def __call__(self, x, times, mask=None, deterministic: bool = True,
+                 prompt=None, prompt_mask=None, cond_drop_prob: float = 0.0):
         """x: [B, T, latent], times: [B] (float or int), mask: [B, T] bool."""
         dim_time = self.dim * self.dim_cond_mult
         t = LearnedSinusoidalPosEmb(self.dim, name="time_emb")(times)
         t = nn.Dense(dim_time, dtype=self.dtype, name="time_proj")(t)
         t = nn.silu(t)
 
+        context = None
+        cond_mult = self.dim_cond_mult
+        if self.condition_on_prompt:
+            assert prompt is not None
+            b = x.shape[0]
+            cond_mult = self.dim_cond_mult * 2
+            if prompt_mask is None:
+                prompt_mask = jnp.ones(prompt.shape[:2], bool)
+            if cond_drop_prob >= 1.0:
+                drop = jnp.ones((b,), bool)
+            elif cond_drop_prob <= 0.0:
+                drop = jnp.zeros((b,), bool)
+            else:
+                drop = jax.random.bernoulli(
+                    self.make_rng("cg"), cond_drop_prob, (b,)
+                )
+            masked_prompt = jnp.where(prompt_mask[..., None], prompt, 0.0)
+            pooled = jnp.mean(masked_prompt, axis=1)
+            prompt_cond = nn.silu(
+                nn.Dense(dim_time, dtype=self.dtype, name="to_prompt_cond")(pooled)
+            )
+            null_cond = self.param(
+                "null_prompt_cond", nn.initializers.normal(0.02),
+                (dim_time,), jnp.float32,
+            ).astype(prompt_cond.dtype)
+            prompt_cond = jnp.where(drop[:, None], null_cond[None], prompt_cond)
+            t = jnp.concatenate([t, prompt_cond], axis=-1)
+
+            resampled = PerceiverResampler(
+                dim=self.dim, depth=self.resampler_depth,
+                dim_context=self.dim_prompt, num_latents=self.num_latents_m,
+                dim_head=self.dim_head, heads=self.heads, dtype=self.dtype,
+                name="perceiver_resampler",
+            )(prompt, prompt_mask, deterministic=deterministic)
+            null_tokens = self.param(
+                "null_prompt_tokens", nn.initializers.normal(0.02),
+                (self.num_latents_m, self.dim), jnp.float32,
+            ).astype(resampled.dtype)
+            context = jnp.where(
+                drop[:, None, None], null_tokens[None], resampled
+            )
+
         h = nn.Dense(self.dim, dtype=self.dtype, name="init_conv")(x)
         h = Wavenet(
             dim=self.dim,
             stacks=self.wavenet_stacks,
             layers=self.wavenet_layers,
-            cond_dim=dim_time,
+            cond_dim=self.dim * cond_mult,
             dtype=self.dtype,
             name="wavenet",
         )(h, t)
@@ -149,11 +244,24 @@ class Denoiser(nn.Module):
             heads=self.heads,
             ff_mult=self.ff_mult,
             ff_causal_conv=True,
-            cond_dim=dim_time,
+            cond_dim=self.dim * cond_mult,
+            cross_attn=self.condition_on_prompt,
             dtype=self.dtype,
             name="transformer",
-        )(h, cond=t, mask=mask, deterministic=deterministic)
+        )(h, cond=t, mask=mask, context=context, deterministic=deterministic)
         return nn.Dense(self.latent_dim, dtype=self.dtype, name="final_proj")(h)
+
+    def forward_with_cond_scale(self, x, times, mask=None, prompt=None,
+                                prompt_mask=None, cond_scale: float = 1.0):
+        """Classifier-free guidance (reference :813-826):
+        out = null + scale * (cond - null)."""
+        cond = self(x, times, mask, deterministic=True, prompt=prompt,
+                    prompt_mask=prompt_mask, cond_drop_prob=0.0)
+        if cond_scale == 1.0:
+            return cond
+        null = self(x, times, mask, deterministic=True, prompt=prompt,
+                    prompt_mask=prompt_mask, cond_drop_prob=1.0)
+        return null + (cond - null) * cond_scale
 
 
 # --------------------------------------------------------------------------
@@ -179,18 +287,27 @@ class LatentDiffusionModule(nn.Module):
     # use_vae=False runs the diffusion directly in feature space (reference
     # continuous variants: tasks "speech_diffusion"/"speech_diffusion_hubert")
     use_vae: bool = True
+    # use_cond=True adds PerceiverResampler source-prompt conditioning with
+    # classifier-free dropout (reference diff_discrete.py use_cond flag —
+    # off in the released recipe)
+    use_cond: bool = False
     dtype: jnp.dtype = jnp.float32
+
+    def _make_denoiser(self):
+        return Denoiser(
+            dim=self.dim, latent_dim=self.latent_dim,
+            depth=self.denoiser_depth,
+            wavenet_layers=self.wavenet_layers,
+            wavenet_stacks=self.wavenet_stacks,
+            condition_on_prompt=self.use_cond,
+            dim_prompt=self.feature_dim,
+            dtype=self.dtype,
+            name="denoiser",
+        )
 
     def setup(self):
         if not self.use_vae:
-            self.denoiser = Denoiser(
-                dim=self.dim, latent_dim=self.latent_dim,
-                depth=self.denoiser_depth,
-                wavenet_layers=self.wavenet_layers,
-                wavenet_stacks=self.wavenet_stacks,
-                dtype=self.dtype,
-                name="denoiser",
-            )
+            self.denoiser = self._make_denoiser()
             self.schedule = DDPMSchedule.create(self.timesteps, self.schedule_name)
             return
         self.vae = SpeechVAEModule(
@@ -204,14 +321,7 @@ class LatentDiffusionModule(nn.Module):
             dtype=self.dtype,
             name="vae",
         )
-        self.denoiser = Denoiser(
-            dim=self.dim, latent_dim=self.latent_dim,
-            depth=self.denoiser_depth,
-            wavenet_layers=self.wavenet_layers,
-            wavenet_stacks=self.wavenet_stacks,
-            dtype=self.dtype,
-            name="denoiser",
-        )
+        self.denoiser = self._make_denoiser()
         self.schedule = DDPMSchedule.create(self.timesteps, self.schedule_name)
 
     def encode(self, feature, rng):
@@ -222,10 +332,17 @@ class LatentDiffusionModule(nn.Module):
     def decode(self, latent, mask):
         return self.vae.decode(latent, mask)
 
-    def denoise(self, x_t, times, mask, deterministic: bool = True):
+    def denoise(self, x_t, times, mask, deterministic: bool = True,
+                prompt=None, prompt_mask=None, cond_drop_prob: float = 0.0):
+        if self.use_cond:
+            return self.denoiser(
+                x_t, times, mask, deterministic=deterministic, prompt=prompt,
+                prompt_mask=prompt_mask, cond_drop_prob=cond_drop_prob,
+            )
         return self.denoiser(x_t, times, mask, deterministic=deterministic)
 
-    def __call__(self, feature, mask, rng, deterministic: bool = True):
+    def __call__(self, feature, mask, rng, deterministic: bool = True,
+                 prompt=None, prompt_mask=None):
         """Training forward: q-sample + denoiser prediction.
 
         Returns a dict with everything the criterion needs to assemble the
@@ -248,7 +365,11 @@ class LatentDiffusionModule(nn.Module):
         true_noise = jax.random.normal(r_q, z.shape, z.dtype)
         x_t = sac * x1 + s1mac * true_noise
 
-        pred_noise = self.denoiser(x_t, times, mask, deterministic=deterministic)
+        pred_noise = self.denoise(
+            x_t, times, mask, deterministic=deterministic, prompt=prompt,
+            prompt_mask=prompt_mask,
+            cond_drop_prob=0.1 if self.use_cond else 0.0,  # reference :1554
+        )
 
         snr = self.schedule.snr(times)
         loss_weight = jnp.minimum(snr, self.min_snr_gamma) / snr
@@ -345,6 +466,7 @@ class LatentDiffusionModel(ModelHolder):
             vae_decoder_heads=cfg.get("vae_decoder_heads", 8),
             chan_mults=tuple(cfg["chan_mults"]) if cfg.get("chan_mults") else None,
             use_vae=cfg.get("use_vae", True),
+            use_cond=cfg.get("use_cond", False),
             dtype=jnp.dtype(cfg.get("dtype", "float32")),
         )
         return cls(module=module, cfg=cfg)

@@ -255,11 +255,13 @@ class ConditionableTransformer(nn.Module):
     ff_mult: int = 4
     ff_causal_conv: bool = False
     cond_dim: Optional[int] = None
+    cross_attn: bool = False
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, cond=None, mask=None, deterministic: bool = True):
+    def __call__(self, x, cond=None, mask=None, context=None,
+                 deterministic: bool = True):
         has_cond = self.cond_dim is not None
         norm_kw = dict(
             dim=self.dim, scale=not has_cond, cond_dim=self.cond_dim, dtype=self.dtype
@@ -275,6 +277,20 @@ class ConditionableTransformer(nn.Module):
                 dtype=self.dtype,
                 name=f"attn_{i}",
             )(hn, mask=mask, deterministic=deterministic)
+            if self.cross_attn:
+                # cross-attend to resampled prompt latents (no key mask:
+                # reference latent_module.py:694-700)
+                assert context is not None
+                res = x
+                hn = RMSNorm(**norm_kw, name=f"cross_norm_{i}")(x, cond=cond)
+                x = res + Attention(
+                    dim=self.dim,
+                    dim_head=self.dim_head,
+                    heads=self.heads,
+                    dropout=self.dropout,
+                    dtype=self.dtype,
+                    name=f"cross_attn_{i}",
+                )(hn, context=context, deterministic=deterministic)
             res = x
             hn = RMSNorm(**norm_kw, name=f"ff_norm_{i}")(x, cond=cond)
             x = res + FeedForward(

@@ -51,14 +51,33 @@ def param_spec(path: Tuple[str, ...], value) -> P:
     return P()
 
 
-def shard_params(params, mesh: Mesh):
+def fsdp_spec(spec: P, value, mesh: Mesh) -> P:
+    """Add ZeRO-3/FSDP sharding: split the largest still-unsharded axis over
+    "data" (reference FullyShardedDataParallel capability — GSPMD inserts
+    the all-gathers on use and reduce-scatters on the gradients)."""
+    dp = mesh.shape.get("data", 1)
+    ndim = getattr(value, "ndim", 0)
+    if dp == 1 or ndim == 0:
+        return spec
+    entries = list(spec) + [None] * (ndim - len(spec))
+    axes = sorted(range(ndim), key=lambda a: -value.shape[a])
+    for a in axes:
+        if entries[a] is None and value.shape[a] % dp == 0 and value.shape[a] >= dp:
+            entries[a] = "data"
+            return P(*entries)
+    return spec
+
+
+def shard_params(params, mesh: Mesh, fsdp: bool = False):
     """device_put each param with its TP NamedSharding (replicated when the
-    mesh has no real model axis)."""
-    if mesh.shape.get("model", 1) == 1:
-        return jax.device_put(params, NamedSharding(mesh, P()))
+    mesh has no real model axis); fsdp=True additionally shards every
+    parameter over the "data" axis (ZeRO-3)."""
 
     def put(path, value):
-        return jax.device_put(value, NamedSharding(mesh, param_spec(path, value)))
+        spec = param_spec(path, value) if mesh.shape.get("model", 1) > 1 else P()
+        if fsdp:
+            spec = fsdp_spec(spec, value, mesh)
+        return jax.device_put(value, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(put, params)
 

@@ -82,9 +82,13 @@ class Trainer:
         trainable, frozen = partition_params(params, self.task.frozen_param_keys)
         frozen = self.task.load_frozen_params(frozen)
         # TP: place params by Megatron-style rules over the "model" axis;
-        # GSPMD propagates layouts through the jitted steps
-        trainable = shard_params(trainable, self.mesh)
-        frozen = shard_params(frozen, self.mesh)
+        # optional FSDP/ZeRO-3: every param additionally sharded over "data"
+        # (GSPMD all-gathers on use, reduce-scatters the grads)
+        fsdp = bool(self.task.cfg.get("fsdp")) or (
+            self.task.cfg.get("ddp_backend") == "fully_sharded"
+        )
+        trainable = shard_params(trainable, self.mesh, fsdp=fsdp)
+        frozen = shard_params(frozen, self.mesh, fsdp=fsdp)
         opt_state = self.tx.init(trainable)
         if self.task.cfg.get("zero_sharding") == "os":
             from diffnorm_tpu.train.optimizers import shard_optimizer_state

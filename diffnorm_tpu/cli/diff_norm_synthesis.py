@@ -109,7 +109,8 @@ def main(cfg: Optional[Config] = None) -> int:
             chunk = items[i:i + batch_size]
             max_len = bucket_length(max(len(c[2]) for c in chunk))
             bsz = len(chunk)
-            feat_batch = np.zeros((bsz, max_len, 768), np.float32)
+            feat_dim = cfg.get("feature_dim", 768)
+            feat_batch = np.zeros((bsz, max_len, feat_dim), np.float32)
             mask = np.zeros((bsz, max_len), bool)
             for j, (_, fpath, dedup, keep) in enumerate(chunk):
                 f = np.load(fpath)[keep]

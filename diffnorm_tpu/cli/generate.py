@@ -61,14 +61,13 @@ def main(cfg: Optional[Config] = None) -> int:
     variables = task.init_variables(model, jax.random.PRNGKey(0), batch0)
     path = cfg.get("path")
     if path:
-        restored = load_checkpoint_params(path, target=jax.device_get(variables) if cfg.get("strict_restore", True) else None)
-        if hasattr(restored, "params"):  # a full TrainState
-            params = {**restored.params, **(restored.frozen_params or {})}
-            variables = {"params": params, **(restored.model_state or {})}
-        elif isinstance(restored, dict) and "params" in restored:
-            if "step" in restored:  # TrainState-as-dict
-                params = {**restored["params"], **(restored.get("frozen_params") or {})}
-                variables = {"params": params, **(restored.get("model_state") or {})}
+        restored = load_checkpoint_params(path)
+        if isinstance(restored, dict) and "params" in restored:
+            if "step" in restored:  # a saved TrainState
+                params = {**restored["params"],
+                          **(restored.get("frozen_params") or {})}
+                variables = {"params": params,
+                             **(restored.get("model_state") or {})}
             else:
                 variables = restored
         logger.info("restored checkpoint from %s", path)

@@ -90,7 +90,9 @@ def main(cfg: Optional[Config] = None) -> int:
             seed=tcfg.seed,
             shuffle=True,
         )
-        example_batch = dataset.collater([dataset[0]])
+        example_batch = task.prepare_batch(
+            dataset.collater([dataset[0]]), np.random.default_rng(tcfg.seed)
+        )
     else:  # synthetic iterable dataset (dummy tasks)
         epoch_itr = None
         example_batch = task.dummy_batch()

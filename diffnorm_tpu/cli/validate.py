@@ -38,7 +38,9 @@ def main(cfg: Optional[Config] = None) -> int:
     split = cfg.get("valid_subset", "dev")
     dataset = task.dataset(split)
     example = (
-        dataset.collater([dataset[0]]) if hasattr(dataset, "collater")
+        task.prepare_batch(dataset.collater([dataset[0]]),
+                           np.random.default_rng(cfg.get("seed", 1)))
+        if hasattr(dataset, "collater")
         else task.dummy_batch()
     )
     state = trainer.init_state(jax.random.PRNGKey(cfg.get("seed", 1)), example)

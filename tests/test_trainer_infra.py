@@ -1,0 +1,112 @@
+"""Trainer infrastructure: checkpoint rotation/best tracking, non-finite
+gradient step skipping, watchdog, waveform transforms, progress writer."""
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffnorm_tpu.config import Config, make_trainer_config
+from diffnorm_tpu.registry import TASKS
+from diffnorm_tpu.train.checkpoint import CheckpointManager
+
+
+def test_checkpoint_rotation_and_best(tmp_path):
+    mgr = CheckpointManager(str(tmp_path), keep_last=2, keep_best=1,
+                            metric="loss")
+    state = {"w": np.ones((2,))}
+    metrics = {10: 5.0, 20: 3.0, 30: 4.0, 40: 6.0}
+    for step, m in metrics.items():
+        mgr.save(step, {"w": np.full((2,), step)}, metric_value=m)
+    # keep_last=2 -> steps 30, 40; keep_best=1 -> step 20 (loss 3.0)
+    kept = sorted(
+        int(d.split("_")[1]) for d in os.listdir(tmp_path)
+        if d.startswith("step_") and not d.endswith(".json")
+    )
+    assert kept == [20, 30, 40]
+    assert mgr.best_step() == 20
+    assert mgr.latest_step() == 40
+    best, extra = mgr.load_best()
+    np.testing.assert_array_equal(best["w"], 20)
+
+    # a fresh manager over the same dir sees the same manifest
+    mgr2 = CheckpointManager(str(tmp_path), keep_last=2, keep_best=1)
+    assert mgr2.best_step() == 20
+
+
+def test_trainer_skips_nonfinite_gradients():
+    from diffnorm_tpu.train.trainer import Trainer
+
+    cfg = Config(
+        arch="speech_vae_decoder", criterion="speech_vae_decoder_loss",
+        feature_dim=24, latent_dim=3, chan_mults=[4], vae_decoder_depth=1,
+        vae_decoder_dim_head=8, vae_decoder_heads=2, target_code_size=16,
+        lr=1e-3,
+    )
+    task = TASKS.get("dummy_vae").setup_task(cfg)
+    model = task.build_model()
+    crit = task.build_criterion()
+    trainer = Trainer(make_trainer_config(cfg), task, model, crit)
+    batch = task.dummy_batch(2, 8)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    p0 = jax.device_get(state.params)
+
+    bad = dict(batch)
+    bad["reduce_target"] = batch["reduce_target"] * np.nan
+    state2, mets = trainer.train_step(state, [bad], jax.random.PRNGKey(1))
+    assert trainer.skipped_steps == 1
+    # params unchanged after the skipped update
+    p1 = jax.device_get(state2.params)
+    chex = [np.allclose(a, b) for a, b in zip(
+        jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1))]
+    assert all(chex)
+
+    # a good batch afterwards updates normally
+    state3, mets = trainer.train_step(state2, [batch], jax.random.PRNGKey(2))
+    p2 = jax.device_get(state3.params)
+    changed = [not np.allclose(a, b) for a, b in zip(
+        jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2))]
+    assert any(changed)
+
+
+def test_watchdog_fires(caplog):
+    from diffnorm_tpu.utils.watchdog import Watchdog
+
+    w = Watchdog(timeout=0.2, kill=False).start()
+    time.sleep(0.7)
+    w.stop()
+    # the error path logged (stack dump goes to stderr)
+    assert any("watchdog" in r.message for r in caplog.records)
+
+
+def test_noisy_overlap_and_concat_augment():
+    from diffnorm_tpu.data.audio import ConcatAugment, NoisyOverlapAugment
+
+    rng = np.random.default_rng(0)
+    wav = rng.normal(size=1000).astype(np.float32)
+    other = rng.normal(size=800).astype(np.float32)
+    aug = NoisyOverlapAugment(rate=1.0, snr_min=10, snr_max=10)
+    out = aug(wav, other=other, rng=rng)
+    assert out.shape == wav.shape
+    assert not np.allclose(out[:800], wav[:800])
+    # SNR 10dB: added noise power ~ signal/10
+    noise = out - wav
+    snr = 10 * np.log10(np.mean(wav[:800] ** 2) / np.mean(noise[:800] ** 2))
+    assert 8.0 < snr < 12.0
+
+    cat = ConcatAugment(rate=1.0)
+    w2, t2 = cat(wav, np.arange(5), other_wav=other,
+                 other_target=np.arange(3), rng=rng)
+    assert len(w2) == 1800 and len(t2) == 8
+
+
+def test_progress_writer_json(capsys):
+    from diffnorm_tpu.train.progress import ProgressWriter
+
+    w = ProgressWriter(log_format="json")
+    w.log({"loss": 1.5}, step=10)
+    out = capsys.readouterr().out
+    assert '"step": 10' in out and '"loss": 1.5' in out

@@ -47,6 +47,12 @@ def main():
     variables = model.module.init(
         {"params": rng}, feat, mask, rng, deterministic=True
     )
+    # inference-time weights in bf16: halves the HBM weight stream and
+    # removes per-use f32->bf16 casts (params stay f32 for training)
+    variables = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        variables,
+    )
 
     REPEATS = 4
 

@@ -33,6 +33,11 @@ class RMSNorm(nn.Module):
     come from a linear projection of the condition vector
     (reference latent_module.py:620-639: adaptive RMSNorm used by the
     diffusion denoiser's transformer with time conditioning).
+
+    `film` lets the caller pass the precomputed projection `to_gamma_beta(
+    cond)` — sampling loops hoist these out of the per-step scan so the
+    projection weights stream from HBM once instead of once per step
+    (see PERFORMANCE.md).
     """
 
     dim: int
@@ -40,16 +45,27 @@ class RMSNorm(nn.Module):
     cond_dim: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, cond=None):
+    def setup(self):
+        if self.scale:
+            self.gamma = self.param(
+                "gamma", nn.initializers.ones, (self.dim,), jnp.float32
+            )
+        if self.cond_dim is not None:
+            self.to_gamma_beta = nn.Dense(
+                self.dim * 2, dtype=self.dtype, name="to_gamma_beta"
+            )
+
+    def film(self, cond):
+        """Precompute the conditioning projection ([..., 2*dim])."""
+        return self.to_gamma_beta(cond)
+
+    def __call__(self, x, cond=None, film=None):
         out = l2norm(x) * math.sqrt(self.dim)
         if self.scale:
-            gamma = self.param("gamma", nn.initializers.ones, (self.dim,), jnp.float32)
-            out = out * gamma.astype(x.dtype)
+            out = out * self.gamma.astype(x.dtype)
         if self.cond_dim is None:
             return out
-        assert cond is not None, "conditional RMSNorm requires cond"
-        gb = nn.Dense(self.dim * 2, dtype=self.dtype, name="to_gamma_beta")(cond)
+        gb = film if film is not None else self.to_gamma_beta(cond)
         gamma, beta = jnp.split(gb, 2, axis=-1)
         # cond is [B, C]; broadcast over time
         return out * gamma[:, None, :] + beta[:, None, :]
@@ -259,46 +275,78 @@ class ConditionableTransformer(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, cond=None, mask=None, context=None,
-                 deterministic: bool = True):
+    def setup(self):
         has_cond = self.cond_dim is not None
         norm_kw = dict(
-            dim=self.dim, scale=not has_cond, cond_dim=self.cond_dim, dtype=self.dtype
+            dim=self.dim, scale=not has_cond, cond_dim=self.cond_dim,
+            dtype=self.dtype,
         )
+        self.attn_norms = [
+            RMSNorm(**norm_kw, name=f"attn_norm_{i}") for i in range(self.depth)
+        ]
+        self.attns = [
+            Attention(dim=self.dim, dim_head=self.dim_head, heads=self.heads,
+                      dropout=self.dropout, dtype=self.dtype, name=f"attn_{i}")
+            for i in range(self.depth)
+        ]
+        if self.cross_attn:
+            self.cross_norms = [
+                RMSNorm(**norm_kw, name=f"cross_norm_{i}")
+                for i in range(self.depth)
+            ]
+            self.cross_attns = [
+                Attention(dim=self.dim, dim_head=self.dim_head,
+                          heads=self.heads, dropout=self.dropout,
+                          dtype=self.dtype, name=f"cross_attn_{i}")
+                for i in range(self.depth)
+            ]
+        self.ff_norms = [
+            RMSNorm(**norm_kw, name=f"ff_norm_{i}") for i in range(self.depth)
+        ]
+        self.ffs = [
+            FeedForward(dim=self.dim, mult=self.ff_mult,
+                        causal_conv=self.ff_causal_conv, dtype=self.dtype,
+                        name=f"ff_{i}")
+            for i in range(self.depth)
+        ]
+        self.final_norm = RMSNorm(dim=self.dim, dtype=self.dtype,
+                                  name="final_norm")
+        self.to_pred = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                                name="to_pred")
+
+    def precompute_film(self, cond):
+        """Hoist every adaptive-norm projection out of a sampling scan:
+        cond [..., cond_dim] -> per-layer dict of [..., 2*dim] tensors."""
+        assert self.cond_dim is not None
+        out = {"attn": [n.film(cond) for n in self.attn_norms],
+               "ff": [n.film(cond) for n in self.ff_norms]}
+        if self.cross_attn:
+            out["cross"] = [n.film(cond) for n in self.cross_norms]
+        return out
+
+    def __call__(self, x, cond=None, mask=None, context=None,
+                 deterministic: bool = True, film=None):
         for i in range(self.depth):
             res = x
-            hn = RMSNorm(**norm_kw, name=f"attn_norm_{i}")(x, cond=cond)
-            x = res + Attention(
-                dim=self.dim,
-                dim_head=self.dim_head,
-                heads=self.heads,
-                dropout=self.dropout,
-                dtype=self.dtype,
-                name=f"attn_{i}",
-            )(hn, mask=mask, deterministic=deterministic)
+            hn = self.attn_norms[i](
+                x, cond=cond, film=film["attn"][i] if film else None
+            )
+            x = res + self.attns[i](hn, mask=mask, deterministic=deterministic)
             if self.cross_attn:
                 # cross-attend to resampled prompt latents (no key mask:
                 # reference latent_module.py:694-700)
                 assert context is not None
                 res = x
-                hn = RMSNorm(**norm_kw, name=f"cross_norm_{i}")(x, cond=cond)
-                x = res + Attention(
-                    dim=self.dim,
-                    dim_head=self.dim_head,
-                    heads=self.heads,
-                    dropout=self.dropout,
-                    dtype=self.dtype,
-                    name=f"cross_attn_{i}",
-                )(hn, context=context, deterministic=deterministic)
+                hn = self.cross_norms[i](
+                    x, cond=cond, film=film["cross"][i] if film else None
+                )
+                x = res + self.cross_attns[i](
+                    hn, context=context, deterministic=deterministic
+                )
             res = x
-            hn = RMSNorm(**norm_kw, name=f"ff_norm_{i}")(x, cond=cond)
-            x = res + FeedForward(
-                dim=self.dim,
-                mult=self.ff_mult,
-                causal_conv=self.ff_causal_conv,
-                dtype=self.dtype,
-                name=f"ff_{i}",
-            )(hn)
-        x = RMSNorm(dim=self.dim, dtype=self.dtype, name="final_norm")(x)
-        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_pred")(x)
+            hn = self.ff_norms[i](
+                x, cond=cond, film=film["ff"][i] if film else None
+            )
+            x = res + self.ffs[i](hn)
+        x = self.final_norm(x)
+        return self.to_pred(x)

@@ -7,13 +7,17 @@ the last stack's skip convolutions are summed. Each block is a causal dilated
 conv with gated tanh*sigmoid activation, FiLM time conditioning, and a 1x1
 causal residual conv.
 
-All tensors are batch-first [B, T, C]; convs run as lax.conv_general_dilated
-NWC graphs which XLA tiles directly onto the MXU.
+All tensors are batch-first [B, T, C]; convs run as shifted MXU matmuls
+(see layers.CausalConv1d). The per-block FiLM projections
+(`to_time_cond`: [dim_time, 2*dim] each — the bulk of the denoiser's
+parameters) support precomputation via `precompute_film`, so sampling scans
+read those weights from HBM once instead of once per diffusion step
+(PERFORMANCE.md).
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import List, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -29,23 +33,35 @@ class WavenetResBlock(nn.Module):
     cond_dim: Optional[int] = None  # dim of time-condition vector, or None
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, t=None):
-        res = CausalConv1d(self.dim, 1, dtype=self.dtype, name="res_conv")(x)
-        h = CausalConv1d(
+    def setup(self):
+        self.res_conv = CausalConv1d(self.dim, 1, dtype=self.dtype,
+                                     name="res_conv")
+        self.conv = CausalConv1d(
             self.dim, self.kernel_size, dilation=self.dilation,
             dtype=self.dtype, name="conv",
-        )(x)
+        )
         if self.cond_dim is not None:
-            assert t is not None
-            tc = nn.Dense(self.dim * 2, dtype=self.dtype, name="to_time_cond")(t)
-            gamma, beta = jnp.split(tc[:, None, :], 2, axis=-1)  # [B, 1, C] each
+            self.to_time_cond = nn.Dense(self.dim * 2, dtype=self.dtype,
+                                         name="to_time_cond")
+        if self.skip_conv:
+            self.skip = CausalConv1d(self.dim, 1, dtype=self.dtype,
+                                     name="skip_conv")
+
+    def film(self, t):
+        return self.to_time_cond(t)
+
+    def __call__(self, x, t=None, film=None):
+        res = self.res_conv(x)
+        h = self.conv(x)
+        if self.cond_dim is not None:
+            tc = film if film is not None else self.to_time_cond(t)
+            gamma, beta = jnp.split(tc[:, None, :], 2, axis=-1)  # [B, 1, C]
             h = h * gamma + beta
         h = jnp.tanh(h) * nn.sigmoid(h)
         h = h + res
         skip = None
         if self.skip_conv:
-            skip = CausalConv1d(self.dim, 1, dtype=self.dtype, name="skip_conv")(h)
+            skip = self.skip(h)
         return h, skip
 
 
@@ -57,16 +73,9 @@ class WavenetStack(nn.Module):
     cond_dim: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, xs, t=None):
-        """xs: a single [B, T, C] array (broadcast to every chain) or a list of
-        per-chain arrays. Returns list of residuals, or list of skips if
-        has_skip."""
-        if not isinstance(xs, (list, tuple)):
-            xs = [xs] * self.layers
-        outs, skips = [], []
-        for j in range(self.layers):
-            h, skip = WavenetResBlock(
+    def setup(self):
+        self.blocks = [
+            WavenetResBlock(
                 dim=self.dim,
                 dilation=2 ** j,
                 kernel_size=self.kernel_size,
@@ -74,7 +83,22 @@ class WavenetStack(nn.Module):
                 cond_dim=self.cond_dim,
                 dtype=self.dtype,
                 name=f"block_{j}",
-            )(xs[j], t)
+            )
+            for j in range(self.layers)
+        ]
+
+    def precompute_film(self, t):
+        return [b.film(t) for b in self.blocks]
+
+    def __call__(self, xs, t=None, film=None):
+        """xs: a single [B, T, C] array (broadcast to every chain) or a list of
+        per-chain arrays. Returns list of residuals, or list of skips if
+        has_skip."""
+        if not isinstance(xs, (list, tuple)):
+            xs = [xs] * self.layers
+        outs, skips = [], []
+        for j, block in enumerate(self.blocks):
+            h, skip = block(xs[j], t, film=film[j] if film else None)
             outs.append(h)
             skips.append(skip)
         return skips if self.has_skip else outs
@@ -92,21 +116,33 @@ class Wavenet(nn.Module):
     cond_dim: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, t=None):
-        x = CausalConv1d(
+    def setup(self):
+        self.init_conv = CausalConv1d(
             self.dim, self.init_conv_kernel, dtype=self.dtype, name="init_conv"
-        )(x)
-        h = x
-        for s in range(self.stacks):
-            is_last = s == self.stacks - 1
-            h = WavenetStack(
+        )
+        self.wstacks = [
+            WavenetStack(
                 dim=self.dim,
                 layers=self.layers,
-                has_skip=is_last,
+                has_skip=(s == self.stacks - 1),
                 cond_dim=self.cond_dim,
                 dtype=self.dtype,
                 name=f"stack_{s}",
-            )(h, t)
+            )
+            for s in range(self.stacks)
+        ]
+        self.final_conv = CausalConv1d(self.dim, 1, dtype=self.dtype,
+                                       name="final_conv")
+
+    def precompute_film(self, t):
+        """All FiLM projections for condition t [..., cond_dim] — one HBM
+        read of every to_time_cond weight, reusable across scan steps."""
+        return [s.precompute_film(t) for s in self.wstacks]
+
+    def __call__(self, x, t=None, film=None):
+        x = self.init_conv(x)
+        h = x
+        for s, stack in enumerate(self.wstacks):
+            h = stack(h, t, film=film[s] if film else None)
         out = sum(h)  # sum of per-chain skips
-        return CausalConv1d(self.dim, 1, dtype=self.dtype, name="final_conv")(out)
+        return self.final_conv(out)

@@ -21,9 +21,13 @@ from diffnorm_tpu.ops.attention import masked_attention
 
 
 def l2norm(x, eps: float = 1e-12):
-    """F.normalize parity: x / max(||x||_2, eps) along the last axis."""
-    norm = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True))
-    return (x / jnp.maximum(norm, eps)).astype(x.dtype)
+    """F.normalize parity: x / max(||x||_2, eps) along the last axis.
+
+    The square-sum accumulates in f32 without materializing an f32 copy of x
+    (profiled: the f32 upcast doubled the HBM traffic of every norm)."""
+    sq = jnp.sum(jnp.square(x), axis=-1, keepdims=True, dtype=jnp.float32)
+    inv = 1.0 / jnp.maximum(jnp.sqrt(sq), eps)
+    return x * inv.astype(x.dtype)
 
 
 class RMSNorm(nn.Module):
@@ -126,6 +130,9 @@ class CausalConv1d(nn.Module):
             if self.use_bias else None
         )
         xc = x.astype(self.dtype)
+        # each tap's matmul accumulates f32 inside the MXU; the k-term sum
+        # stays in the compute dtype (avoids materializing f32 activations —
+        # profiled as a major HBM cost in the transformer's conv-FF)
         out = None
         for i in range(self.kernel_size):
             # tap i sees x[t - (k-1-i)*dilation]
@@ -139,10 +146,9 @@ class CausalConv1d(nn.Module):
                 xi = jnp.pad(xc[:, :-shift], ((0, 0), (shift, 0), (0, 0)))
             term = jnp.einsum(
                 "btc,cd->btd", xi, kernel[i],
-                preferred_element_type=jnp.float32,
+                preferred_element_type=self.dtype,
             )
             out = term if out is None else out + term
-        out = out.astype(self.dtype)
         if bias is not None:
             out = out + bias
         return out

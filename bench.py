@@ -100,5 +100,64 @@ def main():
     }))
 
 
+def main_nar():
+    """Secondary metric (BASELINE: NAR decode utts/sec/chip): full-size
+    nar_s2ut_conformer mask-predict decode, 15 iterations, B=16 x 480 fbank
+    frames. Run with `python bench.py --nar`."""
+    from diffnorm_tpu.config import Config
+    from diffnorm_tpu.generate.mask_predict import mask_predict_decode
+    from diffnorm_tpu.registry import TASKS, _import_all
+
+    _import_all()
+    cfg = Config(
+        arch="nar_s2ut_conformer", criterion="nar_speech_to_unit",
+        target_code_size=1000, label_smoothing=0.2, lr=5e-4,
+        dtype="bfloat16",
+    )
+    task = TASKS.get("dummy_nar").setup_task(cfg)
+    model = task.build_model()
+    b, frames = 16, 480  # ~4.8 s utterances at 10 ms fbank shift
+    batch = task.dummy_batch(b, frames)
+    variables = task.init_variables(model, jax.random.PRNGKey(0), batch)
+    variables = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        variables,
+    )
+
+    fn = jax.jit(
+        lambda v, s, l: jnp.sum(
+            mask_predict_decode(model, v, s, l, max_iter=15, max_len=256)[0]
+        )
+    )
+    src = jnp.asarray(batch["src_tokens"])
+    lens = jnp.asarray(batch["src_lengths"])
+    _ = float(fn(variables, src, lens))  # compile
+
+    tiny = jax.jit(lambda x: jnp.sum(x))
+    _ = float(tiny(jnp.ones((8,))))
+    t0 = time.perf_counter()
+    _ = float(tiny(jnp.ones((8,))))
+    latency = time.perf_counter() - t0
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = float(fn(variables, src, lens))
+        times.append(time.perf_counter() - t0)
+    wall = max(min(times) - latency, 1e-9)
+    utts_per_sec = b / wall
+    print(json.dumps({
+        "metric": "nar_s2ut_decode_throughput",
+        "value": round(utts_per_sec, 3),
+        "unit": "utts/s (B16, 480 fbank frames, 16 decode passes, 1 chip)",
+        "vs_baseline": round(utts_per_sec / 5.0, 3),
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--nar" in sys.argv:
+        main_nar()
+    else:
+        main()

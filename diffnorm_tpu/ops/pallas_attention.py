@@ -61,12 +61,32 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, block_k):
     o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+def _attn_kernel_wide(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale):
+    """Single-shot variant: the whole [BQ, Tk] score tile lives in VMEM
+    (fine up to Tk ~ 8k at BQ=256) — two large MXU calls instead of a
+    fori_loop of small ones."""
+    q = q_ref[:].astype(jnp.float32) * scale
+    k = k_ref[:].astype(jnp.float32)
+    v = v_ref[:].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    valid = mask_ref[0, :] > 0
+    s = jnp.where(valid[None, :], s, NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    o = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
+    o_ref[:] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
 def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
 def flash_attention(q, k, v, mask=None, block_q: int = 256,
-                    block_k: int = 512, interpret: bool = False):
+                    block_k: int = 512, interpret: bool = False,
+                    wide: bool = True):
     """q: [B, H, Tq, D]; k/v: [B, H, Tk, D]; mask: [B, Tk] bool (True=valid).
     Returns [B, H, Tq, D] in q.dtype."""
     b, h, tq, d = q.shape
@@ -94,8 +114,13 @@ def flash_attention(q, k, v, mask=None, block_q: int = 256,
     mf = jnp.repeat(mask_i, h, axis=0)[:, None, :]  # [B*H, 1, Tk]
 
     grid = (b * h, tq_pad // block_q)
+    kernel = (
+        functools.partial(_attn_kernel_wide, scale=scale)
+        if wide and tk_pad <= 8192
+        else functools.partial(_attn_kernel, scale=scale, block_k=block_k)
+    )
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, block_k=block_k),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((None, block_q, d_pad), lambda i, j: (i, j, 0),

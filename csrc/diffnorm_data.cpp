@@ -232,6 +232,35 @@ long token_block_slices(const long* sizes, long n_docs, long block_size,
 }
 
 // ---------------------------------------------------------------------------
+// Balanced expert assignment (reference: fairseq/clib/libbase/
+// balanced_assignment.cpp — auction algorithm for BASE-layer MoE routing).
+// Greedy global-sort assignment with equal capacity per expert: sort all
+// (token, expert) scores descending, assign each token to its best still-
+// open expert. scores: [n_tokens, n_experts] row-major; out: [n_tokens]
+// expert ids. n_tokens must be divisible by n_experts.
+// ---------------------------------------------------------------------------
+void balanced_assignment(const float* scores, long n_tokens, long n_experts,
+                         long* out) {
+  long cap = n_tokens / n_experts;
+  std::vector<long> order(n_tokens * n_experts);
+  for (long i = 0; i < (long)order.size(); ++i) order[i] = i;
+  std::sort(order.begin(), order.end(),
+            [&](long a, long b) { return scores[a] > scores[b]; });
+  std::vector<long> expert_count(n_experts, 0);
+  std::vector<char> token_done(n_tokens, 0);
+  long assigned = 0;
+  for (long idx : order) {
+    long tok = idx / n_experts;
+    long exp = idx % n_experts;
+    if (token_done[tok] || expert_count[exp] >= cap) continue;
+    out[tok] = exp;
+    token_done[tok] = 1;
+    ++expert_count[exp];
+    if (++assigned == n_tokens) break;
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Monotonic alignment (reference: examples/operators/alignment_train_*.cpp/.cu
 // used by simultaneous-MT / duration training): best monotonic path through a
 // [tx, ty] log-probability matrix (every source step advances 0 or 1 target

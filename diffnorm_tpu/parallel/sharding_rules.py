@@ -38,6 +38,10 @@ def param_spec(path: Tuple[str, ...], value) -> P:
     leaf = names[-1] if names else ""
     parent = names[-2] if len(names) > 1 else ""
     ndim = getattr(value, "ndim", 0)
+    if leaf.startswith("experts_") and ndim >= 2:
+        # expert parallelism: the leading expert axis shards over "model"
+        # (BASE-layer MoE, models/moe.py)
+        return P(*(["model"] + [None] * (ndim - 1)))
     if leaf == "kernel" and ndim >= 2:
         if parent in COLUMN_PARALLEL:
             return P(*([None] * (ndim - 1) + ["model"]))

@@ -1,0 +1,91 @@
+"""SpeechToUnit dataset: TSV + config.yaml transforms, collation order,
+conformer encoder shapes over its output."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+import yaml
+
+from diffnorm_tpu.data.dictionary import Dictionary
+from diffnorm_tpu.data.manifest import write_translation_manifest
+from diffnorm_tpu.data.s2s_dataset import SpeechToUnitDataset
+
+PAD, EOS = 1, 2
+
+
+@pytest.fixture
+def data_dir(tmp_path):
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(4):
+        t = int(rng.integers(30, 50))
+        feat = rng.normal(size=(t, 80)).astype(np.float32)
+        np.save(tmp_path / f"utt{i}.npy", feat)
+        units = rng.integers(0, 10, size=t // 4 + 2)
+        rows.append({
+            "id": f"utt{i}", "src_audio": str(tmp_path / f"utt{i}.npy"),
+            "src_n_frames": t, "tgt_audio": " ".join(map(str, units)),
+            "tgt_n_frames": len(units),
+        })
+    write_translation_manifest(str(tmp_path / "train.tsv"), rows)
+    cfg = {
+        "input_feat_per_channel": 80,
+        "transforms": {"*": ["utterance_cmvn"], "_train": ["specaugment"]},
+        "specaugment": {"freq_mask_N": 1, "freq_mask_F": 5,
+                        "time_mask_N": 1, "time_mask_T": 5, "time_mask_p": 1.0},
+    }
+    (tmp_path / "config.yaml").write_text(yaml.safe_dump(cfg))
+    return tmp_path
+
+
+def test_dataset_load_and_collate(data_dir):
+    d = Dictionary.unit_dictionary(10)
+    ds = SpeechToUnitDataset.from_tsv(
+        root=str(data_dir), split="train", tgt_dict=d, is_train=True,
+    )
+    assert len(ds) == 4
+    # transforms from the yaml applied (cmvn -> ~zero mean per utt)
+    item = ds[0]
+    assert abs(item["source"].mean()) < 0.2
+    # targets have eos appended, +4 offset
+    assert item["target"][-1] == EOS
+    assert (item["target"][:-1] >= 4).all()
+
+    batch = ds.collater([ds[i] for i in range(4)])
+    # sorted by descending source frames
+    assert (np.diff(batch["src_lengths"]) <= 0).all()
+    assert batch["target"].shape[0] == 4
+    # pad=1 on the target side
+    lens = batch["target_lengths"]
+    longest = int(lens.max())
+    for i, n in enumerate(lens):
+        assert (batch["target"][i, n:] == PAD).all() or n == longest
+
+
+def test_conformer_shapes_over_batch(data_dir):
+    import jax.numpy as jnp
+
+    from diffnorm_tpu.models.conformer import ConformerEncoder, subsampled_lengths
+
+    d = Dictionary.unit_dictionary(10)
+    ds = SpeechToUnitDataset.from_tsv(
+        root=str(data_dir), split="train", tgt_dict=d, is_train=False,
+    )
+    batch = ds.collater([ds[0], ds[1]])
+    enc = ConformerEncoder(dim=16, ffn_dim=32, layers=1, heads=2,
+                           conv_channels=16, depthwise_kernel_size=7)
+    variables = enc.init(
+        jax.random.PRNGKey(0), jnp.asarray(batch["src_tokens"]),
+        jnp.asarray(batch["src_lengths"]),
+    )
+    out, mask = enc.apply(
+        variables, jnp.asarray(batch["src_tokens"]),
+        jnp.asarray(batch["src_lengths"]),
+    )
+    exp_lens = np.asarray(subsampled_lengths(jnp.asarray(batch["src_lengths"])))
+    assert out.shape[1] >= exp_lens.max()
+    np.testing.assert_array_equal(np.asarray(mask).sum(1), exp_lens)
+    # 4x temporal downsample
+    assert abs(out.shape[1] - batch["src_tokens"].shape[1] / 4) <= 2

@@ -39,6 +39,7 @@ class ReprToReprUnitDataset:
         is_train: bool = True,
         with_source: bool = False,
         seed: int = 1,
+        bucket: bool = True,
     ):
         self.ids = ids
         self.tgt_feat_paths = tgt_feat_paths
@@ -49,6 +50,9 @@ class ReprToReprUnitDataset:
         self.with_source = with_source and src_feat_paths is not None
         self.shuffle = is_train
         self.seed = seed
+        # bucket padded lengths so jit sees a handful of shapes (the TPU
+        # tunnel makes recompiles minutes-expensive)
+        self.bucket = bucket
         self._sizes = np.asarray([len(u) for u in tgt_units], dtype=np.int64)
 
     # ----------------------------------------------------------- protocol
@@ -108,6 +112,10 @@ class ReprToReprUnitDataset:
             [s["reduce_tgt_unit"].shape[0] for s in samples], np.int32
         )
         max_tgt, max_red = int(tgt_lens.max()), int(red_lens.max())
+        if self.bucket:
+            from diffnorm_tpu.data.batching import bucket_length
+
+            max_tgt, max_red = bucket_length(max_tgt), bucket_length(max_red)
 
         target = np.zeros((bsz, max_tgt, feat_dim), np.float32)
         target_unit = np.zeros((bsz, max_tgt), np.int32)

@@ -34,6 +34,7 @@ class SpeechToUnitDataset:
         data_cfg: Optional[dict] = None,
         is_train: bool = True,
         seed: int = 1,
+        bucket: bool = True,
     ):
         self.ids = ids
         self.src_audio_paths = src_audio_paths
@@ -44,6 +45,7 @@ class SpeechToUnitDataset:
         self.shuffle = is_train
         self.seed = seed
         self.data_cfg = data_cfg or {}
+        self.bucket = bucket  # pad to length buckets -> few jit shapes
         self._rng = np.random.default_rng(seed)
         self.feature_transforms = build_feature_transforms(
             self.data_cfg, is_train=is_train
@@ -90,8 +92,13 @@ class SpeechToUnitDataset:
         src_lens = np.asarray([s["source"].shape[0] for s in samples], np.int32)
         tgt_lens = np.asarray([len(s["target"]) for s in samples], np.int32)
         feat_dim = samples[0]["source"].shape[1]
-        src = np.zeros((bsz, int(src_lens.max()), feat_dim), np.float32)
-        tgt = np.full((bsz, int(tgt_lens.max())), PAD, np.int32)
+        max_src, max_tgt = int(src_lens.max()), int(tgt_lens.max())
+        if self.bucket:
+            from diffnorm_tpu.data.batching import bucket_length
+
+            max_src, max_tgt = bucket_length(max_src), bucket_length(max_tgt)
+        src = np.zeros((bsz, max_src, feat_dim), np.float32)
+        tgt = np.full((bsz, max_tgt), PAD, np.int32)
         for i, s in enumerate(samples):
             src[i, : src_lens[i]] = s["source"]
             tgt[i, : tgt_lens[i]] = s["target"]

@@ -17,7 +17,13 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+import os
+
 from diffnorm_tpu.ops.attention import masked_attention
+
+# opt-in fused Pallas RMSNorm+FiLM for the sampling path (see
+# ops/pallas_norm.py and PERFORMANCE.md)
+_PALLAS_NORM = bool(int(os.environ.get("DIFFNORM_PALLAS_NORM", "0")))
 
 
 def l2norm(x, eps: float = 1e-12):
@@ -64,6 +70,16 @@ class RMSNorm(nn.Module):
         return self.to_gamma_beta(cond)
 
     def __call__(self, x, cond=None, film=None):
+        if (
+            self.cond_dim is not None
+            and film is not None
+            and x.ndim == 3
+            and _PALLAS_NORM
+            and jax.devices()[0].platform == "tpu"
+        ):
+            from diffnorm_tpu.ops.pallas_norm import rms_norm_film
+
+            return rms_norm_film(x, film)
         out = l2norm(x) * math.sqrt(self.dim)
         if self.scale:
             out = out * self.gamma.astype(x.dtype)

@@ -75,3 +75,20 @@ def test_dynamicconv_shapes_and_causality():
     out2 = dynamicconv(x2, w, padding="causal")
     np.testing.assert_allclose(np.asarray(out1[0, :7]), np.asarray(out2[0, :7]),
                                rtol=1e-5)
+
+
+def test_rms_norm_film_matches_reference():
+    from diffnorm_tpu.ops.pallas_norm import rms_norm_film
+
+    rng = np.random.default_rng(5)
+    b, t, c = 2, 8, 128
+    x = jnp.asarray(rng.normal(size=(b, t, c)), jnp.float32)
+    film = jnp.asarray(rng.normal(size=(b, 2 * c)), jnp.float32)
+    out = rms_norm_film(x, film, interpret=True)
+    # reference math
+    from diffnorm_tpu.models.layers import l2norm
+
+    gamma, beta = np.split(np.asarray(film), 2, axis=-1)
+    ref = (np.asarray(l2norm(x)) * np.sqrt(c) * gamma[:, None, :]
+           + beta[:, None, :])
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)

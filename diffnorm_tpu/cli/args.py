@@ -34,8 +34,12 @@ def _infer(value: str):
 
 
 def parse_args(argv: Optional[List[str]] = None) -> Config:
+    """Parse `--key value` flags (+ positional data dir). `--config FILE`
+    loads a YAML of defaults first; explicit flags override it (the
+    hydra_train capability of the reference, minus hydra)."""
     argv = list(sys.argv[1:] if argv is None else argv)
     cfg = Config()
+    overrides = Config()
     positional = []
     i = 0
     while i < len(argv):
@@ -43,14 +47,19 @@ def parse_args(argv: Optional[List[str]] = None) -> Config:
         if tok.startswith("--"):
             key = tok[2:].replace("-", "_")
             if i + 1 < len(argv) and not argv[i + 1].startswith("--"):
-                cfg[key] = _infer(argv[i + 1])
+                value = _infer(argv[i + 1])
                 i += 2
             else:
-                cfg[key] = True  # boolean flag
+                value = True  # boolean flag
                 i += 1
+            if key == "config":
+                cfg.update(Config.from_yaml(value).to_dict())
+            else:
+                overrides[key] = value
         else:
             positional.append(tok)
             i += 1
+    cfg.update(overrides.to_dict())
     if positional:
         cfg.data = positional[0]
         if len(positional) > 1:

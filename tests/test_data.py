@@ -208,3 +208,22 @@ def test_specaugment_masks():
     sa = SpecAugment(freq_mask_n=2, freq_mask_f=10, time_mask_n=2, time_mask_t=10)
     out = sa(x, rng=np.random.default_rng(0))
     assert out.shape == x.shape
+
+
+def test_cli_config_file_merging(tmp_path):
+    import yaml
+
+    from diffnorm_tpu.cli.args import parse_args
+
+    (tmp_path / "train_cfg.yaml").write_text(
+        yaml.safe_dump({"lr": 0.001, "max_update": 100, "arch": "from_file"})
+    )
+    cfg = parse_args([
+        "/data", "--config", str(tmp_path / "train_cfg.yaml"),
+        "--lr", "0.01", "--seed", "7",
+    ])
+    assert cfg.data == "/data"
+    assert cfg.arch == "from_file"       # from the YAML
+    assert cfg.max_update == 100         # from the YAML
+    assert cfg.lr == 0.01                # flag overrides YAML
+    assert cfg.seed == 7

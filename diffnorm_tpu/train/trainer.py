@@ -122,6 +122,10 @@ class Trainer:
         keys = sorted(mets)
         self._metric_keys = keys
         vec = jnp.stack([jnp.asarray(mets[k], jnp.float32) for k in keys])
+        # pre-scale grads by sample_size ON DEVICE so grad accumulation
+        # needs no host sync per microbatch (fairseq sum-loss semantics)
+        ss = vec[keys.index("sample_size")] if "sample_size" in keys else 1.0
+        grads = jax.tree_util.tree_map(lambda g: g * ss, grads)
         return grads, vec, mutated
 
     def _apply_step(self, state: TrainState, grads):
@@ -165,8 +169,7 @@ class Trainer:
     ) -> Tuple[TrainState, Dict[str, float]]:
         """One optimizer update over `len(batches)` microbatches."""
         grads_acc = None
-        ss_total = 0.0
-        mets_acc: Dict[str, float] = {}
+        vecs = []  # device metric vectors; pulled once after the loop
         model_state = state.model_state
         for i, batch in enumerate(batches):
             r = jax.random.fold_in(rng, i)
@@ -174,20 +177,23 @@ class Trainer:
             micro_state = state.replace(model_state=model_state)
             grads, met_vec, mutated = self._jit_grad(micro_state, batch, r)
             model_state = {**model_state, **mutated}
-            keys = self._metric_keys
-            mets = dict(zip(keys, np.asarray(jax.device_get(met_vec))))
-            ss = float(mets.get("sample_size", 1.0))
-            ss_total += ss
-            scaled = jax.tree_util.tree_map(lambda g: g * ss, grads)
+            vecs.append(met_vec)
             grads_acc = (
-                scaled
+                grads
                 if grads_acc is None
-                else jax.tree_util.tree_map(jnp.add, grads_acc, scaled)
+                else jax.tree_util.tree_map(jnp.add, grads_acc, grads)
             )
-            for k, v in mets.items():
-                mets_acc[k] = mets_acc.get(k, 0.0) + float(v) * (
-                    ss if k not in ("ntokens", "nsentences", "sample_size") else 1.0
-                )
+        keys = self._metric_keys
+        all_vecs = np.asarray(jax.device_get(jnp.stack(vecs)))  # one pull
+        ss_idx = keys.index("sample_size") if "sample_size" in keys else None
+        ss_per = all_vecs[:, ss_idx] if ss_idx is not None else np.ones(len(vecs))
+        ss_total = float(ss_per.sum())
+        mets_acc: Dict[str, float] = {}
+        for k_i, k in enumerate(keys):
+            if k in ("ntokens", "nsentences", "sample_size"):
+                mets_acc[k] = float(all_vecs[:, k_i].sum())
+            else:
+                mets_acc[k] = float((all_vecs[:, k_i] * ss_per).sum())
         grads = jax.tree_util.tree_map(lambda g: g / max(ss_total, 1.0), grads_acc)
         step_before = int(state.step)
         new_state, gnorm, ok = self._jit_apply(

@@ -243,6 +243,10 @@ class ConformerEncoder(nn.Module):
     conv_channels: int = 1024
     conv_kernel_sizes: Sequence[int] = (5, 5)
     no_scale_embedding: bool = False
+    # rematerialize each conformer layer in the backward pass (jax.checkpoint)
+    # — trades ~30% extra fwd FLOPs for O(layers) less activation memory on
+    # long-utterance training batches (max_source_positions up to 6000)
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -263,8 +267,13 @@ class ConformerEncoder(nn.Module):
         )
         x = nn.Dense(self.dim, dtype=self.dtype, name="linear")(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        layer_cls = ConformerLayer
+        if self.remat:
+            layer_cls = nn.remat(
+                ConformerLayer, static_argnums=(4,)  # deterministic
+            )
         for i in range(self.layers):
-            x = ConformerLayer(
+            x = layer_cls(
                 dim=self.dim,
                 ffn_dim=self.ffn_dim,
                 heads=self.heads,
@@ -272,5 +281,5 @@ class ConformerEncoder(nn.Module):
                 depthwise_kernel_size=self.depthwise_kernel_size,
                 dtype=self.dtype,
                 name=f"layer_{i}",
-            )(x, pos_table, mask=mask, deterministic=deterministic)
+            )(x, pos_table, mask, deterministic)
         return x, mask

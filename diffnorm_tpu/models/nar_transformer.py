@@ -202,6 +202,7 @@ class NARS2UTModule(nn.Module):
     # model (no-grad, specials banned), prefix the encoder feature sequence
     # with embed(y0), and train on the prompted context
     use_sp: bool = False
+    encoder_remat: bool = False  # jax.checkpoint per conformer layer
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -212,6 +213,7 @@ class NARS2UTModule(nn.Module):
             heads=self.encoder_heads,
             dropout=self.dropout,
             depthwise_kernel_size=self.depthwise_kernel_size,
+            remat=self.encoder_remat,
             dtype=self.dtype,
             name="encoder",
         )
@@ -330,6 +332,7 @@ class NARS2UTModel(ModelHolder):
             cg_prob=cfg.get("cg_prob", 0.0),
             ctc_vocab=cfg.get("multitask_ctc_vocab", 0),
             use_sp=cfg.get("use_sp", False),
+            encoder_remat=cfg.get("encoder_remat", False),
             dtype=jnp.dtype(cfg.get("dtype", "float32")),
         )
         return cls(module=module, cfg=cfg)

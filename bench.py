@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = 64  # the reference normalization driver batches ~100 utterances
+BATCH = int(__import__("os").environ.get("BENCH_BATCH", 64))  # reference driver batches ~100
 SEQ = 128
 START_STEP = 50
 SECONDS_PER_UNIT = 0.02  # 50 Hz unit rate
@@ -95,7 +95,7 @@ def main():
     print(json.dumps({
         "metric": "diffnorm_ddim_normalization_rtf",
         "value": round(rtf, 3),
-        "unit": "audio_s/wall_s (B64xT128, 49 DDIM steps, bf16, 1 chip)",
+        "unit": f"audio_s/wall_s (B{BATCH}xT128, 49 DDIM steps, bf16, 1 chip)",
         "vs_baseline": round(rtf / 5.0, 3),
     }))
 

@@ -20,6 +20,7 @@ import time
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from diffnorm_tpu.cli.args import parse_args
@@ -77,12 +78,44 @@ def main(cfg: Optional[Config] = None) -> int:
     cond_scale = cfg.get("cond_scale", 1.0)
     max_len = cfg.get("max_target_positions", 256)
 
-    decode = jax.jit(
-        lambda v, src, lengths: mask_predict_decode(
-            model, v, src, lengths, max_iter=max_iter, max_len=min(max_len, 256),
-            cond_scale=cond_scale, length_beam=beam,
-        )
-    )
+    from diffnorm_tpu.tasks.ar_s2ut_task import ARS2UTTask
+
+    is_ar = isinstance(task, ARS2UTTask)
+    n_frames = int(cfg.get("n_frames_per_step", 1))
+    if is_ar and n_frames > 1:
+        # greedy stacked-unit generation; report the full-rate unit stream
+        from diffnorm_tpu.generate.beam_search import ar_generate_stacked
+
+        def _decode(v, src, lengths):
+            packed, sub = ar_generate_stacked(
+                model, v, src, lengths, max_len=min(max_len, 256)
+            )
+            b = sub.shape[0]
+            tokens = sub.reshape(b, -1)  # [B, L*k] full-rate units
+            return tokens, jnp.zeros(tokens.shape, jnp.float32), \
+                jnp.ones((b,), jnp.int32)
+    elif is_ar:
+        from diffnorm_tpu.generate.beam_search import ar_generate
+
+        def _decode(v, src, lengths):
+            seqs, scores = ar_generate(
+                model, v, src, lengths, beam_size=cfg.get("beam", 5),
+                max_len=min(max_len, 256),
+                len_penalty=cfg.get("lenpen", 1.0),
+            )
+            best = seqs[:, 0]  # [B, L] top beam
+            return best, jnp.broadcast_to(
+                scores[:, :1], best.shape
+            ).astype(jnp.float32), jnp.ones((best.shape[0],), jnp.int32)
+    else:
+        def _decode(v, src, lengths):
+            return mask_predict_decode(
+                model, v, src, lengths, max_iter=max_iter,
+                max_len=min(max_len, 256), cond_scale=cond_scale,
+                length_beam=beam,
+            )
+
+    decode = jax.jit(_decode)
 
     if hasattr(dataset, "collater"):
         itr = EpochBatchIterator(
@@ -116,7 +149,10 @@ def main(cfg: Optional[Config] = None) -> int:
         for i in range(tokens.shape[0]):
             sid = int(batch["id"][i])
             hyp = strip_special(tokens[i], tgt_dict)
-            ref = strip_special(batch["target"][i], tgt_dict)
+            # stacked tasks carry [T, k] sub-frame targets; flatten to the
+            # full-rate unit stream for scoring
+            ref = strip_special(np.asarray(batch["target"][i]).reshape(-1),
+                                tgt_dict)
             score = float(scores[i][tokens[i] != PAD].mean()) if (tokens[i] != PAD).any() else 0.0
             print(f"T-{sid}\t{ref}", file=out_f)
             print(f"H-{sid}\t{score:.4f}\t{hyp}", file=out_f)

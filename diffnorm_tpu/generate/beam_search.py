@@ -192,3 +192,43 @@ def ar_generate(
         min_len=min_len, len_penalty=len_penalty,
         no_repeat_ngram=no_repeat_ngram,
     )
+
+
+def ar_generate_stacked(model, variables, src, src_lengths,
+                        max_len: int = 256):
+    """Greedy stacked-unit generation for an n_frames_per_step>1 AR decoder
+    (reference StackUnitSequenceGenerator, fairseq/tasks/speech_to_speech.py
+    :31-137): encode once, then one packed token per step whose [B, k, V]
+    sub-frame logits are argmax-decoded and re-packed. The KV cache threads
+    through the scan carry. Returns (packed [B, max_len], sub [B, max_len, k])
+    — `sub` is the full-rate unit stream (specials pass through all slots).
+    """
+    from diffnorm_tpu.models.ar_transformer import ARS2UTModule
+    from diffnorm_tpu.models.stacked import stack_unit_generate
+
+    module = model.module
+    k = module.n_frames_per_step  # setup() attrs are apply-scoped in flax
+    enc, enc_mask = module.apply(
+        variables, src, src_lengths, method=ARS2UTModule.encode
+    )
+    b = enc.shape[0]
+    _, cache_vars = module.apply(
+        variables, jnp.full((b, 1), EOS, jnp.int32), enc, enc_mask,
+        jnp.zeros((b,), jnp.int32), max_len,
+        method=ARS2UTModule.decode_step, mutable=["cache"],
+    )
+    cache0 = jax.tree_util.tree_map(jnp.zeros_like, cache_vars["cache"])
+    params_only = {key: v for key, v in variables.items() if key != "cache"}
+
+    def decode_step(cache, prev, positions):
+        logits, mutated = module.apply(
+            {**params_only, "cache": cache}, prev[:, None], enc, enc_mask,
+            positions, max_len, method=ARS2UTModule.decode_step,
+            mutable=["cache"],
+        )
+        return logits, mutated["cache"]  # logits [B, k, V]
+
+    vocab = module.vocab_size - 4
+    return stack_unit_generate(
+        decode_step, b, vocab, k, max_len=max_len, init_state=cache0
+    )

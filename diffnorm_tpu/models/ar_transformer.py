@@ -135,6 +135,11 @@ class ARDecoderLayer(nn.Module):
 
 
 class ARUnitDecoder(nn.Module):
+    """Causal unit decoder. With n_frames_per_step > 1 it emits k stacked
+    sub-frame unit distributions per decoder step (reference
+    TransformerUnitDecoder out_proj_n_frames, nar_transformer.py:104-113 +
+    StackedEmbedding input side): logits come back [B, T, k, V]."""
+
     vocab_size: int
     dim: int = 512
     ffn_dim: int = 2048
@@ -142,18 +147,29 @@ class ARUnitDecoder(nn.Module):
     heads: int = 8
     dropout: float = 0.1
     share_input_output_embed: bool = True
+    n_frames_per_step: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, tokens, enc, enc_mask, deterministic: bool = True,
                  decode: bool = False, decode_position=None,
                  max_decode_len: int = 256):
-        """tokens: [B, T] (T=1 when decode). Returns logits [B, T, V]."""
-        embed = nn.Embed(
-            self.vocab_size, self.dim,
-            embedding_init=nn.initializers.normal(self.dim ** -0.5),
-            dtype=self.dtype, name="embed_tokens",
-        )
+        """tokens: [B, T] (T=1 when decode; packed ids when stacked).
+        Returns logits [B, T, V], or [B, T, k, V] when stacked."""
+        k = self.n_frames_per_step
+        if k > 1:
+            from diffnorm_tpu.models.stacked import StackedEmbedding
+
+            embed = StackedEmbedding(
+                num_embeddings=self.vocab_size, embed_dim=self.dim,
+                num_stacked=k, dtype=self.dtype, name="embed_tokens",
+            )
+        else:
+            embed = nn.Embed(
+                self.vocab_size, self.dim,
+                embedding_init=nn.initializers.normal(self.dim ** -0.5),
+                dtype=self.dtype, name="embed_tokens",
+            )
         x = embed(tokens) * math.sqrt(self.dim)
         if decode:
             # position for the single decoded step (pad offset +1 parity)
@@ -181,6 +197,17 @@ class ARUnitDecoder(nn.Module):
             )(x, self_mask, enc, enc_mask, deterministic=deterministic,
               decode=decode, max_decode_len=max_decode_len)
         x = nn.LayerNorm(dtype=self.dtype, name="layer_norm")(x)
+        if k > 1:
+            b, t, _ = x.shape
+            h = nn.Dense(self.dim * k, use_bias=False, dtype=self.dtype,
+                         name="out_proj_n_frames")(x)
+            h = h.reshape(b, t, k, self.dim)
+            # sub-frame logits over the SUB-unit vocabulary (the packed-id
+            # embedding cannot be attended per sub-frame; fairseq likewise
+            # projects through the output layer per sub-frame)
+            logits = nn.Dense(self.vocab_size, use_bias=False,
+                              dtype=self.dtype, name="subframe_out")(h)
+            return logits  # [B, T, k, V]
         if self.share_input_output_embed:
             return embed.attend(x)
         return nn.Dense(self.vocab_size, use_bias=False, dtype=self.dtype,
@@ -199,6 +226,7 @@ class ARS2UTModule(nn.Module):
     decoder_heads: int = 8
     dropout: float = 0.1
     depthwise_kernel_size: int = 31
+    n_frames_per_step: int = 1
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -213,6 +241,7 @@ class ARS2UTModule(nn.Module):
             vocab_size=self.vocab_size, dim=self.decoder_dim,
             ffn_dim=self.decoder_ffn_dim, layers=self.decoder_layers,
             heads=self.decoder_heads, dropout=self.dropout,
+            n_frames_per_step=self.n_frames_per_step,
             dtype=self.dtype, name="decoder",
         )
 
@@ -255,6 +284,7 @@ class ARS2UTModel(ModelHolder):
             decoder_heads=cfg.get("decoder_attention_heads", 8),
             dropout=cfg.get("dropout", 0.1),
             depthwise_kernel_size=cfg.get("depthwise_conv_kernel_size", 31),
+            n_frames_per_step=cfg.get("n_frames_per_step", 1),
             dtype=jnp.dtype(cfg.get("dtype", "float32")),
         )
         return cls(module=module, cfg=cfg)

@@ -76,18 +76,23 @@ def stack_unit_generate(
     vocab_size: int,
     n_frames_per_step: int,
     max_len: int = 256,
+    init_state=None,
 ):
     """Greedy stacked-unit generation (StackUnitSequenceGenerator parity).
 
-    decode_step(prev_packed [B], position [B]) -> logits [B, n, V+4] for the
-    n sub-frames of this step. Emits until every row produced EOS in any
-    sub-frame or max_len steps. Runs as one lax.scan; finished rows freeze.
+    decode_step(state, prev_packed [B], position [B]) -> (logits [B, n, V+4],
+    state) for the n sub-frames of this step; `state` (e.g. the decoder KV
+    cache) threads through the lax.scan carry — closure-mutated Python state
+    would NOT update across scan iterations. Emits until every row produced
+    EOS in any sub-frame or max_len steps; finished rows freeze.
     Returns (packed tokens [B, max_len], sub_units [B, max_len, n]).
     """
 
     def body(carry, step):
-        prev, finished = carry
-        logits = decode_step(prev, jnp.full((batch_size,), step))
+        prev, finished, state = carry
+        logits, state = decode_step(
+            state, prev, jnp.full((batch_size,), step)
+        )
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         lp = lp.at[..., PAD].set(-jnp.inf).at[..., UNK].set(-jnp.inf)
         sub = jnp.argmax(lp, axis=-1).astype(jnp.int32)  # [B, n]
@@ -99,10 +104,10 @@ def stack_unit_generate(
         sub_out = jnp.where(finished[:, None] | hit_eos[:, None], PAD, sub)
         new_finished = finished | hit_eos
         return (jnp.where(new_finished, jnp.full_like(packed, EOS), packed),
-                new_finished), (packed, sub_out)
+                new_finished, state), (packed, sub_out)
 
     init = (jnp.full((batch_size,), EOS, jnp.int32),
-            jnp.zeros((batch_size,), bool))
+            jnp.zeros((batch_size,), bool), init_state)
     _, (packed_seq, sub_seq) = jax.lax.scan(
         body, init, jnp.arange(max_len)
     )

@@ -16,6 +16,46 @@ from diffnorm_tpu.registry import register_task
 from diffnorm_tpu.tasks.nar_s2ut_task import NARS2UTTask
 
 PAD, EOS = 1, 2
+OFFSET = 4  # specials
+
+
+def stack_target(target: np.ndarray, vocab_size: int, k: int):
+    """Pack a full-rate unit target for n_frames_per_step=k training
+    (reference fairseq/tasks/speech_to_speech.py stacked-unit data path).
+
+    target: [B, L] left-aligned rows of unit ids (>= 4), one EOS, then PAD.
+    Returns (packed [B, T], sub [B, T, k]): k consecutive units collapse into
+    one packed dictionary id (base-V above the specials) for the decoder
+    input side; `sub` keeps the per-sub-frame ids for the [B, T, k, V] loss,
+    with the EOS step broadcast to every sub-frame (matching
+    stack_unit_generate's any-sub-frame-EOS stop) and PAD elsewhere. Rows
+    whose unit count is not a multiple of k repeat the last unit to fill the
+    final frame.
+    """
+    b, L = target.shape
+    m = (target >= OFFSET).sum(axis=1)  # real units per row
+    n_steps = -(-m // k)  # ceil
+    t = int(n_steps.max()) + 1  # +1 for the EOS step
+    w = (t - 1) * k
+
+    rows = np.arange(b)[:, None]
+    idx = np.minimum(np.arange(w)[None, :], np.maximum(m - 1, 0)[:, None])
+    gathered = target[rows, idx]  # last unit repeats past m
+    in_frame = np.arange(w)[None, :] < (n_steps * k)[:, None]
+    sub_raw = np.where(in_frame, gathered - OFFSET, 0).reshape(b, t - 1, k)
+
+    scale = np.array([vocab_size ** (k - 1 - i) for i in range(k)])
+    frame_valid = np.arange(t - 1)[None, :] < n_steps[:, None]
+    packed = np.full((b, t), PAD, dtype=target.dtype)
+    packed[:, :-1] = np.where(
+        frame_valid, (sub_raw * scale).sum(-1) + OFFSET, PAD
+    )
+    packed[np.arange(b), n_steps] = EOS
+
+    sub = np.full((b, t, k), PAD, dtype=target.dtype)
+    sub[:, :-1] = np.where(frame_valid[..., None], sub_raw + OFFSET, PAD)
+    sub[np.arange(b), n_steps] = EOS
+    return packed, sub
 
 
 def shift_right(target: np.ndarray) -> np.ndarray:
@@ -32,7 +72,16 @@ def shift_right(target: np.ndarray) -> np.ndarray:
 @register_task("speech_to_speech_ar")
 class ARS2UTTask(NARS2UTTask):
     def prepare_batch(self, batch: Dict[str, np.ndarray], rng: np.random.Generator):
-        batch["prev_output_tokens"] = shift_right(batch["target"])
+        k = int(self.cfg.get("n_frames_per_step", 1))
+        if k > 1 and batch["target"].ndim == 2:
+            packed, sub = stack_target(
+                batch["target"], self.cfg.get("target_code_size", 1000), k
+            )
+            batch["target"] = sub  # [B, T, k] sub-frame loss targets
+            batch["target_packed"] = packed
+            batch["prev_output_tokens"] = shift_right(packed)
+        elif batch["target"].ndim == 2:
+            batch["prev_output_tokens"] = shift_right(batch["target"])
         return batch
 
     def init_variables(self, model, rng, batch):

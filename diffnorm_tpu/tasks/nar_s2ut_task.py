@@ -107,7 +107,10 @@ class NARS2UTTask(Task):
             size=(batch_size, tgt_len),
         ).astype(np.int32)
         target[:, -1] = EOS
+        # short row: keep a terminating EOS before the pad tail (an EOS-less
+        # row teaches an AR model never to stop on that source)
         target[-1, tgt_len // 2:] = PAD
+        target[-1, tgt_len // 2] = EOS
         batch = {
             "src_tokens": rng.normal(size=(batch_size, seq_len, 80)).astype(
                 np.float32

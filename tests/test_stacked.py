@@ -45,14 +45,14 @@ def test_stacked_embedding_shapes():
 def test_stack_unit_generate():
     v, n, b = 6, 2, 3
 
-    def decode_step(prev, pos):
+    def decode_step(state, prev, pos):
         # deterministic toy: emit unit (pos mod v) in both sub-frames,
         # eos at step 4
         logits = jnp.full((b, n, v + 4), -10.0)
         unit = (pos[0] % v) + OFFSET
         logits = logits.at[:, :, unit].set(0.0)
         logits = jnp.where(pos[0] == 4, logits.at[:, :, EOS].set(5.0), logits)
-        return logits
+        return logits, state
 
     packed, sub = stack_unit_generate(decode_step, b, v, n, max_len=8)
     packed = np.asarray(packed)
@@ -67,3 +67,65 @@ def test_stack_unit_generate():
         np.asarray(unpack_units(jnp.asarray(packed[:, :4]), v, n)),
         sub[:, :4],
     )
+
+
+def test_ar_decoder_stacked_outputs():
+    """n_frames_per_step>1 wiring: packed-id input, [B, T, k, V] logits,
+    cached single-step decode feeding the stacked generator."""
+    import jax
+    from diffnorm_tpu.models.ar_transformer import ARS2UTModule
+
+    v, k = 10, 2
+    module = ARS2UTModule(
+        vocab_size=v + 4, encoder_dim=16, encoder_ffn_dim=32,
+        encoder_layers=1, encoder_heads=2, decoder_dim=16,
+        decoder_ffn_dim=32, decoder_layers=1, decoder_heads=2,
+        depthwise_kernel_size=7, n_frames_per_step=k,
+    )
+    rng = np.random.default_rng(7)
+    src = jnp.asarray(rng.normal(size=(2, 24, 80)), jnp.float32)
+    lens = jnp.asarray([24, 20], jnp.int32)
+    sub = jnp.asarray(rng.integers(0, v, size=(2, 5, k)), jnp.int32)
+    packed = pack_units(sub, v, k)
+    variables = module.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        src, lens, packed, deterministic=True,
+    )
+    out = module.apply(variables, src, lens, packed, deterministic=True)
+    assert out["logits"].shape == (2, 5, k, v + 4)
+
+    # cached decode_step drives the stacked greedy generator
+    enc, enc_mask = module.apply(variables, src, lens, method="encode")
+    _, cache_vars = module.apply(
+        variables, packed[:, :1], enc, enc_mask,
+        jnp.zeros((2,), jnp.int32), 8,
+        method=ARS2UTModule.decode_step, mutable=["cache"],
+    )
+    cache = jax.tree_util.tree_map(jnp.zeros_like, cache_vars["cache"])
+
+    def decode_step(cache, prev, pos):
+        logits, mut = module.apply(
+            {**variables, "cache": cache}, prev[:, None], enc,
+            enc_mask, pos, 8, method=ARS2UTModule.decode_step,
+            mutable=["cache"],
+        )
+        return logits, mut["cache"]  # logits [B, k, V]
+
+    packed_out, sub_out = stack_unit_generate(
+        decode_step, batch_size=2, vocab_size=v, n_frames_per_step=k,
+        max_len=4, init_state=cache,
+    )
+    assert np.asarray(packed_out).shape == (2, 4)
+    assert np.asarray(sub_out).shape == (2, 4, k)
+    # the KV cache threads through the scan carry: position 3 keys differ
+    # from zeros only if earlier steps actually wrote into the cache
+    from diffnorm_tpu.generate.beam_search import ar_generate_stacked
+    from diffnorm_tpu.models.vae import ModelHolder
+
+    class _Holder(ModelHolder):
+        pass
+
+    holder = _Holder(module=module, cfg=None)
+    packed2, sub2 = ar_generate_stacked(holder, variables, src, lens,
+                                        max_len=4)
+    np.testing.assert_array_equal(np.asarray(packed2), np.asarray(packed_out))

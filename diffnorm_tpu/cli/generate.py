@@ -36,8 +36,8 @@ PAD, EOS = 1, 2
 
 
 def strip_special(tokens, dictionary):
-    """Drop pad/eos; map dictionary ids back to raw unit strings."""
-    toks = [int(t) for t in tokens if int(t) not in (PAD, EOS)]
+    """Drop bos/pad/eos; map dictionary ids back to raw unit strings."""
+    toks = [int(t) for t in tokens if int(t) not in (0, PAD, EOS)]
     return " ".join(dictionary[t] for t in toks)
 
 
@@ -79,10 +79,23 @@ def main(cfg: Optional[Config] = None) -> int:
     max_len = cfg.get("max_target_positions", 256)
 
     from diffnorm_tpu.tasks.ar_s2ut_task import ARS2UTTask
+    from diffnorm_tpu.tasks.levenshtein_task import LevenshteinTask
 
     is_ar = isinstance(task, ARS2UTTask)
     n_frames = int(cfg.get("n_frames_per_step", 1))
-    if is_ar and n_frames > 1:
+    if isinstance(task, LevenshteinTask):
+        # iterative insert/delete refinement, one shape-static jitted scan
+        from diffnorm_tpu.models.levenshtein import levenshtein_decode_jit
+
+        def _decode(v, src, lengths):
+            canvas = levenshtein_decode_jit(
+                model, v, src, lengths, max_iter=max_iter,
+                max_len=min(max_len, 256),
+            )
+            b = canvas.shape[0]
+            return canvas, jnp.zeros(canvas.shape, jnp.float32), \
+                jnp.full((b,), max_iter, jnp.int32)
+    elif is_ar and n_frames > 1:
         # greedy stacked-unit generation; report the full-rate unit stream
         from diffnorm_tpu.generate.beam_search import ar_generate_stacked
 

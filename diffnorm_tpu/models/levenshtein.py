@@ -241,6 +241,95 @@ def levenshtein_arch(cfg: Config):
 
 # ------------------------------------------------------------ decoding ----
 
+def _left_pack(tokens, keep):
+    """Left-pack kept tokens into a PAD-padded row (order-preserving).
+    tokens/keep: [B, L] -> [B, L]."""
+    b, l = tokens.shape
+    pos = jnp.cumsum(keep, axis=1) - 1  # destination of each kept token
+    dest = jnp.where(keep, pos, l)  # dropped tokens scatter into overflow
+    buf = jnp.full((b, l + 1), PAD, tokens.dtype)
+    rows = jnp.arange(b)[:, None]
+    return buf.at[rows, dest].set(tokens)[:, :l]
+
+
+def levenshtein_decode_jit(
+    model, variables, src_tokens, src_lengths, max_iter: int = 10,
+    max_len: int = 200,
+):
+    """Fully jitted LevT decoding: one lax.scan over max_iter iterations of
+    delete -> (re-score) insert placeholders -> (re-score) fill, all on a
+    static [B, max_len] canvas (the reference's dynamic-width host loop,
+    levenshtein_transformer.py forward_decoder, re-expressed shape-statically
+    so XLA compiles ONE program instead of one per canvas width).
+
+    Three decoder passes per iteration, matching the reference's policy of
+    scoring insertion on the post-deletion canvas and words on the
+    post-insertion canvas. Converged rows freeze. Returns canvas [B, max_len].
+    """
+    module = model.module
+    enc, enc_mask = module.apply(
+        variables, src_tokens, src_lengths, method="encode"
+    )
+    b = src_tokens.shape[0]
+    l = max_len
+
+    canvas0 = jnp.full((b, l), PAD, jnp.int32)
+    canvas0 = canvas0.at[:, 0].set(BOS).at[:, 1].set(EOS)
+
+    def score(tokens):
+        return module.apply(variables, tokens, enc, enc_mask, method="decode")
+
+    def step(carry, _):
+        canvas, finished = carry
+        valid = canvas != PAD
+        special = (canvas == BOS) | (canvas == EOS)
+
+        # -- delete --------------------------------------------------------
+        _, del_logits, _ = score(canvas)
+        keep = valid & (special | (jnp.argmax(del_logits, -1) == 0))
+        packed = _left_pack(canvas, keep)
+        pvalid = packed != PAD
+        n_tok = jnp.sum(pvalid, axis=1)  # [B]
+
+        # -- insert placeholders --------------------------------------------
+        _, _, ins_logits = score(packed)  # [B, L-1, MAX_INS] per slot j,j+1
+        n_ins = jnp.argmax(ins_logits, -1).astype(jnp.int32)
+        slot_ok = pvalid[:, :-1] & pvalid[:, 1:]  # both neighbours real
+        n_ins = jnp.where(slot_ok, n_ins, 0)
+        # clip cumulative insertions to the static budget (keep eos on canvas)
+        budget = (l - n_tok)[:, None]
+        cum = jnp.minimum(jnp.cumsum(n_ins, axis=1), budget)
+        n_ins = jnp.diff(cum, axis=1, prepend=jnp.zeros((b, 1), jnp.int32))
+        # token j moves to j + insertions in earlier slots
+        offset = jnp.concatenate(
+            [jnp.zeros((b, 1), jnp.int32), cum], axis=1
+        )  # [B, L]: insertions strictly before token j
+        new_pos = jnp.arange(l)[None, :] + offset
+        new_len = n_tok + cum[:, -1]
+        dest = jnp.where(pvalid, jnp.minimum(new_pos, l), l)
+        buf = jnp.full((b, l + 1), UNK, jnp.int32)
+        rows = jnp.arange(b)[:, None]
+        expanded = buf.at[rows, dest].set(jnp.where(pvalid, packed, UNK))[:, :l]
+        expanded = jnp.where(
+            jnp.arange(l)[None, :] < new_len[:, None], expanded, PAD
+        )
+
+        # -- fill ------------------------------------------------------------
+        word_logits, _, _ = score(expanded)
+        word_logits = word_logits.at[..., :4].set(-1e30)  # ban specials
+        fill = jnp.argmax(word_logits, -1).astype(jnp.int32)
+        new_canvas = jnp.where(expanded == UNK, fill, expanded)
+
+        converged = jnp.all(new_canvas == canvas, axis=1)
+        out = jnp.where(finished[:, None], canvas, new_canvas)
+        return (out, finished | converged), None
+
+    (canvas, _), _ = jax.lax.scan(
+        step, (canvas0, jnp.zeros((b,), bool)), None, length=max_iter
+    )
+    return canvas
+
+
 def levenshtein_decode(
     model, variables, src_tokens, src_lengths, max_iter: int = 10,
     max_len: int = 200,

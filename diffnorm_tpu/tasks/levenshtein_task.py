@@ -33,7 +33,9 @@ class LevenshteinTask(CMLMCGTask):
         special = (target == PAD) | (target == BOS) | (target == EOS)
 
         # ---- insertion/word canvases from random deletion ----------------
-        keep_prob = rng.uniform(0.2, 1.0, size=(b, 1))
+        # keep_prob reaches 0 so the empty [bos, eos] canvas — the decoding
+        # start state — stays in-distribution (reference random-delete noise)
+        keep_prob = rng.uniform(0.0, 1.0, size=(b, 1))
         keep = (rng.random(target.shape) < keep_prob) | special
         prev_ins = np.where(keep, target, UNK).astype(np.int32)
 

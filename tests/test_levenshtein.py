@@ -92,3 +92,29 @@ def test_levenshtein_decode(built):
     assert out.shape[0] == 2
     assert (out[:, 0] == BOS).all()
     assert not (out == UNK).any()  # all placeholders filled
+
+
+def test_levenshtein_decode_jit(built):
+    from diffnorm_tpu.models.levenshtein import levenshtein_decode_jit
+
+    task, model, crit, batch, variables = built
+    fn = jax.jit(
+        lambda v, s, l: levenshtein_decode_jit(
+            model, v, s, l, max_iter=2, max_len=16
+        )
+    )
+    out = np.asarray(fn(variables, batch["src_tokens"],
+                        batch["src_lengths"]))
+    assert out.shape == (2, 16)
+    assert (out[:, 0] == BOS).all()
+    assert not (out == UNK).any()  # all placeholders filled
+    # canvas stays left-aligned: nothing real after the first PAD
+    for row in out:
+        pads = np.where(row == PAD)[0]
+        if len(pads):
+            assert (row[pads[0]:] == PAD).all()
+    # the jitted program is shape-static: a second call with the same
+    # shapes must not retrace (cache hit)
+    out2 = np.asarray(fn(variables, batch["src_tokens"],
+                         batch["src_lengths"]))
+    np.testing.assert_array_equal(out, out2)

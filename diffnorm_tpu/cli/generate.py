@@ -125,7 +125,7 @@ def main(cfg: Optional[Config] = None) -> int:
             return mask_predict_decode(
                 model, v, src, lengths, max_iter=max_iter,
                 max_len=min(max_len, 256), cond_scale=cond_scale,
-                length_beam=beam,
+                length_beam=beam, n_frames_per_step=n_frames,
             )
 
     decode = jax.jit(_decode)

@@ -68,8 +68,11 @@ class NARSpeechToUnitLoss:
             mutated = {}
 
         lprobs = jax.nn.log_softmax(out["logits"].astype(jnp.float32), axis=-1)
+        wmask = out["word_ins_mask"]
+        if lprobs.ndim == 4:  # stacked: [B, T] canvas mask over [B, T, k]
+            wmask = wmask[..., None]
         ce_sum, nll_sum = _masked_label_smoothed_ce(
-            lprobs, tgt, out["word_ins_mask"], self.eps
+            lprobs, tgt, wmask, self.eps
         )
 
         len_lprobs = jax.nn.log_softmax(
@@ -102,7 +105,7 @@ class NARSpeechToUnitLoss:
             loss = loss + self.ctc_weight * ctc_loss
 
         pred = jnp.argmax(lprobs, axis=-1)
-        keep = out["word_ins_mask"] & (tgt != PAD)
+        keep = wmask & (tgt != PAD)
         n_correct = jnp.sum((pred == tgt) & keep)
         total = jnp.maximum(jnp.sum(keep), 1)
 

@@ -39,10 +39,15 @@ def skeptical_mask(scores, non_pad, p):
 
 
 def init_canvas(length_tgt, max_len: int):
-    """[B] lengths -> (tokens [B, max_len] unk/pad, scores zeros)."""
+    """[B] lengths -> (tokens [B, max_len] unk/eos/pad, scores zeros).
+
+    EOS sits unmasked at position len-1 (reference initialize_output_tokens
+    parity): training never masks eos, so an all-unk canvas would ask the
+    model for a prediction it was never trained to make."""
     length_tgt = jnp.maximum(length_tgt, 2)
     pos = jnp.arange(max_len)[None, :]
     tokens = jnp.where(pos < length_tgt[:, None], UNK, PAD).astype(jnp.int32)
+    tokens = jnp.where(pos == (length_tgt - 1)[:, None], EOS, tokens)
     return tokens, jnp.zeros(tokens.shape, jnp.float32)
 
 
@@ -56,13 +61,19 @@ def mask_predict_decode(
     cond_scale: float = 1.0,
     true_length=None,
     length_beam: int = 1,
+    n_frames_per_step: int = 1,
 ):
     """Returns (tokens [B', T], scores [B', T], n_steps).
 
     With length_beam > 1, B' = B and the best-scoring beam per sentence is
     selected (regenerate_length_beam parity: lengths l + k - beam//2).
+    With n_frames_per_step > 1 the canvas holds packed ids; each fill takes
+    the per-sub-frame argmax of the [B, T, k, V] logits, re-packs, and the
+    returned tokens are the flattened full-rate unit stream [B', T*k].
     """
     module = model.module
+    kf = n_frames_per_step
+    sub_vocab = module.vocab_size - 4 if kf > 1 else 0
 
     enc, enc_mask = module.apply(
         variables, src, src_lengths, method="encode"
@@ -109,32 +120,50 @@ def mask_predict_decode(
     max_step = max_iter + 1
 
     def step_fn(carry, step):
-        tokens, scores, done, prev_tokens = carry
+        tokens, scores, done, prev_tokens, res_tokens, res_scores = carry
         lp = decode_lprobs(tokens)
-        new_scores = jnp.max(lp, axis=-1)
-        new_tokens = jnp.argmax(lp, axis=-1).astype(jnp.int32)
+        if kf > 1:
+            from diffnorm_tpu.models.stacked import OFFSET, pack_units
+
+            sub_scores = jnp.max(lp, axis=-1)  # [B, T, k]
+            sub_tok = jnp.argmax(lp, axis=-1).astype(jnp.int32)
+            new_scores = jnp.mean(sub_scores, axis=-1)
+            hit_special = jnp.any(sub_tok < OFFSET, axis=-1)
+            packed = pack_units(
+                jnp.maximum(sub_tok - OFFSET, 0), sub_vocab, kf
+            )
+            new_tokens = jnp.where(hit_special, EOS, packed)
+        else:
+            new_scores = jnp.max(lp, axis=-1)
+            new_tokens = jnp.argmax(lp, axis=-1).astype(jnp.int32)
         masks = tokens == UNK
         filled_tokens = jnp.where(masks, new_tokens, tokens)
         filled_scores = jnp.where(masks, new_scores, scores)
+
+        # adaptive loop-detection on the FILLED canvas (the reference
+        # returns output_tokens after fill, before re-masking — freezing
+        # the re-masked canvas would leave unk placeholders in the output)
+        now_done = jnp.all(filled_tokens == prev_tokens, axis=1)
+        result = jnp.where(done[:, None], res_tokens, filled_tokens)
+        res_sc = jnp.where(done[:, None], res_scores, filled_scores)
 
         p = 1.0 - (step.astype(jnp.float32) + 1.0) / max_step
         do_remask = (step + 1) < max_step
         smask = skeptical_mask(filled_scores, filled_tokens != PAD, p) & do_remask
         out_tokens = jnp.where(smask, UNK, filled_tokens)
         out_scores = jnp.where(smask, 0.0, filled_scores)
-
-        # adaptive loop-detection: freeze rows whose canvas did not change
-        now_done = jnp.all(out_tokens == prev_tokens, axis=1)
         out_tokens = jnp.where(done[:, None], tokens, out_tokens)
         out_scores = jnp.where(done[:, None], scores, out_scores)
         steps_used = jnp.where(done, 0, 1)
         new_done = done | now_done
-        return (out_tokens, out_scores, new_done, out_tokens), steps_used
+        return (out_tokens, out_scores, new_done, filled_tokens,
+                result, res_sc), steps_used
 
     done0 = jnp.zeros((tokens.shape[0],), bool)
-    (tokens, scores, done, _), steps = jax.lax.scan(
+    (_, _, done, _, tokens, scores), steps = jax.lax.scan(
         step_fn,
-        (tokens, scores, done0, tokens),
+        (tokens, scores, done0, tokens, tokens,
+         jnp.zeros(tokens.shape, jnp.float32)),
         jnp.arange(max_step),
     )
     n_steps = jnp.sum(steps, axis=0)
@@ -152,6 +181,12 @@ def mask_predict_decode(
         scores = scores.reshape(-1, length_beam, scores.shape[-1])[
             jnp.arange(best.shape[0]), best
         ]
+    if kf > 1:
+        from diffnorm_tpu.models.stacked import unpack_units
+
+        sub = unpack_units(tokens, sub_vocab, kf)  # specials pass through
+        tokens = sub.reshape(tokens.shape[0], -1)
+        scores = jnp.repeat(scores, kf, axis=1)
     return tokens, scores, n_steps
 
 

@@ -116,16 +116,37 @@ class NATUnitDecoder(nn.Module):
     dropout: float = 0.1
     max_lengths: int = 256  # length-classifier classes
     share_input_output_embed: bool = True
+    # stacked units (reference TransformerUnitDecoder out_proj_n_frames,
+    # nar_transformer.py:104-113): packed-id canvas in, [B, T, k, V]
+    # sub-frame logits out
+    n_frames_per_step: int = 1
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.embed_tokens = nn.Embed(
-            self.vocab_size,
-            self.dim,
-            embedding_init=nn.initializers.normal(self.dim ** -0.5),
-            dtype=self.dtype,
-            name="embed_tokens",
-        )
+        if self.n_frames_per_step > 1:
+            from diffnorm_tpu.models.stacked import StackedEmbedding
+
+            self.embed_tokens = StackedEmbedding(
+                num_embeddings=self.vocab_size, embed_dim=self.dim,
+                num_stacked=self.n_frames_per_step, dtype=self.dtype,
+                name="embed_tokens",
+            )
+            self.out_proj_n_frames = nn.Dense(
+                self.dim * self.n_frames_per_step, use_bias=False,
+                dtype=self.dtype, name="out_proj_n_frames",
+            )
+            self.subframe_out = nn.Dense(
+                self.vocab_size, use_bias=False, dtype=self.dtype,
+                name="subframe_out",
+            )
+        else:
+            self.embed_tokens = nn.Embed(
+                self.vocab_size,
+                self.dim,
+                embedding_init=nn.initializers.normal(self.dim ** -0.5),
+                dtype=self.dtype,
+                name="embed_tokens",
+            )
         self.embed_length = nn.Embed(
             self.max_lengths,
             self.dim,
@@ -164,6 +185,11 @@ class NATUnitDecoder(nn.Module):
         for layer in self.dec_layers:
             x = layer(x, valid, enc, enc_mask, deterministic=deterministic)
         x = self.final_norm(x)
+        k = self.n_frames_per_step
+        if k > 1:
+            b, t, _ = x.shape
+            h = self.out_proj_n_frames(x).reshape(b, t, k, self.dim)
+            return self.subframe_out(h)  # [B, T, k, V]
         if self.share_input_output_embed:
             logits = self.embed_tokens.attend(x)
         else:
@@ -203,6 +229,7 @@ class NARS2UTModule(nn.Module):
     # with embed(y0), and train on the prompted context
     use_sp: bool = False
     encoder_remat: bool = False  # jax.checkpoint per conformer layer
+    n_frames_per_step: int = 1
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -224,6 +251,7 @@ class NARS2UTModule(nn.Module):
             layers=self.decoder_layers,
             heads=self.decoder_heads,
             dropout=self.dropout,
+            n_frames_per_step=self.n_frames_per_step,
             dtype=self.dtype,
             name="decoder",
         )
@@ -265,6 +293,8 @@ class NARS2UTModule(nn.Module):
 
         length_logits = self.decoder.forward_length(enc, enc_mask)
         if tgt_tokens is not None:
+            if tgt_tokens.ndim == 3:  # stacked [B, T, k]: count packed steps
+                tgt_tokens = tgt_tokens[..., 0]
             tgt_lengths = jnp.sum(tgt_tokens != PAD, axis=1)
             length_tgt = jnp.clip(tgt_lengths, 0, self.decoder.max_lengths - 1)
         else:
@@ -283,10 +313,16 @@ class NARS2UTModule(nn.Module):
             )
             neg = jnp.finfo(jnp.float32).min
             draft_logits = draft_logits.astype(jnp.float32).at[..., :4].set(neg)
+            draft = jnp.argmax(draft_logits, -1).astype(jnp.int32)
+            if draft.ndim == 3:  # stacked sub-frames -> packed draft ids
+                from diffnorm_tpu.models.stacked import OFFSET, pack_units
+
+                draft = pack_units(
+                    jnp.maximum(draft - OFFSET, 0),
+                    self.vocab_size - 4, self.n_frames_per_step,
+                )
             keep = (prev_tokens == PAD) | (prev_tokens == EOS)
-            y0 = jnp.where(
-                keep, prev_tokens, jnp.argmax(draft_logits, -1).astype(jnp.int32)
-            )
+            y0 = jnp.where(keep, prev_tokens, draft)
             prompt = jax.lax.stop_gradient(self.decoder.embed_tokens(y0))
             prompt_mask = y0 != PAD
             sp_enc = jnp.concatenate([prompt.astype(enc.dtype), enc], axis=1)
@@ -333,6 +369,7 @@ class NARS2UTModel(ModelHolder):
             ctc_vocab=cfg.get("multitask_ctc_vocab", 0),
             use_sp=cfg.get("use_sp", False),
             encoder_remat=cfg.get("encoder_remat", False),
+            n_frames_per_step=cfg.get("n_frames_per_step", 1),
             dtype=jnp.dtype(cfg.get("dtype", "float32")),
         )
         return cls(module=module, cfg=cfg)

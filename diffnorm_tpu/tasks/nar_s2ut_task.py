@@ -78,8 +78,22 @@ class NARS2UTTask(Task):
 
     def prepare_batch(self, batch: Dict[str, np.ndarray], rng: np.random.Generator):
         """Inject CMLM noise: prev_target = masked target (reference
-        train_step :141-157 / valid_step)."""
+        train_step :141-157 / valid_step). With n_frames_per_step>1 the
+        canvas is the packed-id sequence and the loss target keeps the
+        per-sub-frame view (see tasks/ar_s2ut_task.stack_target)."""
+        k = int(self.cfg.get("n_frames_per_step", 1))
         target = batch["target"]
+        if k > 1 and target.ndim == 2:
+            from diffnorm_tpu.tasks.ar_s2ut_task import stack_target
+
+            packed, sub = stack_target(
+                target, self.cfg.get("target_code_size", 1000), k
+            )
+            batch["target"] = sub
+            batch["target_packed"] = packed
+            target = packed
+        elif target.ndim == 3:
+            target = batch["target_packed"]
         if self.use_side and rng.random() > 0.5:
             batch["prev_target"] = side_mask(target, rng)
         else:

@@ -106,9 +106,10 @@ def test_skeptical_mask_counts():
 
 def test_init_canvas():
     tokens, scores = init_canvas(jnp.asarray([3, 1]), 5)
+    EOS = 2
     np.testing.assert_array_equal(
-        np.asarray(tokens), [[UNK, UNK, UNK, PAD, PAD], [UNK, UNK, PAD, PAD, PAD]]
-    )  # min length clamps to 2
+        np.asarray(tokens), [[UNK, UNK, EOS, PAD, PAD], [UNK, EOS, PAD, PAD, PAD]]
+    )  # min length clamps to 2; eos anchors the last real position
 
 
 def test_mask_predict_single_step_fills_all(built):

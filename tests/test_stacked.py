@@ -129,3 +129,42 @@ def test_ar_decoder_stacked_outputs():
     packed2, sub2 = ar_generate_stacked(holder, variables, src, lens,
                                         max_len=4)
     np.testing.assert_array_equal(np.asarray(packed2), np.asarray(packed_out))
+
+
+def test_nar_stacked_forward_and_decode():
+    """NAT decoder with n_frames_per_step=2: packed canvas in, [B, T, k, V]
+    logits out; mask-predict fills sub-frames and returns the full-rate
+    unit stream."""
+    import jax
+    from diffnorm_tpu.config import Config
+    from diffnorm_tpu.generate.mask_predict import mask_predict_decode
+    from diffnorm_tpu.registry import TASKS, _import_all
+
+    _import_all()
+    cfg = Config(
+        arch="nar_s2ut_conformer", criterion="nar_speech_to_unit",
+        target_code_size=10, n_frames_per_step=2, label_smoothing=0.1,
+        encoder_layers=1, decoder_layers=1, encoder_embed_dim=16,
+        encoder_ffn_embed_dim=32, encoder_attention_heads=2,
+        decoder_attention_heads=2, decoder_embed_dim=16,
+        decoder_ffn_embed_dim=32,
+    )
+    task = TASKS.get("dummy_nar").setup_task(cfg)
+    model = task.build_model()
+    crit = task.build_criterion()
+    batch = task.dummy_batch(2, 24)
+    assert batch["target"].ndim == 3 and batch["target"].shape[-1] == 2
+    assert batch["prev_target"].ndim == 2  # packed canvas
+    variables = task.init_variables(model, jax.random.PRNGKey(0), batch)
+
+    loss, mets, _ = crit(model, variables, batch, jax.random.PRNGKey(1),
+                         train=True)
+    assert np.isfinite(float(loss))
+
+    tokens, scores, steps = mask_predict_decode(
+        model, variables, jnp.asarray(batch["src_tokens"]),
+        jnp.asarray(batch["src_lengths"]), max_iter=2, max_len=8,
+        n_frames_per_step=2,
+    )
+    assert tokens.shape == (2, 16)  # full-rate: 8 packed slots * 2
+    assert not (np.asarray(tokens) == 3).any()  # no unfilled placeholders

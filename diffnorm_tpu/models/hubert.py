@@ -51,7 +51,7 @@ class ConvFeatureExtractor(nn.Module):
                     num_groups=dim, epsilon=1e-5, dtype=self.dtype,
                     name="group_norm",
                 )(x)
-            x = jax.nn.gelu(x)
+            x = jax.nn.gelu(x, approximate=False)
         return x
 
 
@@ -73,7 +73,7 @@ class ConvPositionalEmbedding(nn.Module):
         )(x)
         if self.kernel % 2 == 0:
             h = h[:, :-1]
-        return jax.nn.gelu(h)
+        return jax.nn.gelu(h, approximate=False)
 
 
 class TransformerSentenceEncoderLayer(nn.Module):
@@ -104,7 +104,7 @@ class TransformerSentenceEncoderLayer(nn.Module):
         attn = nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(attn)
         x = nn.LayerNorm(dtype=self.dtype, name="self_attn_layer_norm")(x + attn)
         h2 = nn.Dense(self.ffn_dim, dtype=self.dtype, name="fc1")(x)
-        h2 = jax.nn.gelu(h2)
+        h2 = jax.nn.gelu(h2, approximate=False)
         h2 = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h2)
         return nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")(x + h2)
 

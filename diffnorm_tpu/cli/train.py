@@ -168,7 +168,7 @@ def main(cfg: Optional[Config] = None) -> int:
         extra = {"epoch": epoch}
         if epoch_itr is not None:
             extra["iterator"] = epoch_itr.state_dict()
-        ckpt.save(step, jax.device_get(state), metric_value=metric_value,
+        ckpt.save(step, state, metric_value=metric_value,
                   extra=extra)
         logger.info("saved checkpoint at step %d (metric=%s)", step, metric_value)
 
@@ -235,6 +235,7 @@ def main(cfg: Optional[Config] = None) -> int:
                     logger.info("early stop: patience exhausted")
                     done = True
     watchdog.stop()
+    ckpt.finalize()  # commit any in-flight async save before exit
     progress.close()
     if tcfg.profile:
         jax.profiler.stop_trace()

@@ -21,6 +21,7 @@ import shutil
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
+import numpy as np
 import orbax.checkpoint as ocp
 
 
@@ -42,6 +43,10 @@ class CheckpointManager:
         self._ckptr = ocp.StandardCheckpointer()
         self._manifest_path = os.path.join(self.save_dir, "manifest.json")
         self.manifest = self._load_manifest()
+        # (step, metric, extra) of an in-flight async save; manifest entry
+        # and sidecar are only written once the write has committed, so a
+        # crash mid-save never leaves the manifest pointing at a missing dir
+        self._pending: Optional[Tuple[int, Optional[float], Optional[Dict]]] = None
 
     # -- manifest ------------------------------------------------------------
     def _load_manifest(self) -> Dict[str, Any]:
@@ -69,12 +74,35 @@ class CheckpointManager:
         state,
         metric_value: Optional[float] = None,
         extra: Optional[Dict[str, Any]] = None,
+        blocking: bool = False,
     ):
+        """Async save (reference async checkpointing capability): orbax's
+        StandardCheckpointer copies device arrays to host in the call, then
+        writes to disk in a background thread while training continues. At
+        most one save is in flight; the next save (or finalize()) waits for
+        it and only then commits its manifest entry."""
+        self.finalize()
         path = self._path(step)
         if os.path.exists(path):
             shutil.rmtree(path)
-        self._ckptr.save(path, jax.device_get(state))
+        # defensive host copy: the caller's buffers may be donated to the
+        # next jitted step while the background write is still reading them
+        state = jax.tree_util.tree_map(
+            lambda x: np.array(x) if hasattr(x, "__array__") else x, state
+        )
+        self._ckptr.save(path, state)
+        self._pending = (step, metric_value, extra)
+        if blocking:
+            self.finalize()
+
+    def finalize(self):
+        """Wait for the in-flight save (if any) and commit its manifest."""
+        if self._pending is None:
+            return
         self._ckptr.wait_until_finished()
+        step, metric_value, extra = self._pending
+        self._pending = None
+        path = self._path(step)
         with open(path + ".json", "w") as f:
             json.dump({"step": step, "metric": metric_value, **(extra or {})}, f)
 
@@ -110,9 +138,11 @@ class CheckpointManager:
 
     # -- load ---------------------------------------------------------------
     def latest_step(self) -> Optional[int]:
+        self.finalize()
         return self.manifest.get("last")
 
     def best_step(self) -> Optional[int]:
+        self.finalize()
         return self.manifest.get("best")
 
     def load(

@@ -21,6 +21,7 @@ def test_checkpoint_rotation_and_best(tmp_path):
     metrics = {10: 5.0, 20: 3.0, 30: 4.0, 40: 6.0}
     for step, m in metrics.items():
         mgr.save(step, {"w": np.full((2,), step)}, metric_value=m)
+    mgr.finalize()  # saves are async; commit the in-flight one
     # keep_last=2 -> steps 30, 40; keep_best=1 -> step 20 (loss 3.0)
     kept = sorted(
         int(d.split("_")[1]) for d in os.listdir(tmp_path)

@@ -154,10 +154,64 @@ def main_nar():
     }))
 
 
+def main_train():
+    """Tertiary metric: latent-diffusion train-step throughput (the stage-2
+    training workload, scripts/diffusion/train.sh config at latent 128) —
+    full fwd+bwd+adam per step, bf16 compute, f32 params. Run with
+    `python bench.py --train`."""
+    import os
+
+    from diffnorm_tpu.config import Config, make_trainer_config
+    from diffnorm_tpu.registry import TASKS, _import_all
+    from diffnorm_tpu.train.trainer import Trainer
+
+    _import_all()
+    b = int(os.environ.get("BENCH_BATCH", 16))
+    seq = int(os.environ.get("BENCH_SEQ", 256))
+    cfg = Config(
+        task="speech_diffusion_discrete", arch="diff_discrete",
+        criterion="ddpm_discrete_loss", hidden_dim=512, latent_dim=128,
+        feature_dim=768, timesteps=200, target_code_size=1000,
+        dtype="bfloat16", lr=5e-4, warmup_updates=10,
+    )
+    task = TASKS.get("speech_diffusion_discrete").setup_task(cfg)
+    model = task.build_model()
+    crit = task.build_criterion()
+    trainer = Trainer(make_trainer_config(cfg), task, model, crit)
+    batch = task.dummy_batch(b, seq)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    rng = jax.random.PRNGKey(1)
+
+    for i in range(2):  # compile + warm
+        state, m = trainer.train_step(state, [batch], jax.random.fold_in(rng, i))
+    tiny = jax.jit(lambda x: jnp.sum(x))
+    _ = float(tiny(jnp.ones((8,))))
+    t0 = time.perf_counter()
+    _ = float(tiny(jnp.ones((8,))))
+    latency = time.perf_counter() - t0
+
+    n = 8
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, m = trainer.train_step(state, [batch],
+                                      jax.random.fold_in(rng, 100 + i))
+    _ = float(m["loss"])  # sync
+    wall = max(time.perf_counter() - t0 - latency, 1e-9)
+    ups = n / wall
+    print(json.dumps({
+        "metric": "diffusion_train_step_throughput",
+        "value": round(ups * b * seq, 1),
+        "unit": f"unit_tokens/s (B{b}xT{seq} fwd+bwd+adam, bf16, 1 chip)",
+        "vs_baseline": round(ups, 3),
+    }))
+
+
 if __name__ == "__main__":
     import sys
 
     if "--nar" in sys.argv:
         main_nar()
+    elif "--train" in sys.argv:
+        main_train()
     else:
         main()

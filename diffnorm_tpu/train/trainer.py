@@ -71,6 +71,9 @@ class Trainer:
         self._jit_apply = jax.jit(self._apply_step, donate_argnums=(0,))
         self._jit_valid = jax.jit(self._valid_step)
         self.skipped_steps = 0
+        # host-side mirror of state.step: avoids an int(state.step) device
+        # sync every update (one round trip through the TPU tunnel)
+        self._host_step: Optional[int] = None
 
     # ------------------------------------------------------------------ init
     def init_state(self, rng, example_batch) -> TrainState:
@@ -130,6 +133,7 @@ class Trainer:
 
     def _apply_step(self, state: TrainState, grads):
         model_state = state.model_state
+        lr = self.lr_schedule(state.step)
         gnorm = optax.global_norm(grads)
         ok = jnp.isfinite(gnorm)
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
@@ -153,7 +157,7 @@ class Trainer:
             model_state=model_state,
             ema_params=ema_params,
         )
-        return new_state, gnorm, ok
+        return new_state, gnorm, ok, lr
 
     def _valid_step(self, state: TrainState, batch, rng):
         _, (mets, _) = self._loss(
@@ -184,8 +188,28 @@ class Trainer:
                 else jax.tree_util.tree_map(jnp.add, grads_acc, grads)
             )
         keys = self._metric_keys
-        all_vecs = np.asarray(jax.device_get(jnp.stack(vecs)))  # one pull
+        # normalize grads ON DEVICE by the total sample size (device scalar
+        # sum of the per-microbatch metric vectors; no host pull needed)
         ss_idx = keys.index("sample_size") if "sample_size" in keys else None
+        vec_stack = jnp.stack(vecs)
+        if ss_idx is not None:
+            ss_total_dev = jnp.maximum(jnp.sum(vec_stack[:, ss_idx]), 1.0)
+        else:
+            ss_total_dev = jnp.asarray(float(len(vecs)))
+        grads = jax.tree_util.tree_map(lambda g: g / ss_total_dev, grads_acc)
+        if self._host_step is None:
+            self._host_step = int(state.step)
+        step_before = self._host_step
+        new_state, gnorm, ok, lr = self._jit_apply(
+            state.replace(model_state=model_state), grads
+        )
+        self._host_step = step_before + 1
+        # ONE host pull for everything the logger needs (each device->host
+        # scalar read costs a full round trip through the TPU tunnel)
+        all_vecs, gnorm_h, ok_h, lr_h = jax.device_get(
+            (vec_stack, gnorm, ok, lr)
+        )
+        all_vecs = np.asarray(all_vecs)
         ss_per = all_vecs[:, ss_idx] if ss_idx is not None else np.ones(len(vecs))
         ss_total = float(ss_per.sum())
         mets_acc: Dict[str, float] = {}
@@ -194,21 +218,17 @@ class Trainer:
                 mets_acc[k] = float(all_vecs[:, k_i].sum())
             else:
                 mets_acc[k] = float((all_vecs[:, k_i] * ss_per).sum())
-        grads = jax.tree_util.tree_map(lambda g: g / max(ss_total, 1.0), grads_acc)
-        step_before = int(state.step)
-        new_state, gnorm, ok = self._jit_apply(
-            state.replace(model_state=model_state), grads
-        )
-        if not bool(ok):
+        if not bool(ok_h):
             self.skipped_steps += 1
             logger.warning("non-finite gradients at step %d; update skipped",
                            step_before)
         out = {
-            k: (v / ss_total if k not in ("ntokens", "nsentences", "sample_size") else v)
+            k: (v / max(ss_total, 1.0)
+                if k not in ("ntokens", "nsentences", "sample_size") else v)
             for k, v in mets_acc.items()
         }
-        out["gnorm"] = float(gnorm)
-        out["lr"] = float(self.lr_schedule(step_before))
+        out["gnorm"] = float(gnorm_h)
+        out["lr"] = float(lr_h)
         metrics_mod.log_dict(out)
         return new_state, out
 

@@ -146,6 +146,9 @@ class GanTrainer:
         state, d_loss = self._d_step(state, code, wav)
         state, g_loss, aux = self._g_step(state, code, wav,
                                           batch.get("durations"))
-        mets = {"loss_d": float(d_loss), "loss_g": float(g_loss)}
-        mets.update({k: float(v) for k, v in aux.items()})
+        # one device->host pull for all logged scalars (per-scalar float()
+        # costs a full round trip each through the TPU tunnel)
+        d_h, g_h, aux_h = jax.device_get((d_loss, g_loss, aux))
+        mets = {"loss_d": float(d_h), "loss_g": float(g_h)}
+        mets.update({k: float(v) for k, v in aux_h.items()})
         return state, mets

@@ -106,3 +106,4 @@ def test_feedforward_inner_dim():
     assert params["params"]["proj_in"]["kernel"].shape == (12, 64)
     out = m.apply(params, x)
     assert out.shape == (2, 5, 12)
+

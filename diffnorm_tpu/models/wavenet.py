@@ -17,6 +17,7 @@ read those weights from HBM once instead of once per diffusion step
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional
 
 import jax.numpy as jnp
@@ -141,8 +142,64 @@ class Wavenet(nn.Module):
 
     def __call__(self, x, t=None, film=None):
         x = self.init_conv(x)
-        h = x
-        for s, stack in enumerate(self.wstacks):
-            h = stack(h, t, film=film[s] if film else None)
-        out = sum(h)  # sum of per-chain skips
+        if (os.environ.get("DIFFNORM_PALLAS_WAVENET") == "1"
+                and not self.is_initializing()):
+            out = self._chains_pallas(x, t, film)
+        else:
+            h = x
+            for s, stack in enumerate(self.wstacks):
+                h = stack(h, t, film=film[s] if film else None)
+            out = sum(h)  # sum of per-chain skips
         return self.final_conv(out)
+
+    def _chains_pallas(self, x, t=None, film=None,
+                       interpret: bool = False):
+        """Chain-fused pallas path (DIFFNORM_PALLAS_WAVENET=1): per chain,
+        all stacks run in one VMEM-resident kernel; parameters are read
+        straight from the per-block subtree so checkpoints are unchanged
+        (ops/pallas_wavenet.py)."""
+        from diffnorm_tpu.ops.pallas_wavenet import wavenet_chain
+
+        p = self.variables["params"]
+        b = x.shape[0]
+        c = self.dim
+        n_stacks = self.stacks
+        dt = self.dtype
+        if self.cond_dim is not None and film is None:
+            film = self.precompute_film(t)
+
+        skips = []
+        for l in range(self.layers):
+            blocks = [p[f"stack_{s}"][f"block_{l}"] for s in range(n_stacks)]
+            w_conv = jnp.stack([bl["conv"]["kernel"] for bl in blocks])
+            w_res = jnp.stack([bl["res_conv"]["kernel"][0] for bl in blocks])
+            w_skip = blocks[-1]["skip_conv"]["kernel"][0]
+            biases = jnp.zeros((n_stacks, 2 * c), jnp.float32)
+            biases = biases.at[:, :c].set(
+                jnp.stack([bl["res_conv"]["bias"] for bl in blocks])
+            )
+            biases = biases.at[-1, c:].set(blocks[-1]["skip_conv"]["bias"])
+            biases8 = jnp.broadcast_to(
+                biases[:, None, :], (n_stacks, 8, 2 * c)
+            ).astype(dt)
+
+            b_conv = jnp.stack([bl["conv"]["bias"] for bl in blocks])  # [S,C]
+            if self.cond_dim is not None:
+                tc = jnp.stack([film[s][l] for s in range(n_stacks)], axis=1)
+                gamma = tc[..., :c]
+                beta = tc[..., c:] + b_conv[None]  # fold conv bias into FiLM
+            else:
+                gamma = jnp.ones((b, n_stacks, c), dt)
+                beta = jnp.broadcast_to(b_conv[None], (b, n_stacks, c))
+            gb = jnp.concatenate(
+                [gamma.astype(dt), beta.astype(dt)], axis=-1
+            )  # [B, S, 2C]
+            film8 = jnp.broadcast_to(
+                gb[:, :, None, :], (b, n_stacks, 8, 2 * c)
+            )
+            skips.append(wavenet_chain(
+                x.astype(dt), w_conv.astype(dt), w_res.astype(dt),
+                w_skip.astype(dt), biases8, film8, dilation=2 ** l,
+                interpret=interpret,
+            ))
+        return sum(skips)

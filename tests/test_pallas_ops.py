@@ -92,3 +92,26 @@ def test_rms_norm_film_matches_reference():
     ref = (np.asarray(l2norm(x)) * np.sqrt(c) * gamma[:, None, :]
            + beta[:, None, :])
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_wavenet_chain_matches_module():
+    """Chain-fused pallas wavenet (interpret mode) vs the module path,
+    conditioned and unconditioned."""
+    from diffnorm_tpu.models.wavenet import Wavenet
+
+    for cond in (12, None):
+        m = Wavenet(dim=128, stacks=2, layers=3, cond_dim=cond)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 16, 128)), jnp.float32)
+        args = (x,) if cond is None else (
+            x, jnp.asarray(rng.normal(size=(2, 12)), jnp.float32))
+        v = m.init(jax.random.PRNGKey(0), *args)
+        ref = m.apply(v, *args)
+
+        def pallas_fwd(mod, x, t=None, film=None):
+            h = mod.init_conv(x)
+            return mod.final_conv(mod._chains_pallas(h, t, film,
+                                                     interpret=True))
+        got = m.apply(v, *args, method=pallas_fwd)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4, rtol=2e-4)

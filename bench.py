@@ -33,9 +33,13 @@ def main():
     from diffnorm_tpu.registry import _import_all
 
     _import_all()
+    # int8 W8A8 inference matmuls by default (2x MXU rate on v5e;
+    # 99%+ unit agreement with the bf16 path — tests/test_variants.py);
+    # BENCH_INT8=0 falls back to pure bf16
+    use_int8 = __import__("os").environ.get("BENCH_INT8", "1") != "0"
     cfg = Config(
         hidden_dim=512, latent_dim=128, feature_dim=768, timesteps=200,
-        vocab_size=1004, dtype="bfloat16",
+        vocab_size=1004, dtype="bfloat16", quant_int8=use_int8,
     )
     model = LatentDiffusionModel.build_model(cfg)
 
@@ -95,7 +99,8 @@ def main():
     print(json.dumps({
         "metric": "diffnorm_ddim_normalization_rtf",
         "value": round(rtf, 3),
-        "unit": f"audio_s/wall_s (B{BATCH}xT128, 49 DDIM steps, bf16, 1 chip)",
+        "unit": f"audio_s/wall_s (B{BATCH}xT128, 49 DDIM steps, "
+                f"{'int8-W8A8' if use_int8 else 'bf16'}, 1 chip)",
         "vs_baseline": round(rtf / 5.0, 3),
     }))
 

@@ -179,6 +179,7 @@ class Denoiser(nn.Module):
     dim_prompt: int = 768
     num_latents_m: int = 64
     resampler_depth: int = 2
+    quant_int8: bool = False  # int8 W8A8 inference matmuls
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -209,6 +210,7 @@ class Denoiser(nn.Module):
             stacks=self.wavenet_stacks,
             layers=self.wavenet_layers,
             cond_dim=self.dim * cond_mult,
+            quant=self.quant_int8,
             dtype=self.dtype,
             name="wavenet",
         )
@@ -221,6 +223,7 @@ class Denoiser(nn.Module):
             ff_causal_conv=True,
             cond_dim=self.dim * cond_mult,
             cross_attn=self.condition_on_prompt,
+            quant_int8=self.quant_int8,
             dtype=self.dtype,
             name="transformer",
         )
@@ -325,6 +328,7 @@ class LatentDiffusionModule(nn.Module):
     schedule_name: str = "cosine"
     min_snr_gamma: float = 5.0
     multitask: bool = True
+    quant_int8: bool = False
     denoiser_depth: int = 12
     wavenet_layers: int = 8
     wavenet_stacks: int = 4
@@ -349,6 +353,7 @@ class LatentDiffusionModule(nn.Module):
             wavenet_stacks=self.wavenet_stacks,
             condition_on_prompt=self.use_cond,
             dim_prompt=self.feature_dim,
+            quant_int8=self.quant_int8,
             dtype=self.dtype,
             name="denoiser",
         )
@@ -527,6 +532,9 @@ class LatentDiffusionModel(ModelHolder):
             denoiser_depth=cfg.get("denoiser_depth", 12),
             wavenet_layers=cfg.get("wavenet_layers", 8),
             wavenet_stacks=cfg.get("wavenet_stacks", 4),
+            quant_int8=bool(cfg.get(
+                "quant_int8",
+                __import__("os").environ.get("DIFFNORM_INT8") == "1")),
             vae_decoder_depth=cfg.get("vae_decoder_depth", 6),
             vae_decoder_dim_head=cfg.get("vae_decoder_dim_head", 96),
             vae_decoder_heads=cfg.get("vae_decoder_heads", 8),

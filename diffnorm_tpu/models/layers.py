@@ -98,6 +98,7 @@ class Conv1d(nn.Module):
     kernel_size: int = 3
     dilation: int = 1
     use_bias: bool = True
+    quant: bool = False  # int8 W8A8 taps (inference only)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -130,6 +131,7 @@ class CausalConv1d(nn.Module):
     kernel_size: int = 3
     dilation: int = 1
     use_bias: bool = True
+    quant: bool = False  # int8 W8A8 taps (inference only)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -146,6 +148,16 @@ class CausalConv1d(nn.Module):
             if self.use_bias else None
         )
         xc = x.astype(self.dtype)
+        if self.quant:
+            # quantize activations ONCE; shifted taps reuse the int8 tensor
+            # and its per-token scales (zero rows shift in as exact zeros)
+            from diffnorm_tpu.ops.quant import quantize_weight
+
+            ax = jnp.maximum(
+                jnp.max(jnp.abs(xc.astype(jnp.float32)), axis=-1,
+                        keepdims=True) / 127.0, 1e-12,
+            )
+            xq = jnp.round(xc.astype(jnp.float32) / ax).astype(jnp.int8)
         # each tap's matmul accumulates f32 inside the MXU; the k-term sum
         # stays in the compute dtype (avoids materializing f32 activations —
         # profiled as a major HBM cost in the transformer's conv-FF)
@@ -153,21 +165,62 @@ class CausalConv1d(nn.Module):
         for i in range(self.kernel_size):
             # tap i sees x[t - (k-1-i)*dilation]
             shift = (self.kernel_size - 1 - i) * self.dilation
-            if shift == 0:
-                xi = xc
-            elif shift >= xc.shape[1]:
-                # the whole tap falls before the sequence: zero contribution
-                xi = jnp.zeros_like(xc)
+            if shift >= xc.shape[1] and shift > 0:
+                continue  # the whole tap falls before the sequence
+            if self.quant:
+                from diffnorm_tpu.ops.quant import quantize_weight
+
+                xi = xq if shift == 0 else jnp.pad(
+                    xq[:, :-shift], ((0, 0), (shift, 0), (0, 0)))
+                axi = ax if shift == 0 else jnp.pad(
+                    ax[:, :-shift], ((0, 0), (shift, 0), (0, 0)))
+                wq, ws = quantize_weight(kernel[i])
+                acc = jax.lax.dot_general(
+                    xi, wq, (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                term = (acc.astype(jnp.float32) * axi * ws).astype(self.dtype)
             else:
-                xi = jnp.pad(xc[:, :-shift], ((0, 0), (shift, 0), (0, 0)))
-            term = jnp.einsum(
-                "btc,cd->btd", xi, kernel[i],
-                preferred_element_type=self.dtype,
-            )
+                xi = xc if shift == 0 else jnp.pad(
+                    xc[:, :-shift], ((0, 0), (shift, 0), (0, 0)))
+                term = jnp.einsum(
+                    "btc,cd->btd", xi, kernel[i],
+                    preferred_element_type=self.dtype,
+                )
             out = term if out is None else out + term
         if bias is not None:
             out = out + bias
         return out
+
+
+class QDense(nn.Module):
+    """Drop-in nn.Dense (same param tree: kernel [in, out] f32 + bias) whose
+    contraction optionally runs int8 W8A8 on the MXU (ops/quant.py) — 2x the
+    bf16 MXU rate on v5e. Inference-only path: round() has zero gradient."""
+
+    features: int
+    use_bias: bool = True
+    quant: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features), jnp.float32,
+        )
+        if self.quant:
+            from diffnorm_tpu.ops.quant import int8_dense
+
+            y = int8_dense(x.astype(self.dtype), kernel)
+        else:
+            y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
+                        preferred_element_type=self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y
 
 
 class GEGLU(nn.Module):
@@ -186,16 +239,20 @@ class FeedForward(nn.Module):
     dim: int
     mult: int = 4
     causal_conv: bool = False
+    quant: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         dim_inner = int(self.dim * self.mult * 2 / 3)
-        h = nn.Dense(dim_inner * 2, dtype=self.dtype, name="proj_in")(x)
+        h = QDense(dim_inner * 2, quant=self.quant, dtype=self.dtype,
+                   name="proj_in")(x)
         h = GEGLU()(h)
         if self.causal_conv:
-            h = CausalConv1d(dim_inner, 3, dtype=self.dtype, name="conv")(h)
-        return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
+            h = CausalConv1d(dim_inner, 3, quant=self.quant,
+                             dtype=self.dtype, name="conv")(h)
+        return QDense(self.dim, quant=self.quant, dtype=self.dtype,
+                      name="proj_out")(h)
 
 
 class Attention(nn.Module):
@@ -211,14 +268,17 @@ class Attention(nn.Module):
     dim_head: int = 64
     heads: int = 8
     dropout: float = 0.0
+    quant: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, context=None, mask=None, deterministic: bool = True):
         h, d = self.heads, self.dim_head
         ctx = x if context is None else context
-        q = nn.Dense(h * d, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        kv = nn.Dense(2 * h * d, use_bias=False, dtype=self.dtype, name="to_kv")(ctx)
+        q = QDense(h * d, use_bias=False, quant=self.quant, dtype=self.dtype,
+                   name="to_q")(x)
+        kv = QDense(2 * h * d, use_bias=False, quant=self.quant,
+                    dtype=self.dtype, name="to_kv")(ctx)
         k, v = jnp.split(kv, 2, axis=-1)
 
         def split_heads(t):
@@ -234,7 +294,8 @@ class Attention(nn.Module):
         )
         b, _, n, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
-        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_out")(out)
+        return QDense(self.dim, use_bias=False, quant=self.quant,
+                      dtype=self.dtype, name="to_out")(out)
 
 
 class LearnedSinusoidalPosEmb(nn.Module):
@@ -295,6 +356,7 @@ class ConditionableTransformer(nn.Module):
     cond_dim: Optional[int] = None
     cross_attn: bool = False
     dropout: float = 0.1
+    quant_int8: bool = False  # int8 W8A8 inference matmuls
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -308,7 +370,8 @@ class ConditionableTransformer(nn.Module):
         ]
         self.attns = [
             Attention(dim=self.dim, dim_head=self.dim_head, heads=self.heads,
-                      dropout=self.dropout, dtype=self.dtype, name=f"attn_{i}")
+                      dropout=self.dropout, quant=self.quant_int8,
+                      dtype=self.dtype, name=f"attn_{i}")
             for i in range(self.depth)
         ]
         if self.cross_attn:
@@ -327,7 +390,8 @@ class ConditionableTransformer(nn.Module):
         ]
         self.ffs = [
             FeedForward(dim=self.dim, mult=self.ff_mult,
-                        causal_conv=self.ff_causal_conv, dtype=self.dtype,
+                        causal_conv=self.ff_causal_conv,
+                        quant=self.quant_int8, dtype=self.dtype,
                         name=f"ff_{i}")
             for i in range(self.depth)
         ]

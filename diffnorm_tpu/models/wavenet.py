@@ -32,21 +32,22 @@ class WavenetResBlock(nn.Module):
     kernel_size: int = 3
     skip_conv: bool = False
     cond_dim: Optional[int] = None  # dim of time-condition vector, or None
+    quant: bool = False  # int8 W8A8 convs (inference only)
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.res_conv = CausalConv1d(self.dim, 1, dtype=self.dtype,
-                                     name="res_conv")
+        self.res_conv = CausalConv1d(self.dim, 1, quant=self.quant,
+                                     dtype=self.dtype, name="res_conv")
         self.conv = CausalConv1d(
             self.dim, self.kernel_size, dilation=self.dilation,
-            dtype=self.dtype, name="conv",
+            quant=self.quant, dtype=self.dtype, name="conv",
         )
         if self.cond_dim is not None:
             self.to_time_cond = nn.Dense(self.dim * 2, dtype=self.dtype,
                                          name="to_time_cond")
         if self.skip_conv:
-            self.skip = CausalConv1d(self.dim, 1, dtype=self.dtype,
-                                     name="skip_conv")
+            self.skip = CausalConv1d(self.dim, 1, quant=self.quant,
+                                     dtype=self.dtype, name="skip_conv")
 
     def film(self, t):
         return self.to_time_cond(t)
@@ -72,6 +73,7 @@ class WavenetStack(nn.Module):
     kernel_size: int = 3
     has_skip: bool = False
     cond_dim: Optional[int] = None
+    quant: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -82,6 +84,7 @@ class WavenetStack(nn.Module):
                 kernel_size=self.kernel_size,
                 skip_conv=self.has_skip,
                 cond_dim=self.cond_dim,
+                quant=self.quant,
                 dtype=self.dtype,
                 name=f"block_{j}",
             )
@@ -115,6 +118,7 @@ class Wavenet(nn.Module):
     layers: int
     init_conv_kernel: int = 3
     cond_dim: Optional[int] = None
+    quant: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -127,6 +131,7 @@ class Wavenet(nn.Module):
                 layers=self.layers,
                 has_skip=(s == self.stacks - 1),
                 cond_dim=self.cond_dim,
+                quant=self.quant,
                 dtype=self.dtype,
                 name=f"stack_{s}",
             )

@@ -1,0 +1,51 @@
+"""Int8 (W8A8) inference matmuls.
+
+v5e's MXU runs int8 at 2x the bf16 rate (394 vs 197 TOPS), and the DDIM
+denoiser is FLOP-bound in its transformer feed-forward (PERFORMANCE.md
+component split), so an int8 path roughly doubles the headline ceiling.
+
+Scheme: symmetric per-output-channel weight scales x symmetric per-token
+activation scales (standard W8A8 dynamic quantization). Weights are
+quantized ON THE FLY from the float params inside jit — under a sampling
+`lax.scan` the weight quantization is loop-invariant and XLA hoists it, so
+the scan body runs pure int8 matmuls with no parameter-tree changes and no
+separate checkpoint format.
+
+Opt-in: cfg `quant_int8` (models/diffusion.py build_model) or the
+DIFFNORM_INT8=1 env var. Inference-only — the float params remain the
+source of truth for training.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_weight(w):
+    """w: [in, out] float -> (int8 [in, out], per-out-channel scale [1, out])."""
+    ws = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0, keepdims=True) / 127.0
+    ws = jnp.maximum(ws, 1e-12)
+    wq = jnp.round(w.astype(jnp.float32) / ws).astype(jnp.int8)
+    return wq, ws
+
+
+def int8_matmul(x, wq, ws):
+    """x: [..., in] float; wq/ws from quantize_weight. Returns [..., out]
+    in x.dtype. Per-token dynamic activation quantization; the contraction
+    runs int8 x int8 -> int32 on the MXU."""
+    ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True) / 127.0
+    ax = jnp.maximum(ax, 1e-12)
+    xq = jnp.round(x.astype(jnp.float32) / ax).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (y.astype(jnp.float32) * ax * ws).astype(x.dtype)
+
+
+def int8_dense(x, w):
+    """One-shot helper: quantize w and contract (the quantization is
+    loop-invariant under scan and gets hoisted by XLA)."""
+    wq, ws = quantize_weight(w)
+    return int8_matmul(x, wq, ws)

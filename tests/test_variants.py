@@ -97,3 +97,27 @@ def test_nar_multitask_ctc():
                          train=True)
     assert np.isfinite(float(loss))
     assert "ctc_loss" in mets and np.isfinite(float(mets["ctc_loss"]))
+
+
+def test_int8_inference_parity():
+    """quant_int8: the W8A8 denoiser path must track the float path through
+    a full DDIM chain — near-total unit agreement and tiny recon error
+    (the int8 matmuls run at 2x the bf16 MXU rate on v5e)."""
+    from diffnorm_tpu.models.diffusion import LatentDiffusionModel, ddim_sample
+
+    common = dict(hidden_dim=64, latent_dim=3, feature_dim=24, timesteps=50,
+                  vocab_size=52, denoiser_depth=2, wavenet_layers=3,
+                  wavenet_stacks=2, chan_mults=[4])
+    m_f = LatentDiffusionModel.build_model(Config(**common))
+    m_q = LatentDiffusionModel.build_model(Config(**common, quant_int8=True))
+    rng = jax.random.PRNGKey(0)
+    feat = jnp.asarray(
+        np.random.default_rng(0).normal(size=(4, 32, 24)), jnp.float32)
+    mask = jnp.ones((4, 32), bool)
+    v = m_f.module.init({"params": rng}, feat, mask, rng, deterministic=True)
+    uf, rf = ddim_sample(m_f, v, feat, mask, jax.random.PRNGKey(7),
+                         start_step=12)
+    uq, rq = ddim_sample(m_q, v, feat, mask, jax.random.PRNGKey(7),
+                         start_step=12)
+    assert float(jnp.mean(uf == uq)) > 0.95
+    assert float(jnp.linalg.norm(rq - rf) / jnp.linalg.norm(rf)) < 0.02

@@ -211,6 +211,69 @@ def main_train():
     }))
 
 
+def main_vocoder():
+    """Vocoder metric: code-HiFi-GAN unit->waveform synthesis RTF on one
+    chip (the serving-path wall-clock dominator after the NAR translator).
+    Full released config: 128-d unit embedding, 512 initial channels,
+    x320 upsample (5*4*4*2*2), 3 MRF resblocks per stage. Run with
+    `python bench.py --vocoder`."""
+    import os
+
+    from diffnorm_tpu.models.hifigan import CodeGenerator
+
+    b = int(os.environ.get("BENCH_BATCH", 8))
+    t = int(os.environ.get("BENCH_SEQ", 240))  # 4.8 s at 50 Hz units
+    dtype = jnp.bfloat16
+    module = CodeGenerator(num_embeddings=1000, embedding_dim=128,
+                           dtype=dtype)
+    code = jnp.asarray(
+        np.random.default_rng(0).integers(0, 1000, size=(b, t)), jnp.int32
+    )
+    variables = module.init(jax.random.PRNGKey(0), code)
+    variables = jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, variables
+    )
+
+    REPEATS = 8
+
+    def run_many(v, c):
+        def body(carry, i):
+            # codes must depend on the loop index or XLA hoists the whole
+            # (loop-invariant) vocoder call out of the scan
+            wav = module.apply(v, (c + i) % 1000)
+            return carry + jnp.sum(wav[:, ::1024].astype(jnp.float32)), ()
+        total, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(REPEATS))
+        return total
+
+    fn = jax.jit(run_many)
+    _ = float(fn(variables, code))  # compile
+
+    tiny = jax.jit(lambda x: jnp.sum(x))
+    _ = float(tiny(jnp.ones((8,))))
+    lat = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = float(tiny(jnp.ones((8,))))
+        lat.append(time.perf_counter() - t0)
+    latency = min(lat)
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = float(fn(variables, code))
+        times.append(time.perf_counter() - t0)
+    wall = max(min(times) - latency, 1e-9) / REPEATS
+    audio_seconds = b * t * 320 / 16000.0
+    rtf = audio_seconds / wall
+    print(json.dumps({
+        "metric": "codehifigan_vocoder_rtf",
+        "value": round(rtf, 3),
+        "unit": f"audio_s/wall_s (B{b}xT{t} units, x320 upsample, bf16, "
+                "1 chip)",
+        "vs_baseline": round(rtf / 5.0, 3),
+    }))
+
+
 if __name__ == "__main__":
     import sys
 
@@ -218,5 +281,7 @@ if __name__ == "__main__":
         main_nar()
     elif "--train" in sys.argv:
         main_train()
+    elif "--vocoder" in sys.argv:
+        main_vocoder()
     else:
         main()

@@ -274,6 +274,93 @@ def main_vocoder():
     }))
 
 
+def main_e2e():
+    """End-to-end S2ST serving RTF (the BASELINE north-star): fbank ->
+    full-size nar_s2ut_conformer mask-predict (15 iters) -> unit dedup ->
+    duration-predicted expansion -> full-size code-HiFi-GAN waveform, all
+    ONE jitted program (generate/s2st.py). RTF = input speech seconds per
+    wall second on one chip. Run with `python bench.py --e2e`."""
+    import os
+
+    from diffnorm_tpu.config import Config
+    from diffnorm_tpu.generate.s2st import s2st_generate
+    from diffnorm_tpu.models.hifigan import CodeGenerator
+    from diffnorm_tpu.registry import TASKS, _import_all
+
+    _import_all()
+    b = int(os.environ.get("BENCH_BATCH", 16))
+    frames = int(os.environ.get("BENCH_SEQ", 480))  # 4.8 s at 10 ms shift
+    cfg = Config(
+        arch="nar_s2ut_conformer", criterion="nar_speech_to_unit",
+        target_code_size=1000, label_smoothing=0.2, lr=5e-4,
+        dtype="bfloat16",
+    )
+    task = TASKS.get("dummy_nar").setup_task(cfg)
+    model = task.build_model()
+    batch = task.dummy_batch(b, frames)
+    nar_vars = task.init_variables(model, jax.random.PRNGKey(0), batch)
+
+    voc = CodeGenerator(num_embeddings=1000, embedding_dim=128,
+                        dur_predictor=True, dtype=jnp.bfloat16)
+    code0 = jnp.zeros((1, 8), jnp.int32)
+
+    def init_all(m, c):
+        out = m(c)
+        m.predict_durations(c)
+        return out
+
+    voc_vars = voc.init(jax.random.PRNGKey(1), code0, method=init_all)
+    to_bf16 = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t
+    )
+    nar_vars, voc_vars = to_bf16(nar_vars), to_bf16(voc_vars)
+
+    # static waveform canvas: 384 units = 7.7 s of output audio per 4.8 s
+    # input (CVSS target durations are ~input-length); the full worst case
+    # (max_len*max_duration = 1024) pays 4x vocoder FLOPs on padding
+    wav_units = int(os.environ.get("BENCH_WAV_UNITS", 384))
+
+    def run(nv, vv, s, l):
+        wav, wav_lengths, _, _ = s2st_generate(
+            model, nv, voc, vv, s, l, max_iter=15, max_len=256,
+            max_duration=4, max_wav_units=wav_units,
+        )
+        return jnp.sum(wav[:, ::1024].astype(jnp.float32)) + jnp.sum(
+            wav_lengths
+        )
+
+    fn = jax.jit(run)
+    src = jnp.asarray(batch["src_tokens"])
+    lens = jnp.asarray(batch["src_lengths"])
+    _ = float(fn(nar_vars, voc_vars, src, lens))  # compile
+
+    tiny = jax.jit(lambda x: jnp.sum(x))
+    _ = float(tiny(jnp.ones((8,))))
+    lat = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = float(tiny(jnp.ones((8,))))
+        lat.append(time.perf_counter() - t0)
+    latency = min(lat)
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = float(fn(nar_vars, voc_vars, src, lens))
+        times.append(time.perf_counter() - t0)
+    wall = max(min(times) - latency, 1e-9)
+    audio_seconds = b * frames * 0.01  # 10 ms fbank shift
+    rtf = audio_seconds / wall
+    print(json.dumps({
+        "metric": "s2st_e2e_rtf",
+        "value": round(rtf, 3),
+        "unit": f"input_audio_s/wall_s (B{b}x{frames} fbank frames, "
+                "15 decode iters + dur-expanded HiFi-GAN, one jitted "
+                "program, bf16, 1 chip)",
+        "vs_baseline": round(rtf / 5.0, 3),
+    }))
+
+
 if __name__ == "__main__":
     import sys
 
@@ -283,5 +370,7 @@ if __name__ == "__main__":
         main_train()
     elif "--vocoder" in sys.argv:
         main_vocoder()
+    elif "--e2e" in sys.argv:
+        main_e2e()
     else:
         main()

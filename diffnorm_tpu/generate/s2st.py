@@ -1,0 +1,108 @@
+"""Fused end-to-end S2ST serving path: one XLA program per batch.
+
+The reference pipeline (SURVEY §3.4-3.5) spans three processes and two
+text-file round trips: `fairseq-generate` (NAR mask-predict decode,
+research/TranSpeech/iterative_refinement_generator.py) writes unit
+hypotheses, `generate_waveform_from_code.py` re-reads them and runs
+code-HiFi-GAN per utterance. TPU-native, the whole chain compiles into a
+single jitted program:
+
+  conformer encode -> mask-predict lax.scan -> special-token strip +
+  consecutive dedup (left-pack scatter) -> duration prediction ->
+  in-jit repeat_interleave (cumsum + searchsorted gather,
+  codehifigan.py:55-76 parity) -> HiFi-GAN synthesis
+
+No host round trips between stages; ragged boundaries ride along as
+masks/lengths. This is the serving-path counterpart of the offline CLIs
+(cli/generate.py + cli/generate_waveform.py), which remain for recipe
+parity.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from diffnorm_tpu.generate.mask_predict import mask_predict_decode
+from diffnorm_tpu.ops.unit_reduce import reduce_units_padded
+
+UNIT_OFFSET = 4  # dictionary specials bos/pad/eos/unk = 0..3
+
+
+def expand_units_padded(
+    units: jnp.ndarray, durations: jnp.ndarray, max_out: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Jit-able repeat_interleave: units [T], durations [T] (0 on invalid
+    positions) -> (expanded [max_out], mask [max_out]). Overflow beyond
+    max_out is truncated; callers size max_out from the duration cap."""
+    ends = jnp.cumsum(durations.astype(jnp.int32))
+    total = ends[-1]
+    pos = jnp.arange(max_out, dtype=jnp.int32)
+    seg = jnp.searchsorted(ends, pos, side="right")
+    out = jnp.take(units, jnp.clip(seg, 0, units.shape[0] - 1), axis=0)
+    mask = pos < total
+    return jnp.where(mask, out, 0), mask
+
+
+def s2st_generate(
+    nar_model,
+    nar_variables,
+    vocoder_module,
+    vocoder_variables,
+    src: jnp.ndarray,
+    src_lengths: jnp.ndarray,
+    *,
+    max_iter: int = 15,
+    max_len: int = 256,
+    cond_scale: float = 1.0,
+    length_beam: int = 1,
+    dur_prediction: bool = True,
+    max_duration: int = 8,
+    max_wav_units: Optional[int] = None,
+    spkr: Optional[jnp.ndarray] = None,
+):
+    """Speech (fbank) in, waveform out, fully on device.
+
+    Returns (wav [B, max_wav_units*320], wav_lengths [B], units [B, T],
+    unit_counts [B]): `units` are the reduced raw unit ids (0-based, pad 0
+    past count), `wav_lengths` in samples. With dur_prediction=False the
+    decoded unit stream drives the vocoder un-expanded (reference
+    --dur-prediction off).
+    """
+    tokens, _scores, _ = mask_predict_decode(
+        nar_model, nar_variables, src, src_lengths,
+        max_iter=max_iter, max_len=max_len, cond_scale=cond_scale,
+        length_beam=length_beam,
+    )
+    valid = tokens >= UNIT_OFFSET
+    # invalid positions become -1 so a leading real unit 0 can't merge away
+    units_raw = jnp.where(valid, tokens - UNIT_OFFSET, -1).astype(jnp.int32)
+    reduced, _keep, counts = jax.vmap(reduce_units_padded)(units_raw, valid)
+    t = reduced.shape[1]
+    reduced_valid = jnp.arange(t)[None, :] < counts[:, None]
+    reduced = jnp.where(reduced_valid, reduced, 0)
+
+    if dur_prediction:
+        durs = vocoder_module.apply(
+            vocoder_variables, reduced, method="predict_durations"
+        )
+        durs = jnp.clip(durs, 1, max_duration)
+        code = reduced
+    else:
+        durs = jnp.ones_like(reduced)
+        code = jnp.where(valid, units_raw, 0)
+        reduced_valid = valid
+    durs = jnp.where(reduced_valid, durs, 0)
+
+    if max_wav_units is None:
+        max_wav_units = code.shape[1] * (max_duration if dur_prediction else 1)
+    expanded, wav_unit_mask = jax.vmap(
+        lambda u, d: expand_units_padded(u, d, max_wav_units)
+    )(code, durs)
+
+    wav = vocoder_module.apply(vocoder_variables, expanded, spkr)
+    upsample = wav.shape[-1] // max_wav_units
+    wav_lengths = jnp.sum(wav_unit_mask, axis=-1) * upsample
+    return wav, wav_lengths, reduced, counts

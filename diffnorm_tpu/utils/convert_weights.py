@@ -202,3 +202,193 @@ def convert_hubert_checkpoint(path: str, layers: int = 12) -> Dict:
             },
         }
     return {"params": params}
+
+
+# ------------------------------------------- DiffNorm VAE / latent diffusion
+
+def _conv_tree(sd: Dict, prefix: str) -> Dict:
+    out = {"kernel": conv_w(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _t(sd[f"{prefix}.bias"])
+    return out
+
+
+def _linear_tree(sd: Dict, prefix: str) -> Dict:
+    out = {"kernel": dense_w(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _t(sd[f"{prefix}.bias"])
+    return out
+
+
+def _wavenet_tree(sd: Dict, prefix: str) -> Dict:
+    """torch Wavenet/WavenetEncoder (latent_module.py:585-617/1003-1032)
+    under `prefix` -> models/wavenet.py Wavenet param tree."""
+    tree: Dict = {
+        "init_conv": _conv_tree(sd, f"{prefix}.init_conv"),
+        "final_conv": _conv_tree(sd, f"{prefix}.final_conv"),
+    }
+    s = 0
+    while f"{prefix}.stacks.{s}.blocks.0.conv.weight" in sd:
+        blocks: Dict = {}
+        j = 0
+        while f"{prefix}.stacks.{s}.blocks.{j}.conv.weight" in sd:
+            bp = f"{prefix}.stacks.{s}.blocks.{j}"
+            block = {
+                "conv": _conv_tree(sd, f"{bp}.conv"),
+                "res_conv": _conv_tree(sd, f"{bp}.res_conv"),
+            }
+            if f"{bp}.skip_conv.weight" in sd:
+                block["skip_conv"] = _conv_tree(sd, f"{bp}.skip_conv")
+            if f"{bp}.to_time_cond.weight" in sd:
+                block["to_time_cond"] = _linear_tree(sd, f"{bp}.to_time_cond")
+            blocks[f"block_{j}"] = block
+            j += 1
+        tree[f"stack_{s}"] = blocks
+        s += 1
+    return tree
+
+
+def _rmsnorm_tree(sd: Dict, prefix: str, cond: bool) -> Dict:
+    if cond:
+        return {"to_gamma_beta": _linear_tree(sd, f"{prefix}.to_gamma_beta")}
+    return {"gamma": _t(sd[f"{prefix}.gamma"])}
+
+
+def _attention_tree(sd: Dict, prefix: str) -> Dict:
+    return {
+        "to_q": _linear_tree(sd, f"{prefix}.to_q"),
+        "to_kv": _linear_tree(sd, f"{prefix}.to_kv"),
+        "to_out": _linear_tree(sd, f"{prefix}.to_out"),
+    }
+
+
+def _ff_tree(sd: Dict, prefix: str) -> Dict:
+    """FeedForward (latent_module.py:887-903) is a None-filtered Sequential:
+    0 = in-proj Linear, 1 = GEGLU; with the causal conv present it sits at
+    2.1 (inside a Rearrange sandwich) and the out proj at 3, else out proj
+    is at 2."""
+    tree = {"proj_in": _linear_tree(sd, f"{prefix}.0")}
+    if f"{prefix}.2.1.weight" in sd:
+        tree["conv"] = _conv_tree(sd, f"{prefix}.2.1")
+        tree["proj_out"] = _linear_tree(sd, f"{prefix}.3")
+    else:
+        tree["proj_out"] = _linear_tree(sd, f"{prefix}.2")
+    return tree
+
+
+def _cond_transformer_tree(sd: Dict, prefix: str, cond: bool) -> Dict:
+    """ConditionableTransformer (latent_module.py:642-706): per layer the
+    torch ModuleList holds [attn-norm, attn, cross-norm|None,
+    cross-attn|None, ff-norm, ff] at fixed indices 0..5."""
+    tree: Dict = {}
+    layer = 0
+    while f"{prefix}.layers.{layer}.1.to_q.weight" in sd:
+        lp = f"{prefix}.layers.{layer}"
+        tree[f"attn_norm_{layer}"] = _rmsnorm_tree(sd, f"{lp}.0", cond)
+        tree[f"attn_{layer}"] = _attention_tree(sd, f"{lp}.1")
+        if f"{lp}.3.to_q.weight" in sd:
+            tree[f"cross_norm_{layer}"] = _rmsnorm_tree(sd, f"{lp}.2", cond)
+            tree[f"cross_attn_{layer}"] = _attention_tree(sd, f"{lp}.3")
+        tree[f"ff_norm_{layer}"] = _rmsnorm_tree(sd, f"{lp}.4", cond)
+        tree[f"ff_{layer}"] = _ff_tree(sd, f"{lp}.5")
+        layer += 1
+    tree["final_norm"] = {"gamma": _t(sd[f"{prefix}.to_pred.0.gamma"])}
+    tree["to_pred"] = {"kernel": dense_w(sd[f"{prefix}.to_pred.1.weight"])}
+    return tree
+
+
+def convert_vae_state(sd: Dict) -> Dict:
+    """fairseq `speech_vae_decoder` state dict -> SpeechVAEModule params
+    (reference SpeechVAEEncoderDecoder, latent_module.py:1035-1142; the
+    model wrapper nests it under `encoder.`)."""
+    if any(k.startswith("encoder.encoder_wave.") for k in sd):
+        sd = {k[len("encoder."):]: v for k, v in sd.items()
+              if k.startswith("encoder.")}
+    params: Dict = {}
+    b = 0
+    while f"encoder_wave.{b}.init_conv.weight" in sd:
+        params[f"enc_wave_{b}"] = _wavenet_tree(sd, f"encoder_wave.{b}")
+        b += 1
+    b = 0
+    while f"decoder_wave.{b}.init_conv.weight" in sd:
+        params[f"dec_wave_{b}"] = _wavenet_tree(sd, f"decoder_wave.{b}")
+        b += 1
+    params["decoder_tf"] = _cond_transformer_tree(sd, "decoder_tf",
+                                                  cond=False)
+    params["decoder_lm"] = _linear_tree(sd, "decoder_lm")
+    return params
+
+
+def _perceiver_tree(sd: Dict, prefix: str) -> Dict:
+    """PerceiverResampler (latent_module.py:416-471) -> models/diffusion.py
+    PerceiverResampler params."""
+    tree: Dict = {
+        "latents": _t(sd[f"{prefix}.latents"]),
+        "proj_context": _linear_tree(sd, f"{prefix}.proj_context"),
+        "norm": {"gamma": _t(sd[f"{prefix}.norm.gamma"])},
+    }
+    layer = 0
+    while f"{prefix}.layers.{layer}.0.to_q.weight" in sd:
+        tree[f"attn_{layer}"] = _attention_tree(sd, f"{prefix}.layers.{layer}.0")
+        tree[f"ff_{layer}"] = _ff_tree(sd, f"{prefix}.layers.{layer}.1")
+        layer += 1
+    return tree
+
+
+def convert_denoiser_state(sd: Dict, prefix: str = "model") -> Dict:
+    """Denoiser `Model` (latent_module.py:709-876) -> models/diffusion.py
+    Denoiser params. `to_time_cond` is a None-filtered Sequential
+    (LearnedSinusoidalPosEmb, Linear, SiLU); `init_conv` is a k=1 Conv1d
+    which maps to our Dense."""
+    params: Dict = {
+        "time_emb": {"weights": _t(sd[f"{prefix}.to_time_cond.0.weights"])},
+        "time_proj": _linear_tree(sd, f"{prefix}.to_time_cond.1"),
+        "init_conv": {
+            "kernel": _t(sd[f"{prefix}.init_conv.weight"])[:, :, 0].T,
+            "bias": _t(sd[f"{prefix}.init_conv.bias"]),
+        },
+        "wavenet": _wavenet_tree(sd, f"{prefix}.wavenet"),
+        "transformer": _cond_transformer_tree(
+            sd, f"{prefix}.transformer", cond=True
+        ),
+        "final_proj": _linear_tree(sd, f"{prefix}.final_proj"),
+    }
+    if f"{prefix}.null_prompt_cond" in sd:  # condition_on_prompt=True
+        params["null_prompt_cond"] = _t(sd[f"{prefix}.null_prompt_cond"])
+        params["null_prompt_tokens"] = _t(sd[f"{prefix}.null_prompt_tokens"])
+        params["to_prompt_cond"] = _linear_tree(sd,
+                                                f"{prefix}.to_prompt_cond.1")
+        params["perceiver_resampler"] = _perceiver_tree(
+            sd, f"{prefix}.perceiver_resampler"
+        )
+    return params
+
+
+def convert_diffusion_state(sd: Dict) -> Dict:
+    """fairseq `diff_discrete` state dict (LatentDiscreteModel under
+    `encoder.`: frozen VAE at `speech_decoder.`, denoiser at `model.`,
+    diff_discrete.py:71-85) -> LatentDiffusionModule params."""
+    if any(k.startswith("encoder.model.") for k in sd):
+        sd = {k[len("encoder."):]: v for k, v in sd.items()
+              if k.startswith("encoder.")}
+    vae_sd = {k[len("speech_decoder."):]: v for k, v in sd.items()
+              if k.startswith("speech_decoder.")}
+    return {
+        "denoiser": convert_denoiser_state(sd, "model"),
+        "vae": convert_vae_state(vae_sd),
+    }
+
+
+def _load_torch_state(path: str) -> Dict:
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    return ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+
+
+def convert_vae_checkpoint(path: str) -> Dict:
+    return {"params": convert_vae_state(_load_torch_state(path))}
+
+
+def convert_diffusion_checkpoint(path: str) -> Dict:
+    return {"params": convert_diffusion_state(_load_torch_state(path))}

@@ -230,6 +230,9 @@ class NARS2UTModule(nn.Module):
     use_sp: bool = False
     encoder_remat: bool = False  # jax.checkpoint per conformer layer
     n_frames_per_step: int = 1
+    conv_channels: int = 1024
+    conv_kernel_sizes: tuple = (5, 5)
+    share_input_output_embed: bool = True
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -240,6 +243,8 @@ class NARS2UTModule(nn.Module):
             heads=self.encoder_heads,
             dropout=self.dropout,
             depthwise_kernel_size=self.depthwise_kernel_size,
+            conv_channels=self.conv_channels,
+            conv_kernel_sizes=tuple(self.conv_kernel_sizes),
             remat=self.encoder_remat,
             dtype=self.dtype,
             name="encoder",
@@ -252,6 +257,7 @@ class NARS2UTModule(nn.Module):
             heads=self.decoder_heads,
             dropout=self.dropout,
             n_frames_per_step=self.n_frames_per_step,
+            share_input_output_embed=self.share_input_output_embed,
             dtype=self.dtype,
             name="decoder",
         )
@@ -370,6 +376,13 @@ class NARS2UTModel(ModelHolder):
             use_sp=cfg.get("use_sp", False),
             encoder_remat=cfg.get("encoder_remat", False),
             n_frames_per_step=cfg.get("n_frames_per_step", 1),
+            conv_channels=cfg.get("conv_channels", 1024),
+            conv_kernel_sizes=tuple(
+                int(k) for k in str(cfg.get("conv_kernel_sizes", "5,5"))
+                .strip("()[] ").replace(",", " ").split()
+            ),
+            share_input_output_embed=cfg.get(
+                "share_decoder_input_output_embed", True),
             dtype=jnp.dtype(cfg.get("dtype", "float32")),
         )
         return cls(module=module, cfg=cfg)

@@ -392,3 +392,150 @@ def convert_vae_checkpoint(path: str) -> Dict:
 
 def convert_diffusion_checkpoint(path: str) -> Dict:
     return {"params": convert_diffusion_state(_load_torch_state(path))}
+
+
+# ---------------------------------------------------------- NAR S2UT model
+
+def _layernorm_tree(sd: Dict, prefix: str) -> Dict:
+    return {"scale": _t(sd[f"{prefix}.weight"]),
+            "bias": _t(sd[f"{prefix}.bias"])}
+
+
+def _mha_tree(sd: Dict, prefix: str) -> Dict:
+    """fairseq MultiheadAttention (q/k/v/out_proj with biases)."""
+    return {p: _linear_tree(sd, f"{prefix}.{p}")
+            for p in ("q_proj", "k_proj", "v_proj", "out_proj")}
+
+
+def _conformer_layer_trees(sd: Dict, prefix: str):
+    """fairseq ConformerEncoderLayer (modules/conformer_layer.py:133-286)
+    -> (params, batch_stats) for models/conformer.py ConformerLayer.
+    Conv-module convolutions carry no bias (conformer_layer.py:29 default);
+    the rel-pos ESPNET attention adds linear_pos (no bias) and the
+    pos_bias_u/v head biases."""
+    def ffn(p):
+        return {
+            "layer_norm": _layernorm_tree(sd, f"{p}.layer_norm"),
+            "w_1": _linear_tree(sd, f"{p}.w_1"),
+            "w_2": _linear_tree(sd, f"{p}.w_2"),
+        }
+
+    attn = {
+        "linear_q": _linear_tree(sd, f"{prefix}.self_attn.linear_q"),
+        "linear_k": _linear_tree(sd, f"{prefix}.self_attn.linear_k"),
+        "linear_v": _linear_tree(sd, f"{prefix}.self_attn.linear_v"),
+        "linear_out": _linear_tree(sd, f"{prefix}.self_attn.linear_out"),
+        "linear_pos": _linear_tree(sd, f"{prefix}.self_attn.linear_pos"),
+        "pos_bias_u": _t(sd[f"{prefix}.self_attn.pos_bias_u"]),
+        "pos_bias_v": _t(sd[f"{prefix}.self_attn.pos_bias_v"]),
+    }
+    conv = {
+        "layer_norm": _layernorm_tree(sd, f"{prefix}.conv_module.layer_norm"),
+        "pointwise_conv1": {
+            "kernel": conv_w(sd[f"{prefix}.conv_module.pointwise_conv1.weight"])
+        },
+        "depthwise_conv": {
+            "kernel": conv_w(sd[f"{prefix}.conv_module.depthwise_conv.weight"])
+        },
+        "batch_norm": {
+            "scale": _t(sd[f"{prefix}.conv_module.batch_norm.weight"]),
+            "bias": _t(sd[f"{prefix}.conv_module.batch_norm.bias"]),
+        },
+        "pointwise_conv2": {
+            "kernel": conv_w(sd[f"{prefix}.conv_module.pointwise_conv2.weight"])
+        },
+    }
+    params = {
+        "ffn1": ffn(f"{prefix}.ffn1"),
+        "self_attn_layer_norm": _layernorm_tree(
+            sd, f"{prefix}.self_attn_layer_norm"),
+        "self_attn": attn,
+        "conv_module": conv,
+        "ffn2": ffn(f"{prefix}.ffn2"),
+        "final_layer_norm": _layernorm_tree(sd, f"{prefix}.final_layer_norm"),
+    }
+    stats = {
+        "conv_module": {
+            "batch_norm": {
+                "mean": _t(sd[f"{prefix}.conv_module.batch_norm.running_mean"]),
+                "var": _t(sd[f"{prefix}.conv_module.batch_norm.running_var"]),
+            }
+        }
+    }
+    return params, stats
+
+
+def convert_nar_state(sd: Dict) -> Dict:
+    """fairseq `nar_s2ut_conformer` state dict (research/TranSpeech/
+    nar_conformer.py S2SConformerEncoder + nar_transformer.py
+    TransformerUnitDecoder) -> NARS2UTModule variables
+    ({"params", "batch_stats"})."""
+    enc: Dict = {"subsample": {}}
+    i = 0
+    while f"encoder.subsample.conv_layers.{i}.weight" in sd:
+        enc["subsample"][f"conv_{i}"] = {
+            "kernel": conv_w(sd[f"encoder.subsample.conv_layers.{i}.weight"]),
+            "bias": _t(sd[f"encoder.subsample.conv_layers.{i}.bias"]),
+        }
+        i += 1
+    enc["linear"] = _linear_tree(sd, "encoder.linear")
+    stats: Dict = {}
+    i = 0
+    while f"encoder.conformer_layers.{i}.ffn1.w_1.weight" in sd:
+        p, s = _conformer_layer_trees(sd, f"encoder.conformer_layers.{i}")
+        enc[f"layer_{i}"] = p
+        stats[f"layer_{i}"] = s
+        i += 1
+
+    dec: Dict = {}
+    if "decoder.embed_tokens.project_in_dim.weight" in sd:  # stacked units
+        dec["embed_tokens"] = {
+            "embed": {"embedding": _t(sd["decoder.embed_tokens.weight"])},
+            "project_in_dim": _linear_tree(
+                sd, "decoder.embed_tokens.project_in_dim"),
+        }
+    else:
+        dec["embed_tokens"] = {
+            "embedding": _t(sd["decoder.embed_tokens.weight"])
+        }
+    dec["embed_length"] = {"embedding": _t(sd["decoder.embed_length.weight"])}
+    i = 0
+    while f"decoder.layers.{i}.self_attn.q_proj.weight" in sd:
+        p = f"decoder.layers.{i}"
+        dec[f"layer_{i}"] = {
+            "self_attn": _mha_tree(sd, f"{p}.self_attn"),
+            "self_attn_layer_norm": _layernorm_tree(
+                sd, f"{p}.self_attn_layer_norm"),
+            "encoder_attn": _mha_tree(sd, f"{p}.encoder_attn"),
+            "encoder_attn_layer_norm": _layernorm_tree(
+                sd, f"{p}.encoder_attn_layer_norm"),
+            "fc1": _linear_tree(sd, f"{p}.fc1"),
+            "fc2": _linear_tree(sd, f"{p}.fc2"),
+            "final_layer_norm": _layernorm_tree(sd, f"{p}.final_layer_norm"),
+        }
+        i += 1
+    if "decoder.layer_norm.weight" in sd:
+        dec["layer_norm"] = _layernorm_tree(sd, "decoder.layer_norm")
+    # with --share-decoder-input-output-embed (the released recipe,
+    # scripts/s2ut/train.sh) output_projection.weight is an alias of
+    # embed_tokens.weight and our module reuses the embedding directly
+    out_w = _t(sd["decoder.output_projection.weight"])
+    if not np.array_equal(out_w, _t(sd["decoder.embed_tokens.weight"])):
+        dec["output_proj"] = {"kernel": out_w.T}
+    if "decoder.out_proj_n_frames.weight" in sd:
+        dec["out_proj_n_frames"] = {
+            "kernel": dense_w(sd["decoder.out_proj_n_frames.weight"])
+        }
+        # the reference applies output_projection per sub-frame after the
+        # n-frames expansion (nar_transformer.py:171-172,218-219); our
+        # separate subframe head shares those weights
+        dec["subframe_out"] = {
+            "kernel": dense_w(sd["decoder.output_projection.weight"])
+        }
+
+    return {"params": {"encoder": enc, "decoder": dec},
+            "batch_stats": {"encoder": stats}}
+
+
+def convert_nar_checkpoint(path: str) -> Dict:
+    return convert_nar_state(_load_torch_state(path))

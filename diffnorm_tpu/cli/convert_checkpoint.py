@@ -1,0 +1,79 @@
+"""Convert released PyTorch checkpoints into this framework's orbax format.
+
+One command per reference asset family (SURVEY.md "weight conversion" hard
+part):
+
+  python -m diffnorm_tpu.cli.convert_checkpoint --type vae \
+      --input speech_vae.pt --output ckpts/vae
+  python -m diffnorm_tpu.cli.convert_checkpoint --type diffusion \
+      --input diff_discrete.pt --output ckpts/diffusion
+  python -m diffnorm_tpu.cli.convert_checkpoint --type nar \
+      --input nar_s2ut.pt --output ckpts/nar
+  python -m diffnorm_tpu.cli.convert_checkpoint --type hifigan \
+      --input g_00500000 --vocoder-cfg config.json --output ckpts/vocoder
+  python -m diffnorm_tpu.cli.convert_checkpoint --type hubert \
+      --input mhubert_base.pt --hubert-layers 12 --output ckpts/hubert
+
+The output directory restores with train/checkpoint.load_checkpoint_params
+and plugs straight into cli/generate.py --path / cli/diff_norm_synthesis.py
+/ the vocoder and feature-dump CLIs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+
+logger = logging.getLogger("diffnorm_tpu.convert_checkpoint")
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO, force=True,
+                        format="%(asctime)s | %(levelname)s | %(message)s")
+    p = argparse.ArgumentParser()
+    p.add_argument("--type", required=True,
+                   choices=["vae", "diffusion", "nar", "hifigan", "hubert"])
+    p.add_argument("--input", required=True, help="torch checkpoint path")
+    p.add_argument("--output", required=True,
+                   help="orbax checkpoint directory to create")
+    p.add_argument("--vocoder-cfg",
+                   help="HiFi-GAN config.json (required for --type hifigan)")
+    p.add_argument("--hubert-layers", type=int, default=12)
+    args = p.parse_args(argv)
+
+    from diffnorm_tpu.utils import convert_weights as cw
+
+    if args.type == "vae":
+        variables = {"params": cw.convert_vae_state(
+            cw._load_torch_state(args.input))}
+    elif args.type == "diffusion":
+        variables = {"params": cw.convert_diffusion_state(
+            cw._load_torch_state(args.input))}
+    elif args.type == "nar":
+        variables = cw.convert_nar_state(cw._load_torch_state(args.input))
+    elif args.type == "hifigan":
+        assert args.vocoder_cfg, "--vocoder-cfg required for hifigan"
+        with open(args.vocoder_cfg) as f:
+            cfg = json.load(f)
+        variables = cw.convert_hifigan_checkpoint(args.input, cfg)
+    else:
+        variables = cw.convert_hubert_checkpoint(args.input,
+                                                 layers=args.hubert_layers)
+
+    import orbax.checkpoint as ocp
+
+    out = os.path.abspath(args.output)
+    if os.path.exists(out):
+        raise SystemExit(f"refusing to overwrite existing {out}")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(out, variables)
+    ckptr.wait_until_finished()
+    n = sum(1 for _ in __import__("jax").tree_util.tree_leaves(variables))
+    logger.info("wrote %d arrays -> %s", n, out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

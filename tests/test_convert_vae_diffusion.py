@@ -462,3 +462,24 @@ def test_full_diffusion_state_mapping():
         tree["vae"]["decoder_lm"]["kernel"],
         tvae.decoder_lm.weight.detach().numpy().T,
     )
+
+
+def test_convert_checkpoint_cli(tmp_path):
+    """End-to-end: torch ckpt file -> convert CLI -> orbax dir ->
+    load_checkpoint_params round trip."""
+    from diffnorm_tpu.cli.convert_checkpoint import main
+    from diffnorm_tpu.train.checkpoint import load_checkpoint_params
+
+    torch.manual_seed(3)
+    tvae = TVAE(DIM, (3,))
+    src = tmp_path / "vae.pt"
+    torch.save({"model": {f"encoder.{k}": v
+                          for k, v in tvae.state_dict().items()}}, src)
+    out = tmp_path / "converted"
+    assert main(["--type", "vae", "--input", str(src),
+                 "--output", str(out)]) == 0
+    restored = load_checkpoint_params(str(out))
+    np.testing.assert_allclose(
+        np.asarray(restored["params"]["decoder_lm"]["kernel"]),
+        tvae.decoder_lm.weight.detach().numpy().T, rtol=1e-6, atol=1e-6,
+    )

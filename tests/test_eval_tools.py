@@ -2,6 +2,7 @@
 preprocess CLI, score CLI."""
 
 import os
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -99,3 +100,22 @@ def test_score_cli(tmp_path, capsys):
     main(["--sys", str(tmp_path / "hyp.txt"), "--ref", str(tmp_path / "ref.txt")])
     out = capsys.readouterr().out
     assert "BLEU4 = 100.00" in out
+
+
+def test_get_manifest_cli(tmp_path):
+    import numpy as np
+
+    from diffnorm_tpu.cli.generate_waveform import write_wav
+    from diffnorm_tpu.cli.get_manifest import main
+
+    root = tmp_path / "wavs"
+    (root / "sub").mkdir(parents=True)
+    write_wav(str(root / "a.wav"), np.zeros(160, np.float32), 16000)
+    write_wav(str(root / "sub" / "b.wav"), np.zeros(320, np.float32), 16000)
+    dest = tmp_path / "out" / "train.tsv"
+    assert main([str(root), "--dest", str(dest)]) == 0
+    lines = dest.read_text().strip().split("\n")
+    assert lines[0] == str(root.resolve())
+    entries = dict(l.split("\t") for l in lines[1:])
+    assert entries["a.wav"] == "160"
+    assert entries[str(Path("sub") / "b.wav")] == "320"

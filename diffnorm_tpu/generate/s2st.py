@@ -46,6 +46,29 @@ def expand_units_padded(
     return jnp.where(mask, out, 0), mask
 
 
+def strip_and_reduce_tokens(tokens: jnp.ndarray):
+    """Dictionary tokens [B, T] -> (packed units [B, T], packed_valid
+    [B, T], reduced units [B, T], counts [B]), all 0-based unit ids.
+
+    Reference order (generate_waveform_from_code.py: strip invalid codes,
+    THEN `--reduce` dedups consecutive duplicates in the packed stream) —
+    a special-token gap does not break a run."""
+    valid = tokens >= UNIT_OFFSET
+    units_raw = jnp.where(valid, tokens - UNIT_OFFSET, 0).astype(jnp.int32)
+    t = tokens.shape[1]
+    pos = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
+    idx = jnp.where(valid, pos, t)
+    packed = jnp.zeros_like(units_raw)
+    packed = jax.vmap(
+        lambda p, i, u: p.at[i].set(u, mode="drop")
+    )(packed, idx, units_raw)
+    n_valid = jnp.sum(valid, axis=1)
+    packed_valid = jnp.arange(t)[None, :] < n_valid[:, None]
+    reduced, _keep, counts = jax.vmap(reduce_units_padded)(packed,
+                                                           packed_valid)
+    return packed, packed_valid, reduced, counts
+
+
 def s2st_generate(
     nar_model,
     nar_variables,
@@ -76,10 +99,7 @@ def s2st_generate(
         max_iter=max_iter, max_len=max_len, cond_scale=cond_scale,
         length_beam=length_beam,
     )
-    valid = tokens >= UNIT_OFFSET
-    # invalid positions become -1 so a leading real unit 0 can't merge away
-    units_raw = jnp.where(valid, tokens - UNIT_OFFSET, -1).astype(jnp.int32)
-    reduced, _keep, counts = jax.vmap(reduce_units_padded)(units_raw, valid)
+    packed, packed_valid, reduced, counts = strip_and_reduce_tokens(tokens)
     t = reduced.shape[1]
     reduced_valid = jnp.arange(t)[None, :] < counts[:, None]
     reduced = jnp.where(reduced_valid, reduced, 0)
@@ -92,8 +112,8 @@ def s2st_generate(
         code = reduced
     else:
         durs = jnp.ones_like(reduced)
-        code = jnp.where(valid, units_raw, 0)
-        reduced_valid = valid
+        code = packed
+        reduced_valid = packed_valid
     durs = jnp.where(reduced_valid, durs, 0)
 
     if max_wav_units is None:

@@ -92,15 +92,21 @@ class RelPosSelfAttention(nn.Module):
     dim: int
     heads: int
     dropout: float = 0.0
+    quant: bool = False  # int8 W8A8 projections (inference only)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, pos_emb, mask=None, deterministic: bool = True):
+        from diffnorm_tpu.models.layers import QDense
+
         h = self.heads
         d = self.dim // h
-        q = nn.Dense(self.dim, dtype=self.dtype, name="linear_q")(x)
-        k = nn.Dense(self.dim, dtype=self.dtype, name="linear_k")(x)
-        v = nn.Dense(self.dim, dtype=self.dtype, name="linear_v")(x)
+        q = QDense(self.dim, quant=self.quant, dtype=self.dtype,
+                   name="linear_q")(x)
+        k = QDense(self.dim, quant=self.quant, dtype=self.dtype,
+                   name="linear_k")(x)
+        v = QDense(self.dim, quant=self.quant, dtype=self.dtype,
+                   name="linear_v")(x)
         p = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="linear_pos")(
             pos_emb
         )  # [2T-1, dim]
@@ -142,22 +148,28 @@ class RelPosSelfAttention(nn.Module):
             preferred_element_type=jnp.float32,
         ).astype(x.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, self.dim)
-        return nn.Dense(self.dim, dtype=self.dtype, name="linear_out")(out)
+        return QDense(self.dim, quant=self.quant, dtype=self.dtype,
+                      name="linear_out")(out)
 
 
 class ConformerFFN(nn.Module):
     dim: int
     ffn_dim: int
     dropout: float
+    quant: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from diffnorm_tpu.models.layers import QDense
+
         x = nn.LayerNorm(dtype=self.dtype, name="layer_norm")(x)
-        x = nn.Dense(self.ffn_dim, dtype=self.dtype, name="w_1")(x)
+        x = QDense(self.ffn_dim, quant=self.quant, dtype=self.dtype,
+                   name="w_1")(x)
         x = nn.silu(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = nn.Dense(self.dim, dtype=self.dtype, name="w_2")(x)
+        x = QDense(self.dim, quant=self.quant, dtype=self.dtype,
+                   name="w_2")(x)
         return nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
 
@@ -204,17 +216,20 @@ class ConformerLayer(nn.Module):
     heads: int
     dropout: float
     depthwise_kernel_size: int = 31
+    quant: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, pos_emb, mask=None, deterministic: bool = True):
         x = x + 0.5 * ConformerFFN(
-            self.dim, self.ffn_dim, self.dropout, self.dtype, name="ffn1"
+            self.dim, self.ffn_dim, self.dropout, self.quant, self.dtype,
+            name="ffn1",
         )(x, deterministic)
         res = x
         h = nn.LayerNorm(dtype=self.dtype, name="self_attn_layer_norm")(x)
         h = RelPosSelfAttention(
-            self.dim, self.heads, self.dropout, self.dtype, name="self_attn"
+            self.dim, self.heads, self.dropout, self.quant, self.dtype,
+            name="self_attn",
         )(h, pos_emb, mask=mask, deterministic=deterministic)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         x = res + h
@@ -223,7 +238,8 @@ class ConformerLayer(nn.Module):
             name="conv_module",
         )(x, deterministic)
         x = x + 0.5 * ConformerFFN(
-            self.dim, self.ffn_dim, self.dropout, self.dtype, name="ffn2"
+            self.dim, self.ffn_dim, self.dropout, self.quant, self.dtype,
+            name="ffn2",
         )(x, deterministic)
         return nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")(x)
 
@@ -247,6 +263,7 @@ class ConformerEncoder(nn.Module):
     # — trades ~30% extra fwd FLOPs for O(layers) less activation memory on
     # long-utterance training batches (max_source_positions up to 6000)
     remat: bool = False
+    quant: bool = False  # int8 W8A8 inference matmuls
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -279,6 +296,7 @@ class ConformerEncoder(nn.Module):
                 heads=self.heads,
                 dropout=self.dropout,
                 depthwise_kernel_size=self.depthwise_kernel_size,
+                quant=self.quant,
                 dtype=self.dtype,
                 name=f"layer_{i}",
             )(x, pos_table, mask, deterministic)

@@ -20,6 +20,7 @@ unit->waveform graph jits into one program per (length-bucket) shape.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, Optional, Sequence
 
 import jax
@@ -61,7 +62,14 @@ class ResBlock(nn.Module):
 
 
 class HifiGanGenerator(nn.Module):
-    """x: [B, T, in_dim] -> waveform [B, T * prod(upsample_rates)]."""
+    """x: [B, T, in_dim] -> waveform [B, T * prod(upsample_rates)].
+
+    Small-channel stages (channels <= 64) run their MRF resblocks through
+    the space-to-depth packed-matmul path (ops/packed_conv.py) by default —
+    those stages are 75% of vocoder wall time at ~2% MXU utilization in the
+    direct conv layout. DIFFNORM_PACKED_VOCODER=0 opts out; the parameter
+    tree is identical either way (the packed path reads the ResBlock
+    submodule params in place)."""
 
     in_dim: int = 128
     upsample_rates: Sequence[int] = (5, 4, 4, 2, 2)
@@ -71,8 +79,36 @@ class HifiGanGenerator(nn.Module):
     resblock_dilation_sizes: Sequence[Sequence[int]] = ((1, 3, 5),) * 3
     dtype: jnp.dtype = jnp.float32
 
+    def _packed_resblocks(self, x, i, ch):
+        from diffnorm_tpu.ops.packed_conv import (
+            pack,
+            packed_resblock,
+            unpack,
+        )
+
+        p = 128 // ch
+        t = x.shape[1]
+        pad_t = (-t) % p
+        if pad_t:
+            x = jnp.pad(x, ((0, 0), (0, pad_t), (0, 0)))
+        xp = pack(x, p)
+        acc = None
+        for j, (rk, rd) in enumerate(
+            zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
+        ):
+            params = self.variables["params"][f"resblock_{i}_{j}"]
+            r = packed_resblock(xp, params, rk, tuple(rd), p,
+                                valid_len=t if pad_t else None)
+            acc = r if acc is None else acc + r
+        x = unpack(acc / len(self.resblock_kernel_sizes), p)
+        return x[:, :t] if pad_t else x
+
     @nn.compact
     def __call__(self, x):
+        use_packed = (
+            os.environ.get("DIFFNORM_PACKED_VOCODER", "1") != "0"
+            and not self.is_initializing()
+        )
         x = nn.Conv(
             self.upsample_initial_channel, kernel_size=(7,), padding=[(3, 3)],
             dtype=self.dtype, name="conv_pre",
@@ -91,6 +127,9 @@ class HifiGanGenerator(nn.Module):
             crop = (k - u) // 2
             if crop > 0:
                 x = x[:, crop:-crop]
+            if use_packed and ch <= 64 and 128 % ch == 0:
+                x = self._packed_resblocks(x, i, ch)
+                continue
             acc = None
             for j, (rk, rd) in enumerate(
                 zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)

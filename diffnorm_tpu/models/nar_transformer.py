@@ -41,16 +41,22 @@ class MultiheadAttention(nn.Module):
     dim: int
     heads: int
     dropout: float = 0.0
+    quant: bool = False  # int8 W8A8 projections (inference only)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, context=None, mask=None, deterministic: bool = True):
+        from diffnorm_tpu.models.layers import QDense
+
         h = self.heads
         d = self.dim // h
         ctx = x if context is None else context
-        q = nn.Dense(self.dim, dtype=self.dtype, name="q_proj")(x)
-        k = nn.Dense(self.dim, dtype=self.dtype, name="k_proj")(ctx)
-        v = nn.Dense(self.dim, dtype=self.dtype, name="v_proj")(ctx)
+        q = QDense(self.dim, quant=self.quant, dtype=self.dtype,
+                   name="q_proj")(x)
+        k = QDense(self.dim, quant=self.quant, dtype=self.dtype,
+                   name="k_proj")(ctx)
+        v = QDense(self.dim, quant=self.quant, dtype=self.dtype,
+                   name="v_proj")(ctx)
         b, tq, _ = q.shape
         tk = k.shape[1]
 
@@ -63,7 +69,8 @@ class MultiheadAttention(nn.Module):
             rng = self.make_rng("dropout")
         out = masked_attention(q, k, v, mask=mask, dropout=self.dropout, dropout_rng=rng)
         out = out.transpose(0, 2, 1, 3).reshape(b, tq, self.dim)
-        return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(out)
+        return QDense(self.dim, quant=self.quant, dtype=self.dtype,
+                      name="out_proj")(out)
 
 
 class DecoderLayer(nn.Module):
@@ -73,16 +80,20 @@ class DecoderLayer(nn.Module):
     ffn_dim: int
     heads: int
     dropout: float
+    quant: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
         self, x, self_mask, enc, enc_mask, deterministic: bool = True
     ):
+        from diffnorm_tpu.models.layers import QDense
+
         res = x
         h = nn.LayerNorm(dtype=self.dtype, name="self_attn_layer_norm")(x)
         h = MultiheadAttention(
-            self.dim, self.heads, self.dropout, self.dtype, name="self_attn"
+            self.dim, self.heads, self.dropout, self.quant, self.dtype,
+            name="self_attn",
         )(h, mask=self_mask, deterministic=deterministic)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         x = res + h
@@ -90,17 +101,20 @@ class DecoderLayer(nn.Module):
         res = x
         h = nn.LayerNorm(dtype=self.dtype, name="encoder_attn_layer_norm")(x)
         h = MultiheadAttention(
-            self.dim, self.heads, self.dropout, self.dtype, name="encoder_attn"
+            self.dim, self.heads, self.dropout, self.quant, self.dtype,
+            name="encoder_attn",
         )(h, context=enc, mask=enc_mask, deterministic=deterministic)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         x = res + h
 
         res = x
         h = nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")(x)
-        h = nn.Dense(self.ffn_dim, dtype=self.dtype, name="fc1")(h)
+        h = QDense(self.ffn_dim, quant=self.quant, dtype=self.dtype,
+                   name="fc1")(h)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
+        h = QDense(self.dim, quant=self.quant, dtype=self.dtype,
+                   name="fc2")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return res + h
 
@@ -120,6 +134,7 @@ class NATUnitDecoder(nn.Module):
     # nar_transformer.py:104-113): packed-id canvas in, [B, T, k, V]
     # sub-frame logits out
     n_frames_per_step: int = 1
+    quant: bool = False  # int8 W8A8 inference matmuls
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -159,6 +174,7 @@ class NATUnitDecoder(nn.Module):
                 ffn_dim=self.ffn_dim,
                 heads=self.heads,
                 dropout=self.dropout,
+                quant=self.quant,
                 dtype=self.dtype,
                 name=f"layer_{i}",
             )
@@ -233,6 +249,7 @@ class NARS2UTModule(nn.Module):
     conv_channels: int = 1024
     conv_kernel_sizes: tuple = (5, 5)
     share_input_output_embed: bool = True
+    quant_int8: bool = False  # int8 W8A8 inference matmuls (decode path)
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -246,6 +263,7 @@ class NARS2UTModule(nn.Module):
             conv_channels=self.conv_channels,
             conv_kernel_sizes=tuple(self.conv_kernel_sizes),
             remat=self.encoder_remat,
+            quant=self.quant_int8,
             dtype=self.dtype,
             name="encoder",
         )
@@ -258,6 +276,7 @@ class NARS2UTModule(nn.Module):
             dropout=self.dropout,
             n_frames_per_step=self.n_frames_per_step,
             share_input_output_embed=self.share_input_output_embed,
+            quant=self.quant_int8,
             dtype=self.dtype,
             name="decoder",
         )
@@ -383,6 +402,9 @@ class NARS2UTModel(ModelHolder):
             ),
             share_input_output_embed=cfg.get(
                 "share_decoder_input_output_embed", True),
+            quant_int8=bool(cfg.get(
+                "quant_int8",
+                __import__("os").environ.get("DIFFNORM_INT8") == "1")),
             dtype=jnp.dtype(cfg.get("dtype", "float32")),
         )
         return cls(module=module, cfg=cfg)

@@ -1,0 +1,134 @@
+"""Space-to-depth packed 1-D convolutions for small-channel HiFi-GAN stages.
+
+The vocoder's last upsample stages run dilated convs at waveform rate with
+16/32/64 channels. On TPU a conv keeps channels in the 128-wide lane
+dimension, so those stages use 1/8..1/2 of every vector register and MXU
+tile — measured ~2-3% MXU utilization and 75% of vocoder wall time
+(PERFORMANCE.md per-stage profile).
+
+Packing fixes the layout instead of the op: reshape [B, T, C] into
+[B, T/P, P*C] with P = 128//C, and express a SAME dilated conv as a small
+sum of dense [P*C, P*C] matmuls over shifted packed rows:
+
+    y[q*P + p] = sum_j w[j] . x[q*P + p + off_j]
+               = sum_s  xp[q + s] @ W_s        (s = floor((p+off_j)/P))
+
+where W_s gathers every (tap j, output phase p) pair that lands s packed
+rows away — a block-sparse [P*C, P*C] matrix built once from the conv
+kernel at trace time (loop-invariant; XLA hoists it out of any sampling
+loop). This multiplies FLOPs by roughly (P*C)/(k*C) per tap but runs them
+at full MXU width; measured net win on the narrow stages.
+
+Numerics are exact up to matmul reassociation (f32 accumulation both ways).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+LRELU_SLOPE = 0.1
+
+
+def pack(x: jnp.ndarray, p: int) -> jnp.ndarray:
+    """[B, T, C] -> [B, T/P, P*C] (T must divide P)."""
+    b, t, c = x.shape
+    assert t % p == 0, (t, p)
+    return x.reshape(b, t // p, p * c)
+
+
+def unpack(x: jnp.ndarray, p: int) -> jnp.ndarray:
+    """[B, Q, P*C] -> [B, Q*P, C]."""
+    b, q, pc = x.shape
+    return x.reshape(b, q * p, pc // p)
+
+
+def _tap_offsets(k: int, dilation: int):
+    """SAME-padding torch semantics (pad = (k*d - d)//2): tap j reads
+    x[t + (j - (k-1)//2) * d] for odd k."""
+    assert k % 2 == 1, "HiFi-GAN resblock kernels are odd"
+    return [(j - (k - 1) // 2) * dilation for j in range(k)]
+
+
+def packed_conv_matrices(kernel: jnp.ndarray, p: int, dilation: int):
+    """kernel: [k, C, C] (flax layout) -> list of (shift s, W_s [P*C, P*C])
+    with y_packed[q] = sum_s xp[q+s] @ W_s."""
+    k, cin, cout = kernel.shape
+    assert cin == cout, "resblock convs are square"
+    c = cin
+    offsets = _tap_offsets(k, dilation)
+    shifts = sorted({(ph + off) // p for ph in range(p) for off in offsets})
+    # the block placement is static (python loops over taps x phases); the
+    # kernel values flow through jnp updates so params/gradients trace
+    out = []
+    for s in shifts:
+        w = jnp.zeros((p * c, p * c), kernel.dtype)
+        for j, off in enumerate(offsets):
+            for ph in range(p):
+                if (ph + off) // p != s:
+                    continue
+                ph_src = (ph + off) % p
+                w = w.at[
+                    ph_src * c:(ph_src + 1) * c, ph * c:(ph + 1) * c
+                ].add(kernel[j])
+        out.append((s, w))
+    return out
+
+
+def packed_same_conv(xp: jnp.ndarray, kernel: jnp.ndarray,
+                     bias: jnp.ndarray | None, p: int,
+                     dilation: int) -> jnp.ndarray:
+    """SAME dilated conv on packed input xp [B, Q, P*C] -> [B, Q, P*C]."""
+    q = xp.shape[1]
+    acc = None
+    for s, w in packed_conv_matrices(kernel, p, dilation):
+        if s == 0:
+            xs = xp
+        elif s > 0:
+            if s >= q:
+                continue
+            xs = jnp.pad(xp[:, s:], ((0, 0), (0, s), (0, 0)))
+        else:
+            if -s >= q:
+                continue
+            xs = jnp.pad(xp[:, :s], ((0, 0), (-s, 0), (0, 0)))
+        term = jnp.einsum("bqc,cd->bqd", xs, w.astype(xp.dtype),
+                          preferred_element_type=xp.dtype)
+        acc = term if acc is None else acc + term
+    if bias is not None:
+        acc = acc + jnp.tile(bias.astype(acc.dtype), p)[None, None, :]
+    return acc
+
+
+def _lrelu(x):
+    return jnp.where(x >= 0, x, LRELU_SLOPE * x)
+
+
+def packed_resblock(xp: jnp.ndarray, params, kernel_size: int,
+                    dilations, p: int,
+                    valid_len: int | None = None) -> jnp.ndarray:
+    """HiFi-GAN ResBlock (models/hifigan.py:37-60) on packed activations:
+    for each dilation d: x += conv2(lrelu(conv1_d(lrelu(x)))).
+
+    `valid_len` (unpacked frames) must be passed when the input was padded
+    to a multiple of P: conv biases make padded frames non-zero, and the
+    next conv's left taps would leak them back into valid frames — zeroing
+    the tail after every conv reproduces SAME-padding semantics exactly."""
+    mask = None
+    if valid_len is not None and valid_len < xp.shape[1] * p:
+        c = xp.shape[-1] // p
+        flat = jnp.arange(xp.shape[1] * p) < valid_len
+        mask = jnp.repeat(flat, c).reshape(xp.shape[1], p * c)[None]
+        mask = mask.astype(xp.dtype)
+    for j, d in enumerate(dilations):
+        h = _lrelu(xp)
+        c1 = params[f"conv1_{j}"]
+        h = packed_same_conv(h, c1["kernel"], c1["bias"], p, d)
+        if mask is not None:
+            h = h * mask
+        h = _lrelu(h)
+        c2 = params[f"conv2_{j}"]
+        h = packed_same_conv(h, c2["kernel"], c2["bias"], p, 1)
+        if mask is not None:
+            h = h * mask
+        xp = xp + h
+    return xp

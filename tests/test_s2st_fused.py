@@ -106,3 +106,17 @@ def test_s2st_generate_no_dur_prediction(pipeline):
     # and the un-reduced stream is at least as long as the reduced one
     assert np.all(np.asarray(wav_lengths) // 4 >= np.asarray(counts))
     assert wav.shape[1] == 16 * 4
+
+
+def test_strip_and_reduce_gap_semantics():
+    """A special token mid-stream must not break a duplicate run
+    (generate_waveform_from_code.py strips invalid codes before --reduce)."""
+    from diffnorm_tpu.generate.s2st import strip_and_reduce_tokens
+
+    # units +4 offset; 3 = <unk> mid-stream, 1 = trailing pad
+    tokens = jnp.asarray([[4 + 16, 3, 4 + 16, 4 + 7, 4 + 7, 1, 1]])
+    packed, packed_valid, reduced, counts = strip_and_reduce_tokens(tokens)
+    assert int(packed_valid.sum()) == 4
+    np.testing.assert_array_equal(np.asarray(packed)[0, :4], [16, 16, 7, 7])
+    assert int(counts[0]) == 2
+    np.testing.assert_array_equal(np.asarray(reduced)[0, :2], [16, 7])

@@ -121,3 +121,37 @@ def test_int8_inference_parity():
                          start_step=12)
     assert float(jnp.mean(uf == uq)) > 0.95
     assert float(jnp.linalg.norm(rq - rf) / jnp.linalg.norm(rf)) < 0.02
+
+
+def test_int8_nar_decode_parity():
+    """quant_int8 on the NAR path: int8 W8A8 conformer/decoder matmuls must
+    track the float decode (same weights, high token agreement)."""
+    from diffnorm_tpu.generate.mask_predict import mask_predict_decode
+    from diffnorm_tpu.registry import TASKS
+
+    common = dict(
+        arch="nar_s2ut_conformer", criterion="nar_speech_to_unit",
+        encoder_layers=2, decoder_layers=2, encoder_embed_dim=32,
+        encoder_ffn_embed_dim=64, encoder_attention_heads=2,
+        decoder_attention_heads=2, decoder_embed_dim=32,
+        decoder_ffn_embed_dim=64, conv_channels=32,
+        depthwise_conv_kernel_size=7, target_code_size=20,
+        label_smoothing=0.2, lr=5e-4,
+    )
+    task_f = TASKS.get("dummy_nar").setup_task(Config(**common))
+    model_f = task_f.build_model()
+    task_q = TASKS.get("dummy_nar").setup_task(
+        Config(**common, quant_int8=True))
+    model_q = task_q.build_model()
+    batch = task_f.dummy_batch(2, 48)
+    variables = task_f.init_variables(model_f, jax.random.PRNGKey(0), batch)
+    src = jnp.asarray(batch["src_tokens"])
+    lens = jnp.asarray(batch["src_lengths"])
+    tf, _, _ = mask_predict_decode(model_f, variables, src, lens,
+                                   max_iter=3, max_len=16)
+    tq, _, _ = mask_predict_decode(model_q, variables, src, lens,
+                                   max_iter=3, max_len=16)
+    # at dim 32 with random weights the logit margins are tiny, so int8
+    # rounding flips more argmaxes than at the real 512-dim scale; this
+    # bounds gross layout/scale bugs, not production quality
+    assert float(jnp.mean(tf == tq)) > 0.75

@@ -25,6 +25,10 @@ from diffnorm_tpu.ops.attention import masked_attention
 # ops/pallas_norm.py and PERFORMANCE.md)
 _PALLAS_NORM = bool(int(os.environ.get("DIFFNORM_PALLAS_NORM", "0")))
 
+# fused Pallas transformer-layer kernel for the DDIM sampling path
+# (ops/pallas_block.py): whole layer per batch row in VMEM, int8 FF
+_FUSED_BLOCK = bool(int(os.environ.get("DIFFNORM_FUSED_BLOCK", "0")))
+
 
 def l2norm(x, eps: float = 1e-12):
     """F.normalize parity: x / max(||x||_2, eps) along the last axis.
@@ -179,7 +183,18 @@ class CausalConv1d(nn.Module):
                     xi, wq, (((2,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 )
-                term = (acc.astype(jnp.float32) * axi * ws).astype(self.dtype)
+                from diffnorm_tpu.ops.quant import _DEQ_BF16
+
+                if _DEQ_BF16 and self.dtype == jnp.bfloat16:
+                    term = (
+                        acc.astype(jnp.bfloat16)
+                        * axi.astype(jnp.bfloat16)
+                        * ws.astype(jnp.bfloat16)
+                    )
+                else:
+                    term = (
+                        acc.astype(jnp.float32) * axi * ws
+                    ).astype(self.dtype)
             else:
                 xi = xc if shift == 0 else jnp.pad(
                     xc[:, :-shift], ((0, 0), (shift, 0), (0, 0)))
@@ -412,6 +427,39 @@ class ConditionableTransformer(nn.Module):
 
     def __call__(self, x, cond=None, mask=None, context=None,
                  deterministic: bool = True, film=None):
+        if (
+            _FUSED_BLOCK
+            and film is not None
+            and not self.cross_attn
+            and self.ff_causal_conv
+            and self.quant_int8
+            and deterministic
+            and self.cond_dim is not None
+            and self.heads * self.dim_head == self.dim
+        ):
+            # fused Pallas layer kernel (sampling path; see ops/pallas_block)
+            from diffnorm_tpu.ops.pallas_block import (
+                _round_up, fused_layer, pack_layer_weights,
+            )
+
+            inner = int(self.dim * self.ff_mult * 2 / 3)
+            params = self.variables["params"]
+            interpret = jax.devices()[0].platform != "tpu"
+            kmask = (
+                mask if mask is not None
+                else jnp.ones(x.shape[:2], dtype=bool)
+            )
+            for i in range(self.depth):
+                w = pack_layer_weights(
+                    params[f"attn_{i}"], params[f"ff_{i}"], inner
+                )
+                x = fused_layer(
+                    x, kmask, film["attn"][i], film["ff"][i], w,
+                    dim=self.dim, dim_head=self.dim_head, heads=self.heads,
+                    pad_inner=_round_up(inner, 128), interpret=interpret,
+                )
+            x = self.final_norm(x)
+            return self.to_pred(x)
         for i in range(self.depth):
             res = x
             hn = self.attn_norms[i](

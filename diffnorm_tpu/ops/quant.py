@@ -18,8 +18,15 @@ source of truth for training.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# Dequantize in bf16 instead of f32 (halves the elementwise traffic of the
+# dequant chain; adds ~0.4% relative error on top of the ~1% int8 error).
+# Measured faster on v5e where the int8 step is elementwise-bound.
+_DEQ_BF16 = os.environ.get("DIFFNORM_INT8_DEQ32", "0") == "0"
 
 
 def quantize_weight(w):
@@ -41,6 +48,12 @@ def int8_matmul(x, wq, ws):
         xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
+    if _DEQ_BF16 and x.dtype == jnp.bfloat16:
+        return (
+            y.astype(jnp.bfloat16)
+            * ax.astype(jnp.bfloat16)
+            * ws.astype(jnp.bfloat16)
+        )
     return (y.astype(jnp.float32) * ax * ws).astype(x.dtype)
 
 

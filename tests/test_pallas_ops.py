@@ -115,3 +115,37 @@ def test_pallas_wavenet_chain_matches_module():
         got = m.apply(v, *args, method=pallas_fwd)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-4, rtol=2e-4)
+
+
+def test_fused_transformer_block_matches_module():
+    """Fused Pallas transformer-layer kernel (ops/pallas_block.py, interpret
+    mode) vs the ConditionableTransformer int8 module path on the sampling
+    configuration (film precomputed, causal-conv FF, key-padding masks)."""
+    import diffnorm_tpu.models.layers as L
+
+    dim, depth, heads, dh, T, B = 128, 2, 2, 64, 32, 3
+    mod = L.ConditionableTransformer(
+        dim=dim, depth=depth, dim_head=dh, heads=heads, ff_mult=4,
+        ff_causal_conv=True, cond_dim=dim * 4, dropout=0.0,
+        quant_int8=True, dtype=jnp.bfloat16,
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, T, dim)), jnp.bfloat16)
+    cond = jnp.asarray(rng.normal(size=(B, dim * 4)), jnp.float32)
+    mask = jnp.arange(T)[None, :] < jnp.asarray([T, T - 5, 7])[:, None]
+    v = mod.init({"params": jax.random.PRNGKey(0)}, x, cond=cond, mask=mask)
+    film = mod.apply(v, cond, method=mod.precompute_film)
+
+    old = L._FUSED_BLOCK
+    try:
+        L._FUSED_BLOCK = False
+        ref = np.asarray(mod.apply(v, x, mask=mask, film=film), np.float32)
+        L._FUSED_BLOCK = True
+        got = np.asarray(mod.apply(v, x, mask=mask, film=film), np.float32)
+    finally:
+        L._FUSED_BLOCK = old
+
+    m = np.asarray(mask)
+    r, g = ref[m], got[m]
+    cos = (r * g).sum() / (np.linalg.norm(r) * np.linalg.norm(g))
+    assert cos > 0.995, cos  # int8-vs-bf16 attention differences only

@@ -186,6 +186,12 @@ def main_train():
     batch = task.dummy_batch(b, seq)
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
     rng = jax.random.PRNGKey(1)
+    # pre-shard the (constant) batch: measures chip step throughput, not
+    # the tunnel's H2D bandwidth (real training overlaps uploads via
+    # parallel.mesh.prefetch_to_device)
+    from diffnorm_tpu.parallel.mesh import shard_batch
+
+    batch = shard_batch(batch, trainer.mesh)
 
     for i in range(2):  # compile + warm
         state, m = trainer.train_step(state, [batch], jax.random.fold_in(rng, i))

@@ -185,10 +185,12 @@ def main(cfg: Optional[Config] = None) -> int:
         interval_agg = metrics_mod.MetricsAggregator()
         t0 = time.time()
         with metrics_mod.aggregate(interval_agg):
-            for microbatches in grouped:
-                microbatches = [
-                    task.prepare_batch(b, np_rng) for b in microbatches
-                ]
+            from diffnorm_tpu.parallel.mesh import prefetch_to_device
+
+            prepared = (
+                [task.prepare_batch(b, np_rng) for b in g] for g in grouped
+            )
+            for microbatches in prefetch_to_device(prepared, trainer.mesh):
                 rng, step_rng = jax.random.split(rng)
                 state, mets = trainer.train_step(state, microbatches, step_rng)
                 step += 1

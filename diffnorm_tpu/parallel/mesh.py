@@ -54,12 +54,46 @@ def shard_batch(batch, mesh: Mesh):
     repl = replicated_sharding(mesh)
 
     def put(x):
+        if isinstance(x, jax.Array):
+            return x  # already device-resident (e.g. prefetch_to_device)
         x = np.asarray(x)
         if x.ndim == 0 or x.shape[0] % mesh.shape["data"] != 0:
             return jax.device_put(x, repl)
         return jax.device_put(x, NamedSharding(mesh, P(*(("data",) + (None,) * (x.ndim - 1)))))
 
     return jax.tree_util.tree_map(put, batch)
+
+
+def prefetch_to_device(groups, mesh: Mesh, depth: int = 2):
+    """Wrap an iterator of microbatch groups, starting each group's
+    host->device transfer `depth` groups ahead.
+
+    jax.device_put is asynchronous, so sharding group N+1 while step N
+    computes overlaps the upload with device work. Measured on the remote
+    TPU tunnel: the stage-2 diffusion train step is ~98 ms of device work
+    but ~300 ms of synchronous batch upload — prefetch hides most of it.
+    (Reference analog: fairseq's CUDA-stream batch prefetch in
+    data/iterators.py + utils.move_to_cuda.)"""
+    import collections
+
+    buf = collections.deque()
+    it = iter(groups)
+
+    def put(group):
+        return [shard_batch(b, mesh) for b in group]
+
+    try:
+        while len(buf) < max(depth, 1):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out
 
 
 def replicate(tree, mesh: Mesh):

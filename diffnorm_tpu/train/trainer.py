@@ -70,6 +70,11 @@ class Trainer:
         self._jit_grad = jax.jit(self._grad_step)
         self._jit_apply = jax.jit(self._apply_step, donate_argnums=(0,))
         self._jit_valid = jax.jit(self._valid_step)
+        # microbatch grad accumulation as ONE compiled call (a host-side
+        # tree_map of jnp.add is one dispatch per param leaf)
+        self._jit_acc = jax.jit(
+            lambda a, b: jax.tree_util.tree_map(jnp.add, a, b)
+        )
         self.skipped_steps = 0
         # host-side mirror of state.step: avoids an int(state.step) device
         # sync every update (one round trip through the TPU tunnel)
@@ -131,9 +136,14 @@ class Trainer:
         grads = jax.tree_util.tree_map(lambda g: g * ss, grads)
         return grads, vec, mutated
 
-    def _apply_step(self, state: TrainState, grads):
+    def _apply_step(self, state: TrainState, grads, ss_total=None):
         model_state = state.model_state
         lr = self.lr_schedule(state.step)
+        if ss_total is not None:
+            # grad normalization by total sample size INSIDE the jit: a
+            # host-side tree_map here costs one tiny XLA dispatch per param
+            # leaf (377 leaves = ~100 ms/step through the TPU tunnel)
+            grads = jax.tree_util.tree_map(lambda g: g / ss_total, grads)
         gnorm = optax.global_norm(grads)
         ok = jnp.isfinite(gnorm)
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
@@ -183,9 +193,7 @@ class Trainer:
             model_state = {**model_state, **mutated}
             vecs.append(met_vec)
             grads_acc = (
-                grads
-                if grads_acc is None
-                else jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+                grads if grads_acc is None else self._jit_acc(grads_acc, grads)
             )
         keys = self._metric_keys
         # normalize grads ON DEVICE by the total sample size (device scalar
@@ -196,12 +204,11 @@ class Trainer:
             ss_total_dev = jnp.maximum(jnp.sum(vec_stack[:, ss_idx]), 1.0)
         else:
             ss_total_dev = jnp.asarray(float(len(vecs)))
-        grads = jax.tree_util.tree_map(lambda g: g / ss_total_dev, grads_acc)
         if self._host_step is None:
             self._host_step = int(state.step)
         step_before = self._host_step
         new_state, gnorm, ok, lr = self._jit_apply(
-            state.replace(model_state=model_state), grads
+            state.replace(model_state=model_state), grads_acc, ss_total_dev
         )
         self._host_step = step_before + 1
         # ONE host pull for everything the logger needs (each device->host

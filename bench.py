@@ -129,11 +129,25 @@ def main_nar():
         variables,
     )
 
-    fn = jax.jit(
-        lambda v, s, l: jnp.sum(
-            mask_predict_decode(model, v, s, l, max_iter=15, max_len=256)[0]
+    REPEATS = 16
+
+    def run_many(v, s, l):
+        """REPEATS full decodes inside one jitted program (single decodes
+        are ~20 ms — smaller than the tunnel's latency jitter; the input
+        perturbation depends on the loop index so XLA cannot hoist the
+        loop-invariant decode)."""
+        def body(carry, i):
+            si = s + (i.astype(s.dtype) * 1e-6)
+            toks, _, _ = mask_predict_decode(
+                model, v, si, l, max_iter=15, max_len=256
+            )
+            return carry + jnp.sum(toks), ()
+        total, _ = jax.lax.scan(
+            body, jnp.zeros((), jnp.int32), jnp.arange(REPEATS)
         )
-    )
+        return total
+
+    fn = jax.jit(run_many)
     src = jnp.asarray(batch["src_tokens"])
     lens = jnp.asarray(batch["src_lengths"])
     _ = float(fn(variables, src, lens))  # compile
@@ -150,7 +164,7 @@ def main_nar():
         _ = float(fn(variables, src, lens))
         times.append(time.perf_counter() - t0)
     wall = max(min(times) - latency, 1e-9)
-    utts_per_sec = b / wall
+    utts_per_sec = b * REPEATS / wall
     print(json.dumps({
         "metric": "nar_s2ut_decode_throughput",
         "value": round(utts_per_sec, 3),
@@ -326,14 +340,26 @@ def main_e2e():
     # (max_len*max_duration = 1024) pays 4x vocoder FLOPs on padding
     wav_units = int(os.environ.get("BENCH_WAV_UNITS", 384))
 
+    E2E_REPEATS = 8
+
     def run(nv, vv, s, l):
-        wav, wav_lengths, _, _ = s2st_generate(
-            model, nv, voc, vv, s, l, max_iter=15, max_len=256,
-            max_duration=4, max_wav_units=wav_units,
+        """E2E_REPEATS full serving chains inside one jitted program (the
+        input perturbation depends on the loop index so XLA cannot hoist
+        the loop-invariant chain; single ~100 ms calls are too close to the
+        tunnel's latency jitter to time reliably)."""
+        def body(carry, i):
+            si = s + (i.astype(s.dtype) * 1e-6)
+            wav, wav_lengths, _, _ = s2st_generate(
+                model, nv, voc, vv, si, l, max_iter=15, max_len=256,
+                max_duration=4, max_wav_units=wav_units,
+            )
+            return carry + jnp.sum(
+                wav[:, ::1024].astype(jnp.float32)
+            ) + jnp.sum(wav_lengths), ()
+        total, _ = jax.lax.scan(
+            body, jnp.zeros((), jnp.float32), jnp.arange(E2E_REPEATS)
         )
-        return jnp.sum(wav[:, ::1024].astype(jnp.float32)) + jnp.sum(
-            wav_lengths
-        )
+        return total
 
     fn = jax.jit(run)
     src = jnp.asarray(batch["src_tokens"])
@@ -355,7 +381,7 @@ def main_e2e():
         _ = float(fn(nar_vars, voc_vars, src, lens))
         times.append(time.perf_counter() - t0)
     wall = max(min(times) - latency, 1e-9)
-    audio_seconds = b * frames * 0.01  # 10 ms fbank shift
+    audio_seconds = b * frames * 0.01 * E2E_REPEATS  # 10 ms fbank shift
     rtf = audio_seconds / wall
     print(json.dumps({
         "metric": "s2st_e2e_rtf",

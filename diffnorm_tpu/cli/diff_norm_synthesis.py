@@ -105,8 +105,14 @@ def main(cfg: Optional[Config] = None) -> int:
 
         out_rows, n_match, n_total = [], 0, 0
         t0 = time.time()
-        for i in range(0, len(items), batch_size):
-            chunk = items[i:i + batch_size]
+
+        def make_batch(start):
+            """Host side of one chunk: .npy loads + padding. Runs on a
+            background thread one chunk ahead so file IO overlaps the
+            previous chunk's DDIM scan. Host work ONLY — jax calls from a
+            worker thread can deadlock an in-flight XLA:CPU compile on the
+            main thread (observed: backend_compile hung forever)."""
+            chunk = items[start:start + batch_size]
             max_len = bucket_length(max(len(c[2]) for c in chunk))
             bsz = len(chunk)
             feat_dim = cfg.get("feature_dim", 768)
@@ -116,19 +122,50 @@ def main(cfg: Optional[Config] = None) -> int:
                 f = np.load(fpath)[keep]
                 feat_batch[j, : len(dedup)] = f
                 mask[j, : len(dedup)] = True
-            rng, r = jax.random.split(rng)
-            units, _ = sample_fn(variables, jnp.asarray(feat_batch),
-                                 jnp.asarray(mask), r)
-            units = np.asarray(units)
+            return chunk, feat_batch, mask
+
+        def consume(chunk, units):
+            units = np.asarray(units)  # blocks until the device is done
             for j, (row, _, dedup, _) in enumerate(chunk):
                 pred = units[j, : len(dedup)]
-                n_match += int((pred == dedup).sum())
-                n_total += len(dedup)
+                nonlocal_counts[0] += int((pred == dedup).sum())
+                nonlocal_counts[1] += len(dedup)
                 norm_units, _, _ = reduce_units(pred)
                 new_row = dict(row)
-                new_row["tgt_audio"] = " ".join(str(int(u)) for u in norm_units)
+                new_row["tgt_audio"] = " ".join(
+                    str(int(u)) for u in norm_units
+                )
                 new_row["tgt_n_frames"] = len(norm_units)
                 out_rows.append(new_row)
+
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        nonlocal_counts = [0, 0]
+        starts = list(range(0, len(items), batch_size))
+        # pipeline: worker thread loads chunk k+1's files while the device
+        # runs chunk k; uploads (async device_put) and sampling dispatch
+        # stay on the main thread; results are pulled one chunk behind so
+        # the dispatch of chunk k+1 precedes the blocking pull of chunk k
+        pending = None
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            futs = deque(ex.submit(make_batch, s) for s in starts[:2])
+            ptr = len(futs)
+            while futs:
+                chunk, feat_np, mask_np = futs.popleft().result()
+                if ptr < len(starts):
+                    futs.append(ex.submit(make_batch, starts[ptr]))
+                    ptr += 1
+                feat_dev = jax.device_put(feat_np)
+                mask_dev = jax.device_put(mask_np)
+                rng, r = jax.random.split(rng)
+                units, _ = sample_fn(variables, feat_dev, mask_dev, r)
+                if pending is not None:
+                    consume(*pending)
+                pending = (chunk, units)
+            if pending is not None:
+                consume(*pending)
+        n_match, n_total = nonlocal_counts
         acc = n_match / max(n_total, 1)
         logger.info(
             "%s: normalized %d utts in %.1fs (unit acc vs orig %.3f)",

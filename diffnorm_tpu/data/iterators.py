@@ -62,6 +62,7 @@ class _Prefetcher:
     def __init__(self, make_iter: Callable[[], Iterator], depth: int = 4):
         self.q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._done = object()
+        self._finished = False
         self._thread = threading.Thread(
             target=self._run, args=(make_iter,), daemon=True
         )
@@ -78,8 +79,15 @@ class _Prefetcher:
         return self
 
     def __next__(self):
+        # iterator protocol: an exhausted iterator must KEEP raising
+        # StopIteration — the sentinel is consumed exactly once, so a
+        # second q.get() would block forever (hit by read-ahead wrappers
+        # like cli/generate prefetching; deadlocked the e2e pipeline)
+        if self._finished:
+            raise StopIteration
         item = self.q.get()
         if item is self._done:
+            self._finished = True
             raise StopIteration
         return item
 

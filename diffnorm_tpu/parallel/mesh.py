@@ -78,21 +78,24 @@ def prefetch_to_device(groups, mesh: Mesh, depth: int = 2):
 
     buf = collections.deque()
     it = iter(groups)
+    done = False  # never call next() again after exhaustion — not every
+    # upstream iterator keeps raising StopIteration (see _Prefetcher)
 
     def put(group):
         return [shard_batch(b, mesh) for b in group]
 
-    try:
-        while len(buf) < max(depth, 1):
-            buf.append(put(next(it)))
-    except StopIteration:
-        pass
-    while buf:
-        out = buf.popleft()
+    while not done and len(buf) < max(depth, 1):
         try:
             buf.append(put(next(it)))
         except StopIteration:
-            pass
+            done = True
+    while buf:
+        out = buf.popleft()
+        if not done:
+            try:
+                buf.append(put(next(it)))
+            except StopIteration:
+                done = True
         yield out
 
 

@@ -151,34 +151,18 @@ def main(cfg: Optional[Config] = None) -> int:
     bleu = BleuAccumulator()
     n_sent, t0, total_steps = 0, time.time(), 0
 
-    def prefetched(batches, depth: int = 2):
-        """Start each batch's source upload (async jax.device_put) `depth`
-        batches ahead so H2D transfers overlap the previous decode."""
-        from collections import deque
+    from diffnorm_tpu.data.iterators import read_ahead
 
-        def prep(b):
-            b = dict(b)
-            for k in ("src_tokens", "src_lengths"):
-                if k in b:
-                    b[k] = jax.device_put(np.asarray(b[k]))
-            return b
+    def _upload_src(b):
+        """Start the source upload (async jax.device_put) ahead of the
+        decode so H2D transfers overlap the previous batch's compute."""
+        b = dict(b)
+        for k in ("src_tokens", "src_lengths"):
+            if k in b:
+                b[k] = jax.device_put(np.asarray(b[k]))
+        return b
 
-        buf, it, done = deque(), iter(batches), False
-        while not done and len(buf) < depth:
-            try:
-                buf.append(prep(next(it)))
-            except StopIteration:
-                done = True
-        while buf:
-            out = buf.popleft()
-            if not done:
-                try:
-                    buf.append(prep(next(it)))
-                except StopIteration:
-                    done = True
-            yield out
-
-    for batch in prefetched(itr):
+    for batch in read_ahead(itr, _upload_src, depth=2):
         if "id" not in batch:
             batch["id"] = np.arange(n_sent, n_sent + len(batch["src_lengths"]))
         tokens, scores, steps = decode(

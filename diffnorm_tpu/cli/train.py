@@ -194,6 +194,10 @@ def main(cfg: Optional[Config] = None) -> int:
                 rng, step_rng = jax.random.split(rng)
                 state, mets = trainer.train_step(state, microbatches, step_rng)
                 step += 1
+                if epoch_itr is not None:
+                    # resume offset = batches TRAINED, not batches pulled
+                    # (prefetch_to_device reads ahead of the step)
+                    epoch_itr.mark_trained(len(microbatches))
                 watchdog.pet()
                 if step % tcfg.log_interval == 0:
                     progress.log(mets, step)

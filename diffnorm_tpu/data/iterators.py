@@ -92,6 +92,32 @@ class _Prefetcher:
         return item
 
 
+def read_ahead(iterable, prep: Callable[[Any], Any], depth: int = 2):
+    """Yield `prep(item)` in order, keeping up to `depth` prepped items in
+    flight ahead of the consumer.
+
+    The single shared implementation of the fill-then-refill read-ahead
+    loop (device-upload prefetch in the train/generate loops). Never calls
+    next() again after the first StopIteration — the iterator-protocol
+    subtlety that deadlocked _Prefetcher-backed iterators."""
+    from collections import deque
+
+    buf, it, done = deque(), iter(iterable), False
+    while not done and len(buf) < max(depth, 1):
+        try:
+            buf.append(prep(next(it)))
+        except StopIteration:
+            done = True
+    while buf:
+        out = buf.popleft()
+        if not done:
+            try:
+                buf.append(prep(next(it)))
+            except StopIteration:
+                done = True
+        yield out
+
+
 class EpochBatchIterator:
     """Batches a map-style dataset with `collater`, deterministic shuffle,
     resumable position.
@@ -161,7 +187,20 @@ class EpochBatchIterator:
         it = _Prefetcher(gen, depth=self.num_prefetch) if self.num_prefetch > 0 else gen()
         counting = CountingIterator(it, start=start, total=len(self._batches))
         self._active = counting
+        self._trained = None  # set by mark_trained (read-ahead consumers)
         return counting
+
+    def mark_trained(self, n_batches: int):
+        """Record batches actually TRAINED this epoch.
+
+        Read-ahead wrappers (parallel.mesh.prefetch_to_device) pull batches
+        from the iterator before they are trained, so CountingIterator.n
+        overcounts by the prefetch depth; a checkpoint taken mid-epoch would
+        then skip never-trained batches on resume. Train loops call this
+        per step and state_dict prefers it."""
+        if self._trained is None:
+            self._trained = self._offset
+        self._trained += n_batches
 
     def end_of_epoch(self) -> bool:
         return self._active is not None and not self._active.has_next()
@@ -170,10 +209,20 @@ class EpochBatchIterator:
         self.epoch += 1
         self._offset = 0
         self._batches = None
+        # drop the exhausted iterator: a save after finish_epoch must record
+        # the reset offset (0 into the next epoch), not the stale full-epoch
+        # batch count (which would make a resumed run skip the whole epoch)
+        self._active = None
+        self._trained = None
 
     # ------------------------------------------------------------ state
     def state_dict(self) -> Dict[str, Any]:
-        offset = self._active.n if getattr(self, "_active", None) else self._offset
+        if getattr(self, "_trained", None) is not None:
+            offset = self._trained
+        elif getattr(self, "_active", None):
+            offset = self._active.n
+        else:
+            offset = self._offset
         return {"epoch": self.epoch, "offset": offset, "seed": self.seed}
 
     def load_state_dict(self, state: Dict[str, Any]):

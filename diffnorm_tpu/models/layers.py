@@ -155,7 +155,7 @@ class CausalConv1d(nn.Module):
         if self.quant:
             # quantize activations ONCE; shifted taps reuse the int8 tensor
             # and its per-token scales (zero rows shift in as exact zeros)
-            from diffnorm_tpu.ops.quant import quantize_weight
+            from diffnorm_tpu.ops.quant import dequant, quantize_weight
 
             ax = jnp.maximum(
                 jnp.max(jnp.abs(xc.astype(jnp.float32)), axis=-1,
@@ -172,8 +172,6 @@ class CausalConv1d(nn.Module):
             if shift >= xc.shape[1] and shift > 0:
                 continue  # the whole tap falls before the sequence
             if self.quant:
-                from diffnorm_tpu.ops.quant import quantize_weight
-
                 xi = xq if shift == 0 else jnp.pad(
                     xq[:, :-shift], ((0, 0), (shift, 0), (0, 0)))
                 axi = ax if shift == 0 else jnp.pad(
@@ -183,18 +181,7 @@ class CausalConv1d(nn.Module):
                     xi, wq, (((2,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 )
-                from diffnorm_tpu.ops.quant import _DEQ_BF16
-
-                if _DEQ_BF16 and self.dtype == jnp.bfloat16:
-                    term = (
-                        acc.astype(jnp.bfloat16)
-                        * axi.astype(jnp.bfloat16)
-                        * ws.astype(jnp.bfloat16)
-                    )
-                else:
-                    term = (
-                        acc.astype(jnp.float32) * axi * ws
-                    ).astype(self.dtype)
+                term = dequant(acc, axi, ws, self.dtype)
             else:
                 xi = xc if shift == 0 else jnp.pad(
                     xc[:, :-shift], ((0, 0), (shift, 0), (0, 0)))
@@ -436,6 +423,7 @@ class ConditionableTransformer(nn.Module):
             and deterministic
             and self.cond_dim is not None
             and self.heads * self.dim_head == self.dim
+            and self.dtype == jnp.bfloat16  # kernel computes/returns bf16
         ):
             # fused Pallas layer kernel (sampling path; see ops/pallas_block)
             from diffnorm_tpu.ops.pallas_block import (

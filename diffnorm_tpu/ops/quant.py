@@ -48,13 +48,24 @@ def int8_matmul(x, wq, ws):
         xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    if _DEQ_BF16 and x.dtype == jnp.bfloat16:
+    return dequant(y, ax, ws, x.dtype)
+
+
+def dequant(acc, ax, ws, out_dtype):
+    """int32 accumulator x per-token scale x per-channel scale -> out_dtype.
+
+    In bf16 the whole epilogue stays bf16 (halves its register/HBM
+    footprint, ~0.4% added relative error under the ~1% int8 error);
+    DIFFNORM_INT8_DEQ32=1 restores the f32 epilogue. The single shared
+    implementation for int8_matmul, CausalConv1d taps, and the fused
+    Pallas block's packing."""
+    if _DEQ_BF16 and out_dtype == jnp.bfloat16:
         return (
-            y.astype(jnp.bfloat16)
+            acc.astype(jnp.bfloat16)
             * ax.astype(jnp.bfloat16)
             * ws.astype(jnp.bfloat16)
         )
-    return (y.astype(jnp.float32) * ax * ws).astype(x.dtype)
+    return (acc.astype(jnp.float32) * ax * ws).astype(out_dtype)
 
 
 def int8_dense(x, w):

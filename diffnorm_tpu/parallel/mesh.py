@@ -54,9 +54,13 @@ def shard_batch(batch, mesh: Mesh):
     repl = replicated_sharding(mesh)
 
     def put(x):
-        if isinstance(x, jax.Array):
-            return x  # already device-resident (e.g. prefetch_to_device)
-        x = np.asarray(x)
+        if not isinstance(x, jax.Array):
+            # host array: np.asarray is free; device_put starts the upload
+            x = np.asarray(x)
+        # for device-resident arrays device_put with the target sharding is
+        # a no-op when already placed correctly and an on-device reshard
+        # otherwise (never a host round trip — np.asarray on a jax.Array
+        # would pull D2H)
         if x.ndim == 0 or x.shape[0] % mesh.shape["data"] != 0:
             return jax.device_put(x, repl)
         return jax.device_put(x, NamedSharding(mesh, P(*(("data",) + (None,) * (x.ndim - 1)))))
@@ -73,30 +77,16 @@ def prefetch_to_device(groups, mesh: Mesh, depth: int = 2):
     TPU tunnel: the stage-2 diffusion train step is ~98 ms of device work
     but ~300 ms of synchronous batch upload — prefetch hides most of it.
     (Reference analog: fairseq's CUDA-stream batch prefetch in
-    data/iterators.py + utils.move_to_cuda.)"""
-    import collections
+    data/iterators.py + utils.move_to_cuda.)
 
-    buf = collections.deque()
-    it = iter(groups)
-    done = False  # never call next() again after exhaustion — not every
-    # upstream iterator keeps raising StopIteration (see _Prefetcher)
+    NOTE: train loops that checkpoint mid-epoch must record the TRAINED
+    batch count via EpochBatchIterator.mark_trained — this wrapper pulls
+    `depth` groups ahead, so the raw iterator position overcounts."""
+    from diffnorm_tpu.data.iterators import read_ahead
 
-    def put(group):
-        return [shard_batch(b, mesh) for b in group]
-
-    while not done and len(buf) < max(depth, 1):
-        try:
-            buf.append(put(next(it)))
-        except StopIteration:
-            done = True
-    while buf:
-        out = buf.popleft()
-        if not done:
-            try:
-                buf.append(put(next(it)))
-            except StopIteration:
-                done = True
-        yield out
+    yield from read_ahead(
+        groups, lambda g: [shard_batch(b, mesh) for b in g], depth=depth
+    )
 
 
 def replicate(tree, mesh: Mesh):

@@ -71,9 +71,12 @@ class Trainer:
         self._jit_apply = jax.jit(self._apply_step, donate_argnums=(0,))
         self._jit_valid = jax.jit(self._valid_step)
         # microbatch grad accumulation as ONE compiled call (a host-side
-        # tree_map of jnp.add is one dispatch per param leaf)
+        # tree_map of jnp.add is one dispatch per param leaf); the
+        # accumulator is donated so XLA updates it in place instead of
+        # allocating a fresh gradient tree per microbatch
         self._jit_acc = jax.jit(
-            lambda a, b: jax.tree_util.tree_map(jnp.add, a, b)
+            lambda a, b: jax.tree_util.tree_map(jnp.add, a, b),
+            donate_argnums=(0,),
         )
         self.skipped_steps = 0
         # host-side mirror of state.step: avoids an int(state.step) device

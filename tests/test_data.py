@@ -227,3 +227,60 @@ def test_cli_config_file_merging(tmp_path):
     assert cfg.max_update == 100         # from the YAML
     assert cfg.lr == 0.01                # flag overrides YAML
     assert cfg.seed == 7
+
+
+def test_prefetcher_keeps_raising_stopiteration():
+    """Iterator protocol: an exhausted _Prefetcher must keep raising
+    StopIteration — a second next() used to block forever on the empty
+    queue (deadlocked read-ahead consumers in the generate CLI)."""
+    from diffnorm_tpu.data.iterators import _Prefetcher
+
+    p = _Prefetcher(lambda: iter([1, 2]), depth=2)
+    assert list(p) == [1, 2]
+    for _ in range(3):
+        with pytest.raises(StopIteration):
+            next(p)
+
+
+def test_read_ahead_order_and_exhaustion():
+    from diffnorm_tpu.data.iterators import _Prefetcher, read_ahead
+
+    # over a plain list
+    assert list(read_ahead(range(5), lambda x: x * 10, depth=2)) == [
+        0, 10, 20, 30, 40]
+    # shorter than depth
+    assert list(read_ahead([7], lambda x: x, depth=3)) == [7]
+    assert list(read_ahead([], lambda x: x, depth=2)) == []
+    # over a _Prefetcher (the case that used to deadlock)
+    p = _Prefetcher(lambda: iter([1, 2, 3]), depth=2)
+    assert list(read_ahead(p, lambda x: x, depth=2)) == [1, 2, 3]
+
+
+def test_mark_trained_controls_resume_offset():
+    """Mid-epoch checkpoints with a read-ahead consumer: the offset must be
+    the TRAINED batch count, not the (deeper) pulled count."""
+    ds = _ToyDataset(10)
+    it = EpochBatchIterator(ds, max_sentences=2, shuffle=False, num_prefetch=0)
+    epoch = it.next_epoch_itr()
+    # a depth-2 read-ahead pulls 4 batches while only 2 were trained
+    for _ in range(4):
+        next(epoch)
+    it.mark_trained(1)
+    it.mark_trained(1)
+    assert it.state_dict()["offset"] == 2
+
+
+def test_finish_epoch_resets_saved_offset():
+    """A save AFTER finish_epoch must record offset 0 into the next epoch,
+    not the stale full-epoch batch count (which skipped a whole epoch of
+    data on resume)."""
+    ds = _ToyDataset(10)
+    it = EpochBatchIterator(ds, max_sentences=2, shuffle=False, num_prefetch=0)
+    list(it.next_epoch_itr())
+    it.finish_epoch()
+    state = it.state_dict()
+    assert state["offset"] == 0
+    assert state["epoch"] == 2
+    it2 = EpochBatchIterator(ds, max_sentences=2, shuffle=False, num_prefetch=0)
+    it2.load_state_dict(state)
+    assert len(list(it2.next_epoch_itr())) == 5

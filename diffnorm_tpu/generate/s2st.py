@@ -85,6 +85,7 @@ def s2st_generate(
     max_duration: int = 8,
     max_wav_units: Optional[int] = None,
     spkr: Optional[jnp.ndarray] = None,
+    vocoder_chunk: int = 4,
 ):
     """Speech (fbank) in, waveform out, fully on device.
 
@@ -122,7 +123,39 @@ def s2st_generate(
         lambda u, d: expand_units_padded(u, d, max_wav_units)
     )(code, durs)
 
-    wav = vocoder_module.apply(vocoder_variables, expanded, spkr)
+    wav = _chunked_vocoder(
+        vocoder_module, vocoder_variables, expanded, spkr, vocoder_chunk
+    )
     upsample = wav.shape[-1] // max_wav_units
     wav_lengths = jnp.sum(wav_unit_mask, axis=-1) * upsample
     return wav, wav_lengths, reduced, counts
+
+
+def _chunked_vocoder(module, variables, codes, spkr, chunk: int):
+    """Run HiFi-GAN over sub-batches of `chunk` rows via lax.map.
+
+    Measured on v5e (T=384 unit canvas): per-row synthesis cost is flat up
+    to ~4 rows and then cliffs — B4 runs at RTF 2539/row-equivalent, B8 at
+    1362, B16 at 1040 (the waveform-rate activations fall out of the
+    VMEM-resident fusion regime). Four-row chunks inside one jitted
+    program keep the whole batch in the fast regime: B16xT384 synthesis
+    drops ~118 ms -> ~48 ms. chunk=0 disables chunking."""
+    b = codes.shape[0]
+    if chunk <= 0 or b <= chunk:
+        return module.apply(variables, codes, spkr)
+    pad_b = (-b) % chunk
+    if pad_b:
+        codes = jnp.pad(codes, ((0, pad_b), (0, 0)))
+        if spkr is not None:
+            spkr = jnp.pad(spkr, ((0, pad_b),) + ((0, 0),) * (spkr.ndim - 1))
+    n = codes.shape[0] // chunk
+    codes = codes.reshape((n, chunk) + codes.shape[1:])
+    if spkr is None:
+        wav = jax.lax.map(lambda c: module.apply(variables, c, None), codes)
+    else:
+        spkr = spkr.reshape((n, chunk) + spkr.shape[1:])
+        wav = jax.lax.map(
+            lambda cs: module.apply(variables, cs[0], cs[1]), (codes, spkr)
+        )
+    wav = wav.reshape((n * chunk,) + wav.shape[2:])
+    return wav[:b]

@@ -121,9 +121,15 @@ def main(cfg: Optional[Config] = None) -> int:
                 scores[:, :1], best.shape
             ).astype(jnp.float32), jnp.ones((best.shape[0],), jnp.int32)
     else:
+        from diffnorm_tpu.generate.mask_predict import (
+            mask_predict_decode_chunked,
+        )
+
         def _decode(v, src, lengths):
-            return mask_predict_decode(
-                model, v, src, lengths, max_iter=max_iter,
+            return mask_predict_decode_chunked(
+                model, v, src, lengths,
+                chunk=int(cfg.get("decode_chunk", 0)),
+                max_iter=max_iter,
                 max_len=min(max_len, 256), cond_scale=cond_scale,
                 length_beam=beam, n_frames_per_step=n_frames,
             )

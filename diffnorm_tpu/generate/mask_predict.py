@@ -190,6 +190,38 @@ def mask_predict_decode(
     return tokens, scores, n_steps
 
 
+def mask_predict_decode_chunked(model, variables, src, src_lengths, *,
+                                chunk: int = 4, **kw):
+    """mask_predict_decode over `chunk`-row sub-batches via lax.map.
+
+    NEGATIVE RESULT, kept as an opt-in knob (default off at call sites):
+    standalone B4 decode measures 1015 utts/s vs ~640 at B8-B32 (same
+    VMEM-fusion knee as the vocoder), but the win does not survive
+    composition — inside lax.map the same B4 body runs ~2x slower and
+    B16 throughput drops 588 -> 526 utts/s (e2e RTF 880 -> 868). The
+    vocoder's chunking (s2st._chunked_vocoder) DOES compose; the decode's
+    does not (scan-carried buffer allocation differs). chunk=0 disables.
+    Pads by replicating the last row, slices back to B."""
+    b = src.shape[0]
+    if chunk <= 0 or b <= chunk:
+        return mask_predict_decode(model, variables, src, src_lengths, **kw)
+    pad = (-b) % chunk
+    if pad:
+        src = jnp.concatenate([src, jnp.repeat(src[-1:], pad, axis=0)], 0)
+        src_lengths = jnp.concatenate(
+            [src_lengths, jnp.repeat(src_lengths[-1:], pad, axis=0)], 0
+        )
+    n = src.shape[0] // chunk
+    srcs = src.reshape((n, chunk) + src.shape[1:])
+    lens = src_lengths.reshape((n, chunk))
+    tokens, scores, n_steps = jax.lax.map(
+        lambda sl: mask_predict_decode(model, variables, sl[0], sl[1], **kw),
+        (srcs, lens),
+    )
+    unchunk = lambda x: x.reshape((n * chunk,) + x.shape[2:])[:b]  # noqa: E731
+    return unchunk(tokens), unchunk(scores), unchunk(n_steps)
+
+
 def jit_decoder(model, max_iter: int = 15, max_len: int = 256,
                 cond_scale: float = 1.0, length_beam: int = 1):
     """Build a jitted decode fn (variables, src, src_lengths) -> outputs."""

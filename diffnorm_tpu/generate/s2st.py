@@ -25,7 +25,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from diffnorm_tpu.generate.mask_predict import mask_predict_decode
+from diffnorm_tpu.generate.mask_predict import mask_predict_decode_chunked
 from diffnorm_tpu.ops.unit_reduce import reduce_units_padded
 
 UNIT_OFFSET = 4  # dictionary specials bos/pad/eos/unk = 0..3
@@ -86,6 +86,7 @@ def s2st_generate(
     max_wav_units: Optional[int] = None,
     spkr: Optional[jnp.ndarray] = None,
     vocoder_chunk: int = 4,
+    decode_chunk: int = 0,
 ):
     """Speech (fbank) in, waveform out, fully on device.
 
@@ -95,8 +96,8 @@ def s2st_generate(
     decoded unit stream drives the vocoder un-expanded (reference
     --dur-prediction off).
     """
-    tokens, _scores, _ = mask_predict_decode(
-        nar_model, nar_variables, src, src_lengths,
+    tokens, _scores, _ = mask_predict_decode_chunked(
+        nar_model, nar_variables, src, src_lengths, chunk=decode_chunk,
         max_iter=max_iter, max_len=max_len, cond_scale=cond_scale,
         length_beam=length_beam,
     )

@@ -120,3 +120,21 @@ def test_strip_and_reduce_gap_semantics():
     np.testing.assert_array_equal(np.asarray(packed)[0, :4], [16, 16, 7, 7])
     assert int(counts[0]) == 2
     np.testing.assert_array_equal(np.asarray(reduced)[0, :2], [16, 7])
+
+
+def test_chunked_vocoder_matches_monolithic():
+    from diffnorm_tpu.generate.s2st import _chunked_vocoder
+    from diffnorm_tpu.models.hifigan import CodeGenerator
+
+    voc = CodeGenerator(num_embeddings=24, embedding_dim=8,
+                        upsample_rates=(2, 2), upsample_kernel_sizes=(4, 4),
+                        upsample_initial_channel=16,
+                        resblock_kernel_sizes=(3,),
+                        resblock_dilation_sizes=((1, 3),))
+    codes = jnp.asarray(np.random.default_rng(0).integers(0, 24, (5, 12)),
+                        jnp.int32)
+    v = voc.init(jax.random.PRNGKey(0), codes[:1])
+    ref = voc.apply(v, codes)
+    got = _chunked_vocoder(voc, v, codes, None, chunk=2)  # B=5 pads to 6
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)

@@ -26,7 +26,7 @@ import numpy as np
 from diffnorm_tpu.cli.args import parse_args
 from diffnorm_tpu.config import Config
 from diffnorm_tpu.data.iterators import EpochBatchIterator
-from diffnorm_tpu.generate.mask_predict import mask_predict_decode
+from diffnorm_tpu.generate.mask_predict import mask_predict_decode_chunked
 from diffnorm_tpu.registry import TASKS, _import_all
 from diffnorm_tpu.train.checkpoint import load_checkpoint_params
 
@@ -121,10 +121,6 @@ def main(cfg: Optional[Config] = None) -> int:
                 scores[:, :1], best.shape
             ).astype(jnp.float32), jnp.ones((best.shape[0],), jnp.int32)
     else:
-        from diffnorm_tpu.generate.mask_predict import (
-            mask_predict_decode_chunked,
-        )
-
         def _decode(v, src, lengths):
             return mask_predict_decode_chunked(
                 model, v, src, lengths,

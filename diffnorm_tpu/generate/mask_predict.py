@@ -181,6 +181,10 @@ def mask_predict_decode(
         scores = scores.reshape(-1, length_beam, scores.shape[-1])[
             jnp.arange(best.shape[0]), best
         ]
+        # keep n_steps aligned with the returned [B] rows (it was [B*beam])
+        n_steps = n_steps.reshape(-1, length_beam)[
+            jnp.arange(best.shape[0]), best
+        ]
     if kf > 1:
         from diffnorm_tpu.models.stacked import unpack_units
 
@@ -206,18 +210,31 @@ def mask_predict_decode_chunked(model, variables, src, src_lengths, *,
     if chunk <= 0 or b <= chunk:
         return mask_predict_decode(model, variables, src, src_lengths, **kw)
     pad = (-b) % chunk
-    if pad:
-        src = jnp.concatenate([src, jnp.repeat(src[-1:], pad, axis=0)], 0)
-        src_lengths = jnp.concatenate(
-            [src_lengths, jnp.repeat(src_lengths[-1:], pad, axis=0)], 0
+
+    def pad_rows(x):
+        if not pad:
+            return x
+        return jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], 0)
+
+    def to_chunks(x):
+        n = x.shape[0] // chunk
+        return x.reshape((n, chunk) + x.shape[1:])
+
+    src = to_chunks(pad_rows(src))
+    src_lengths = to_chunks(pad_rows(src_lengths))
+    true_length = kw.pop("true_length", None)  # per-row: chunk it too
+    if true_length is not None:
+        mapped = (src, src_lengths, to_chunks(pad_rows(true_length)))
+        body = lambda slt: mask_predict_decode(  # noqa: E731
+            model, variables, slt[0], slt[1], true_length=slt[2], **kw
         )
-    n = src.shape[0] // chunk
-    srcs = src.reshape((n, chunk) + src.shape[1:])
-    lens = src_lengths.reshape((n, chunk))
-    tokens, scores, n_steps = jax.lax.map(
-        lambda sl: mask_predict_decode(model, variables, sl[0], sl[1], **kw),
-        (srcs, lens),
-    )
+    else:
+        mapped = (src, src_lengths)
+        body = lambda sl: mask_predict_decode(  # noqa: E731
+            model, variables, sl[0], sl[1], **kw
+        )
+    n = src.shape[0]
+    tokens, scores, n_steps = jax.lax.map(body, mapped)
     unchunk = lambda x: x.reshape((n * chunk,) + x.shape[2:])[:b]  # noqa: E731
     return unchunk(tokens), unchunk(scores), unchunk(n_steps)
 

@@ -38,6 +38,35 @@ def skeptical_mask(scores, non_pad, p):
     return rank < boundary
 
 
+def fill_and_remask(tokens, scores, new_tokens, new_scores, step, max_step):
+    """One CMLM iteration's canvas update given the argmax fill (reference
+    forward_decoder research/TranSpeech/nar_transformer.py:791-841 +
+    _skeptical_unmasking fairseq/models/nat/cmlm_transformer.py:19-25):
+    fill unk positions, then re-mask the floor((len-2)*(1-(step+1)/max_step))
+    lowest-scoring positions unless this was the final step.
+
+    Returns (filled_tokens, filled_scores, out_tokens, out_scores) — the
+    filled canvas (what the reference appends to history / returns on the
+    last step) and the re-masked canvas fed to the next iteration.
+    Parity-tested against the real reference modules in
+    tests/test_reference_parity.py."""
+    masks = tokens == UNK
+    filled_tokens = jnp.where(masks, new_tokens, tokens)
+    filled_scores = jnp.where(masks, new_scores, scores)
+    # p as ONE correctly-rounded float32 division. The reference computes
+    # 1-(step+1)/max_step in python float64 and multiplies it into a float32
+    # tensor; evaluating the same expression natively in float32
+    # (1.0f - 1/3f) lands one ulp BELOW 2/3, and floor((len-2)*p) then
+    # re-masks one position fewer (caught by
+    # tests/test_reference_parity.py::test_mask_predict_iteration_matches_reference)
+    p = jnp.asarray(max_step - 1 - step, jnp.float32) / max_step
+    do_remask = (step + 1) < max_step
+    smask = skeptical_mask(filled_scores, filled_tokens != PAD, p) & do_remask
+    out_tokens = jnp.where(smask, UNK, filled_tokens)
+    out_scores = jnp.where(smask, 0.0, filled_scores)
+    return filled_tokens, filled_scores, out_tokens, out_scores
+
+
 def init_canvas(length_tgt, max_len: int):
     """[B] lengths -> (tokens [B, max_len] unk/eos/pad, scores zeros).
 
@@ -136,9 +165,9 @@ def mask_predict_decode(
         else:
             new_scores = jnp.max(lp, axis=-1)
             new_tokens = jnp.argmax(lp, axis=-1).astype(jnp.int32)
-        masks = tokens == UNK
-        filled_tokens = jnp.where(masks, new_tokens, tokens)
-        filled_scores = jnp.where(masks, new_scores, scores)
+        filled_tokens, filled_scores, out_tokens, out_scores = fill_and_remask(
+            tokens, scores, new_tokens, new_scores, step, max_step
+        )
 
         # adaptive loop-detection on the FILLED canvas (the reference
         # returns output_tokens after fill, before re-masking — freezing
@@ -147,11 +176,6 @@ def mask_predict_decode(
         result = jnp.where(done[:, None], res_tokens, filled_tokens)
         res_sc = jnp.where(done[:, None], res_scores, filled_scores)
 
-        p = 1.0 - (step.astype(jnp.float32) + 1.0) / max_step
-        do_remask = (step + 1) < max_step
-        smask = skeptical_mask(filled_scores, filled_tokens != PAD, p) & do_remask
-        out_tokens = jnp.where(smask, UNK, filled_tokens)
-        out_scores = jnp.where(smask, 0.0, filled_scores)
         out_tokens = jnp.where(done[:, None], tokens, out_tokens)
         out_scores = jnp.where(done[:, None], scores, out_scores)
         steps_used = jnp.where(done, 0, 1)

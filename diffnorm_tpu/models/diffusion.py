@@ -377,10 +377,10 @@ class LatentDiffusionModule(nn.Module):
         self.denoiser = self._make_denoiser()
         self.schedule = DDPMSchedule.create(self.timesteps, self.schedule_name)
 
-    def encode(self, feature, rng):
+    def encode(self, feature, rng, noise=None):
         if not self.use_vae:
             return feature
-        return self.vae.encode(feature, rng)
+        return self.vae.encode(feature, rng, noise=noise)
 
     def decode(self, latent, mask):
         return self.vae.decode(latent, mask)
@@ -452,6 +452,8 @@ def ddim_sample(
     mask,
     rng,
     start_step: int = 50,
+    enc_noise=None,
+    init_noise=None,
 ):
     """Partial-noise DDIM normalization (reference ddim_sample :1385-1471).
 
@@ -468,14 +470,17 @@ def ddim_sample(
     schedule = DDPMSchedule.create(module.timesteps, module.schedule_name)
     r_enc, r_noise = jax.random.split(rng)
     z = module.apply(
-        variables, feature, r_enc, method=LatentDiffusionModule.encode
+        variables, feature, r_enc, method=LatentDiffusionModule.encode,
+        noise=enc_noise,
     )
     b = z.shape[0]
 
     t_start = jnp.full((b,), start_step, dtype=jnp.int32)
     sac = extract(schedule.sqrt_alphas_cumprod, t_start, z.ndim)
     s1mac = extract(schedule.sqrt_one_minus_alphas_cumprod, t_start, z.ndim)
-    x = sac * z + s1mac * jax.random.normal(r_noise, z.shape, z.dtype)
+    noise0 = (jnp.asarray(init_noise, z.dtype) if init_noise is not None
+              else jax.random.normal(r_noise, z.shape, z.dtype))
+    x = sac * z + s1mac * noise0
 
     times = jnp.arange(start_step - 1, 0, -1)
     # hoist every time-dependent FiLM/adaptive-norm projection out of the

@@ -32,12 +32,16 @@ from diffnorm_tpu.registry import register_architecture, register_model
 CHAN_MULTS = {16: [4, 3, 2], 32: [4, 3], 128: [3]}
 
 
-def gaussian_sample(params2c, rng):
-    """params2c: [..., 2C] (mean ++ logvar). Returns (z, mean, logvar)."""
+def gaussian_sample(params2c, rng, noise=None):
+    """params2c: [..., 2C] (mean ++ logvar). Returns (z, mean, logvar).
+
+    `noise` overrides the drawn eps (parity tests inject the reference's
+    torch.randn stream to compare sampled paths exactly)."""
     mean, logvar = jnp.split(params2c, 2, axis=-1)
     logvar = jnp.clip(logvar, -30.0, 20.0)
     std = jnp.exp(0.5 * logvar)
-    eps = jax.random.normal(rng, mean.shape, dtype=mean.dtype)
+    eps = (jnp.asarray(noise, mean.dtype) if noise is not None
+           else jax.random.normal(rng, mean.shape, dtype=mean.dtype))
     return mean + std * eps, mean, logvar
 
 
@@ -100,10 +104,10 @@ class SpeechVAEModule(nn.Module):
             x = block(x)
         return x
 
-    def encode(self, feature, rng):
+    def encode(self, feature, rng, noise=None):
         """Sampled latent [B, T, latent]. Used frozen by the diffusion stage
         (reference encode_feature latent_module.py:1099-1107 is @no_grad)."""
-        z, _, _ = gaussian_sample(self.encode_params(feature), rng)
+        z, _, _ = gaussian_sample(self.encode_params(feature), rng, noise=noise)
         return z
 
     def decode(self, latent, mask, deterministic: bool = True):

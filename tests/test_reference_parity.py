@@ -1,0 +1,338 @@
+"""Parity against the REAL reference modules (not re-implementations).
+
+Round 1 validated conversion/forward parity against from-scratch torch
+oracles written in the same repo — which can share a misreading with the
+port. These tests exec the genuine files under /root/reference via
+reference_loader.py and use them as ground truth:
+
+* fairseq/models/text_to_speech/latent_module.py — VAE encode/decode/loss
+  forward and the DDIM normalization sampler (exact unit match with a
+  shared injected noise stream)
+* fairseq/models/nat/cmlm_transformer.py — _skeptical_unmasking
+* research/TranSpeech/nar_transformer.py — one full mask-predict
+  forward_decoder iteration (argmax fill + skeptical re-mask)
+
+Weights are shared by converting the real torch state dicts through
+utils/convert_weights, so these tests also pin the converters against the
+real fairseq key layout.
+"""
+
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from reference_loader import (  # noqa: E402
+    load_cmlm_transformer,
+    load_latent_module,
+    load_nar_transformer,
+)
+
+from diffnorm_tpu.models.diffusion import (  # noqa: E402
+    LatentDiffusionModel,
+    LatentDiffusionModule,
+    ddim_sample,
+)
+from diffnorm_tpu.models.vae import (  # noqa: E402
+    SpeechVAEModule,
+    gaussian_kl_masked,
+    gaussian_sample,
+)
+from diffnorm_tpu.utils.convert_weights import (  # noqa: E402
+    convert_diffusion_state,
+    convert_vae_state,
+)
+
+B, T, DIM, LATENT = 2, 9, 768, 16
+LENGTHS = [9, 5]
+
+
+def _mask_np():
+    m = np.zeros((B, T), bool)
+    for i, n in enumerate(LENGTHS):
+        m[i, :n] = True
+    return m
+
+
+@pytest.fixture(scope="module")
+def vae_pair():
+    lm = load_latent_module()
+    torch.manual_seed(0)
+    ref = lm.SpeechVAEEncoderDecoder(dim=DIM, latent_dim=LATENT).eval()
+    sd = {k: v.detach() for k, v in ref.state_dict().items()}
+    variables = {"params": convert_vae_state(sd)}
+    module = SpeechVAEModule(dim=DIM, latent_dim=LATENT)
+    rng = np.random.default_rng(0)
+    feat = rng.normal(size=(B, T, DIM)).astype(np.float32)
+    return lm, ref, module, variables, feat
+
+
+@pytest.mark.slow
+def test_vae_encoder_params_match_reference(vae_pair):
+    """Pre-sampling Gaussian parameters: real encoder_wave stack
+    (latent_module.py:1118-1124) vs our encode_params."""
+    lm, ref, module, variables, feat = vae_pair
+    with torch.no_grad():
+        x = torch.from_numpy(feat).transpose(1, 2)
+        for block in ref.encoder_wave:
+            x = block(x)
+        ref_params = x.transpose(1, 2).numpy()  # [B, T, 2*latent]
+    ours = np.asarray(
+        module.apply(variables, jnp.asarray(feat), method="encode_params")
+    )
+    np.testing.assert_allclose(ours, ref_params, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_vae_decode_matches_reference(vae_pair):
+    """decode_feature (latent_module.py:1109-1116): wavenet up-stack +
+    transformer + LM head on a fixed latent."""
+    lm, ref, module, variables, feat = vae_pair
+    rng = np.random.default_rng(1)
+    z = rng.normal(size=(B, T, LATENT)).astype(np.float32)
+    mask = _mask_np()
+    with torch.no_grad():
+        dec_ref, lm_ref = ref.decode_feature(
+            torch.from_numpy(z), torch.from_numpy(mask)
+        )
+    dec, lm_logits = module.apply(
+        variables, jnp.asarray(z), jnp.asarray(mask), method="decode"
+    )
+    np.testing.assert_allclose(
+        np.asarray(dec), dec_ref.numpy(), rtol=5e-4, atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(lm_logits), lm_ref.numpy(), rtol=5e-4, atol=5e-4
+    )
+
+
+@pytest.mark.slow
+def test_vae_forward_losses_match_reference(vae_pair):
+    """Full training forward (latent_module.py:1118-1142): mse/kl/CE with
+    the SAME injected posterior noise on both sides, CE assembled per the
+    reference criterion speech_vae_decoder_loss.py:45-100."""
+    lm, ref, module, variables, feat = vae_pair
+    mask = _mask_np()
+    rng = np.random.default_rng(2)
+    eps_ref = rng.normal(size=(B, LATENT, T)).astype(np.float32)  # [B, C, T]
+    units = rng.integers(4, 1004, size=(B, T)).astype(np.int64)
+    units[~mask] = 0
+
+    real_randn = torch.randn
+    try:
+        torch.randn = lambda *s, **k: torch.from_numpy(eps_ref)
+        with torch.no_grad():
+            mse_ref, lm_ref, kl_ref = ref(
+                torch.from_numpy(feat), torch.from_numpy(units),
+                torch.from_numpy(mask),
+            )
+    finally:
+        torch.randn = real_randn
+
+    # ours, piecewise with the same (transposed) noise
+    params2c = module.apply(
+        variables, jnp.asarray(feat), method="encode_params"
+    )
+    z, mean, logvar = gaussian_sample(
+        params2c, None, noise=jnp.asarray(eps_ref.transpose(0, 2, 1))
+    )
+    kl = jnp.mean(gaussian_kl_masked(mean, logvar, jnp.asarray(mask)))
+    dec, lm_logits = module.apply(
+        variables, z, jnp.asarray(mask), method="decode"
+    )
+    m = jnp.asarray(mask)[..., None]
+    mse = jnp.sum(jnp.where(m, jnp.square(dec - jnp.asarray(feat)), 0.0)) / (
+        np.sum(mask) * DIM
+    )
+    np.testing.assert_allclose(float(mse), float(mse_ref), rtol=1e-3)
+    np.testing.assert_allclose(float(kl), float(kl_ref), rtol=1e-3)
+
+    # CE exactly as the reference criterion assembles it
+    from reference_loader import install_fairseq_stubs
+    import sys
+
+    install_fairseq_stubs()
+    ls_nll = sys.modules[
+        "fairseq.criterions.label_smoothed_cross_entropy"
+    ].label_smoothed_nll_loss
+    lp_ref = torch.log_softmax(lm_ref, dim=-1).view(-1, lm_ref.shape[-1])
+    ce_ref, _ = ls_nll(lp_ref, torch.from_numpy(units).view(-1), 0.1,
+                       ignore_index=0, reduce=True)
+    ce_ref = float(ce_ref) / int(mask.sum())
+
+    from diffnorm_tpu.criterions.label_smoothing import label_smoothed_nll_loss
+
+    lp = jax.nn.log_softmax(lm_logits.astype(jnp.float32), axis=-1)
+    ce_sum, _ = label_smoothed_nll_loss(
+        lp.reshape(-1, lp.shape[-1]), jnp.asarray(units.reshape(-1)), 0.1,
+        ignore_index=0,
+    )
+    ce = float(ce_sum) / int(mask.sum())
+    np.testing.assert_allclose(ce, ce_ref, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_ddim_sample_units_match_reference(vae_pair):
+    """The DDIM normalization sampler end to end (latent_module.py:1386-1471)
+    vs our lax.scan ddim_sample: with shared weights and a shared noise
+    stream the predicted unit sequences must match EXACTLY."""
+    lm, ref_vae, vae_module, _, feat = vae_pair
+    hid = 64
+    torch.manual_seed(1)
+    holder = types.SimpleNamespace(encoder=ref_vae)
+    ldm = lm.LatentDiscreteModel(holder, hid, LATENT, timesteps=200)
+    # the reference hardcodes Model(dim, latent_dim) (depth 12, wavenet 8x4);
+    # swap in a small instance of the SAME class so 49 CPU denoiser calls
+    # stay fast — ddim_sample's code path is unchanged
+    ldm.model = lm.Model(hid, LATENT, depth=2, wavenet_layers=2,
+                         wavenet_stacks=1)
+    ldm.eval()
+    sd = {k: v.detach() for k, v in ldm.state_dict().items()}
+    variables = {"params": convert_diffusion_state(sd)}
+
+    module = LatentDiffusionModule(
+        dim=hid, latent_dim=LATENT, feature_dim=DIM, timesteps=200,
+        denoiser_depth=2, wavenet_layers=2, wavenet_stacks=1,
+    )
+    model = LatentDiffusionModel(module=module, cfg=None)
+
+    mask = _mask_np()
+    rng = np.random.default_rng(3)
+    units = rng.integers(0, 1000, size=(B, T)).astype(np.int64)
+
+    noises = []
+    real_randn, real_randn_like = torch.randn, torch.randn_like
+
+    def fake_randn(*shape, **kw):
+        if len(shape) == 1 and isinstance(shape[0], (tuple, torch.Size)):
+            shape = tuple(shape[0])
+        a = rng.normal(size=shape).astype(np.float32)
+        noises.append(a)
+        return torch.from_numpy(a)
+
+    try:
+        torch.randn = fake_randn
+        torch.randn_like = lambda x: fake_randn(*x.shape)
+        with torch.no_grad():
+            out_tokens, match, total, recon_ref = ldm.ddim_sample(
+                torch.from_numpy(feat),
+                input_mask=torch.from_numpy(mask),
+                ref_units=torch.from_numpy(units),
+                start_step=50,
+            )
+    finally:
+        torch.randn, torch.randn_like = real_randn, real_randn_like
+
+    enc_noise = noises[0].transpose(0, 2, 1)  # [B, C, T] -> [B, T, C]
+    init_noise = noises[1]  # already [B, T, C]
+    pred_units, recon = ddim_sample(
+        model, variables, jnp.asarray(feat), jnp.asarray(mask),
+        jax.random.PRNGKey(0), start_step=50,
+        enc_noise=jnp.asarray(enc_noise), init_noise=jnp.asarray(init_noise),
+    )
+    pred_units = np.asarray(pred_units)
+    for i, n in enumerate(LENGTHS):
+        ref_row = out_tokens[i].numpy()
+        assert ref_row.shape[0] == n
+        np.testing.assert_array_equal(pred_units[i, :n], ref_row)
+    np.testing.assert_allclose(
+        np.asarray(recon)[mask], recon_ref.numpy()[mask], rtol=2e-3, atol=2e-3
+    )
+
+
+def test_skeptical_unmasking_matches_reference():
+    """our skeptical_mask vs the real _skeptical_unmasking
+    (cmlm_transformer.py:19-25) on random scores."""
+    cmlm = load_cmlm_transformer()
+    from diffnorm_tpu.generate.mask_predict import skeptical_mask
+
+    rng = np.random.default_rng(0)
+    scores = -rng.uniform(0.1, 5.0, size=(4, 12)).astype(np.float32)
+    non_pad = np.ones((4, 12), bool)
+    for i, n in enumerate([12, 10, 7, 3]):
+        non_pad[i, n:] = False
+        scores[i, n:] = 0.0
+    for p in (0.75, 0.5, 0.25):
+        ref = cmlm._skeptical_unmasking(
+            torch.from_numpy(scores), torch.from_numpy(non_pad), p
+        ).numpy()
+        ours = np.asarray(
+            skeptical_mask(jnp.asarray(scores), jnp.asarray(non_pad), p)
+        )
+        np.testing.assert_array_equal(ours, ref.astype(bool))
+
+
+def test_mask_predict_iteration_matches_reference():
+    """One full forward_decoder iteration (nar_transformer.py:791-841) with
+    an injected decoder: argmax fill of unk positions + skeptical re-mask
+    must produce identical canvases at every step."""
+    nar = load_nar_transformer()
+    from diffnorm_tpu.generate.mask_predict import (
+        PAD, UNK, fill_and_remask, init_canvas,
+    )
+
+    b, t, vocab, max_step = 3, 10, 20, 3
+    lengths = np.array([10, 6, 4])
+    rng = np.random.default_rng(1)
+    lps = np.log(
+        rng.dirichlet(np.ones(vocab), size=(max_step, b, t))
+    ).astype(np.float32)
+
+    # reference model with only the pieces forward_decoder touches
+    m = object.__new__(nar.NARS2UTTransformerModel)
+    torch.nn.Module.__init__(m)
+    m.unk, m.pad, m.bos, m.eos = 3, 1, 0, 2
+
+    step_lp = {}
+
+    class FakeDecoder(torch.nn.Module):
+        def forward(self, normalize, inference_mode, prev_output_tokens,
+                    encoder_out):
+            return torch.from_numpy(step_lp["lp"]), None
+
+    m.decoder = FakeDecoder()
+
+    # all-unk canvas exactly as the reference initialize_output_tokens
+    # (:844-885) builds it — note its bos/eos placement is commented out
+    tok_ref = torch.full((b, t), 1, dtype=torch.long)
+    for i, n in enumerate(lengths):
+        tok_ref[i, :n] = 3
+    score_ref = torch.zeros((b, t), dtype=torch.float32)
+
+    tokens_j = jnp.where(
+        jnp.arange(t)[None, :] < jnp.asarray(lengths)[:, None], UNK, PAD
+    ).astype(jnp.int32)
+    scores_j = jnp.zeros((b, t), jnp.float32)
+
+    DecoderOut = __import__("sys").modules[
+        "fairseq.iterative_refinement_generator"
+    ].DecoderOut
+    for step in range(max_step):
+        step_lp["lp"] = lps[step]
+        d_out = DecoderOut(
+            output_tokens=tok_ref.clone(), output_scores=score_ref.clone(),
+            attn=None, step=step, max_step=max_step, history=None,
+        )
+        with torch.no_grad():
+            d_out = m.forward_decoder(d_out, encoder_out=None)
+        tok_ref, score_ref = d_out.output_tokens, d_out.output_scores
+
+        lp = jnp.asarray(lps[step])
+        _, _, tokens_j, scores_j = fill_and_remask(
+            tokens_j, scores_j,
+            jnp.argmax(lp, axis=-1).astype(jnp.int32), jnp.max(lp, axis=-1),
+            step, max_step,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(tokens_j), tok_ref.numpy().astype(np.int32),
+            err_msg=f"step {step} tokens",
+        )
+        np.testing.assert_allclose(
+            np.asarray(scores_j), score_ref.numpy(), rtol=1e-6, atol=1e-6,
+            err_msg=f"step {step} scores",
+        )

@@ -149,6 +149,8 @@ class EpochBatchIterator:
         self._offset = 0
         self._batch_by_size = batch_by_size
         self._batches: Optional[List[np.ndarray]] = None
+        self._active: Optional[CountingIterator] = None
+        self._trained: Optional[int] = None  # set by mark_trained
 
     # ------------------------------------------------------------ batching
     def _make_batches(self, epoch: int) -> List[np.ndarray]:

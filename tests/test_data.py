@@ -270,6 +270,15 @@ def test_mark_trained_controls_resume_offset():
     assert it.state_dict()["offset"] == 2
 
 
+def test_mark_trained_on_fresh_iterator():
+    """mark_trained before next_epoch_itr (e.g. a just-restored trainer that
+    replays a cached batch) must not raise; it counts from offset 0."""
+    ds = _ToyDataset(10)
+    it = EpochBatchIterator(ds, max_sentences=2, shuffle=False, num_prefetch=0)
+    it.mark_trained(1)
+    assert it.state_dict()["offset"] == 1
+
+
 def test_finish_epoch_resets_saved_offset():
     """A save AFTER finish_epoch must record offset 0 into the next epoch,
     not the stale full-epoch batch count (which skipped a whole epoch of

@@ -27,6 +27,9 @@ def leaky_relu(x):
 
 class PeriodDiscriminator(nn.Module):
     period: int
+    # width=1 is the reference topology (channels 32/128/512/1024); smaller
+    # widths keep the layer structure for cheap smoke/dryrun compiles
+    width: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -38,14 +41,15 @@ class PeriodDiscriminator(nn.Module):
         x = jnp.pad(wav, ((0, 0), (0, pad)), mode="reflect" if pad and t > 1 else "constant")
         x = x.reshape(b, -1, p, 1)  # [B, T/p, p, 1]
         fmaps = []
-        for i, ch in enumerate((32, 128, 512, 1024)):
+        chans = [max(4, int(c * self.width)) for c in (32, 128, 512, 1024)]
+        for i, ch in enumerate(chans):
             x = nn.Conv(
                 ch, kernel_size=(5, 1), strides=(3, 1),
                 padding=[(2, 2), (0, 0)], dtype=self.dtype, name=f"conv_{i}",
             )(x)
             x = leaky_relu(x)
             fmaps.append(x)
-        x = nn.Conv(1024, kernel_size=(5, 1), padding=[(2, 2), (0, 0)],
+        x = nn.Conv(chans[-1], kernel_size=(5, 1), padding=[(2, 2), (0, 0)],
                     dtype=self.dtype, name="conv_4")(x)
         x = leaky_relu(x)
         fmaps.append(x)
@@ -56,6 +60,7 @@ class PeriodDiscriminator(nn.Module):
 
 
 class ScaleDiscriminator(nn.Module):
+    width: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -68,6 +73,16 @@ class ScaleDiscriminator(nn.Module):
             (512, 41, 4, 16), (1024, 41, 4, 16), (1024, 41, 1, 16),
             (1024, 5, 1, 1),
         ]
+        if self.width != 1.0:
+            scaled = []
+            for i, (c, k, s, g) in enumerate(specs):
+                # output channels must stay divisible by the NEXT layer's
+                # feature_group_count (its input is this layer's output)
+                ng = specs[i + 1][3] if i + 1 < len(specs) else 1
+                ch = max(int(c * self.width), ng)
+                ch = ((ch + ng - 1) // ng) * ng
+                scaled.append((ch, k, s, g))
+            specs = scaled
         for i, (ch, k, s, g) in enumerate(specs):
             x = nn.Conv(
                 ch, kernel_size=(k,), strides=(s,), padding=[(k // 2, k // 2)],
@@ -91,19 +106,22 @@ def avg_pool1d(x, k: int = 4, stride: int = 2):
 
 class MultiPeriodDiscriminator(nn.Module):
     periods: Sequence[int] = (2, 3, 5, 7, 11)
+    width: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, real, fake):
         outs = []
         for p in self.periods:
-            d = PeriodDiscriminator(p, dtype=self.dtype, name=f"period_{p}")
+            d = PeriodDiscriminator(p, width=self.width, dtype=self.dtype,
+                                    name=f"period_{p}")
             outs.append((d(real), d(fake)))
         return outs
 
 
 class MultiScaleDiscriminator(nn.Module):
     scales: int = 3
+    width: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -111,7 +129,8 @@ class MultiScaleDiscriminator(nn.Module):
         outs = []
         r, f = real, fake
         for s in range(self.scales):
-            d = ScaleDiscriminator(dtype=self.dtype, name=f"scale_{s}")
+            d = ScaleDiscriminator(width=self.width, dtype=self.dtype,
+                                   name=f"scale_{s}")
             outs.append((d(r), d(f)))
             if s < self.scales - 1:
                 r, f = avg_pool1d(r), avg_pool1d(f)

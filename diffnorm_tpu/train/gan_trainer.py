@@ -38,8 +38,14 @@ class GanTrainState(struct.PyTreeNode):
 class GanTrainer:
     def __init__(self, generator_module, cfg):
         self.gen = generator_module
-        self.mpd = MultiPeriodDiscriminator()
-        self.msd = MultiScaleDiscriminator()
+        width = cfg.get("disc_width", 1.0)
+        self.mpd = MultiPeriodDiscriminator(
+            periods=tuple(cfg.get("mpd_periods", (2, 3, 5, 7, 11))),
+            width=width,
+        )
+        self.msd = MultiScaleDiscriminator(
+            scales=cfg.get("msd_scales", 3), width=width
+        )
         self.cfg = cfg
         lr = cfg.get("lr", 2e-4)
         betas = (cfg.get("adam_b1", 0.8), cfg.get("adam_b2", 0.99))

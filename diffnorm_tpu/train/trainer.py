@@ -116,6 +116,34 @@ class Trainer:
         return state
 
     # ------------------------------------------------------------ step fns
+    def _record_keys(self, mets: Dict, attr: str) -> List[str]:
+        """Pin the criterion's metric key set at trace time, loudly.
+
+        The packed metric vector's layout is baked into the compiled program,
+        so within one compilation the keys cannot drift — the only hazard is a
+        RETRACE (new input shapes) where the criterion returns a different key
+        set, which previously clobbered the recorded order silently and
+        mislabeled every metric thereafter. Raise instead. A criterion may
+        also declare `metric_keys` up front; mismatches fail at first trace.
+        """
+        keys = sorted(mets)
+        declared = getattr(self.criterion, "metric_keys", None)
+        if declared is not None and set(declared) != set(keys):
+            raise ValueError(
+                f"criterion {type(self.criterion).__name__} declared "
+                f"metric_keys={sorted(declared)} but returned {keys}"
+            )
+        prev = getattr(self, attr, None)
+        if prev is not None and prev != keys:
+            raise ValueError(
+                f"criterion {type(self.criterion).__name__} returned a "
+                f"different metric key set between traces: {prev} -> {keys}; "
+                "metric keys must be static across batches (pad with 0.0 "
+                "instead of omitting a key)"
+            )
+        setattr(self, attr, keys)
+        return keys
+
     def _loss(self, trainable, frozen, model_state, batch, rng, train):
         variables = {"params": merge_params(trainable, frozen), **model_state}
         loss, mets, mutated = self.criterion(
@@ -130,8 +158,7 @@ class Trainer:
         # pack metrics into ONE array so the host pulls a single transfer
         # (each scalar D2H costs a full round trip through the TPU tunnel);
         # the key order is recorded at trace time (static per criterion)
-        keys = sorted(mets)
-        self._metric_keys = keys
+        keys = self._record_keys(mets, "_metric_keys")
         vec = jnp.stack([jnp.asarray(mets[k], jnp.float32) for k in keys])
         # pre-scale grads by sample_size ON DEVICE so grad accumulation
         # needs no host sync per microbatch (fairseq sum-loss semantics)
@@ -176,8 +203,7 @@ class Trainer:
         _, (mets, _) = self._loss(
             state.params, state.frozen_params, state.model_state, batch, rng, False
         )
-        keys = sorted(mets)
-        self._valid_metric_keys = keys
+        keys = self._record_keys(mets, "_valid_metric_keys")
         return jnp.stack([jnp.asarray(mets[k], jnp.float32) for k in keys])
 
     # ------------------------------------------------------------- public

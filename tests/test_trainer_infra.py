@@ -111,3 +111,63 @@ def test_progress_writer_json(capsys):
     w.log({"loss": 1.5}, step=10)
     out = capsys.readouterr().out
     assert '"step": 10' in out and '"loss": 1.5' in out
+
+
+def test_metric_key_drift_fails_loudly():
+    """A criterion whose metric key set changes between traces (here: keyed
+    on sequence length, so a new input shape retraces with different keys)
+    must raise instead of silently mislabeling the packed metric vector."""
+    from diffnorm_tpu.train.trainer import Trainer
+
+    cfg = Config(
+        arch="speech_vae_decoder", criterion="speech_vae_decoder_loss",
+        feature_dim=24, latent_dim=3, chan_mults=[4], vae_decoder_depth=1,
+        vae_decoder_dim_head=8, vae_decoder_heads=2, target_code_size=16,
+        lr=1e-3,
+    )
+    task = TASKS.get("dummy_vae").setup_task(cfg)
+    inner = task.build_criterion()
+
+    class DriftingCriterion:
+        def __call__(self, model, variables, batch, rng, train=True):
+            loss, mets, mutated = inner(model, variables, batch, rng, train)
+            if batch["reduce_target"].shape[1] > 8:  # static at trace time
+                mets = {**mets, "extra_metric": loss}
+            return loss, mets, mutated
+
+    trainer = Trainer(make_trainer_config(cfg), task, task.build_model(),
+                      DriftingCriterion())
+    state = trainer.init_state(jax.random.PRNGKey(0), task.dummy_batch(2, 8))
+    state, _ = trainer.train_step(state, [task.dummy_batch(2, 8)],
+                                  jax.random.PRNGKey(1))
+    with pytest.raises(ValueError, match="different metric key set"):
+        trainer.train_step(state, [task.dummy_batch(2, 12)],
+                           jax.random.PRNGKey(2))
+
+
+def test_declared_metric_keys_checked_at_first_trace():
+    """A criterion that declares metric_keys up front fails at the FIRST
+    trace if the declaration and the returned dict disagree."""
+    from diffnorm_tpu.train.trainer import Trainer
+
+    cfg = Config(
+        arch="speech_vae_decoder", criterion="speech_vae_decoder_loss",
+        feature_dim=24, latent_dim=3, chan_mults=[4], vae_decoder_depth=1,
+        vae_decoder_dim_head=8, vae_decoder_heads=2, target_code_size=16,
+        lr=1e-3,
+    )
+    task = TASKS.get("dummy_vae").setup_task(cfg)
+    inner = task.build_criterion()
+
+    class MisdeclaredCriterion:
+        metric_keys = ("loss", "not_actually_returned")
+
+        def __call__(self, *a, **k):
+            return inner(*a, **k)
+
+    trainer = Trainer(make_trainer_config(cfg), task, task.build_model(),
+                      MisdeclaredCriterion())
+    state = trainer.init_state(jax.random.PRNGKey(0), task.dummy_batch(2, 8))
+    with pytest.raises(ValueError, match="declared"):
+        trainer.train_step(state, [task.dummy_batch(2, 8)],
+                           jax.random.PRNGKey(1))

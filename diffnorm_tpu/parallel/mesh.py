@@ -21,9 +21,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def init_distributed():
     """Multi-host init (no-op single-host). Reference equivalent:
-    distributed_utils.distributed_init (fairseq/distributed/utils.py:239)."""
-    if int(os.environ.get("DIFFNORM_MULTIHOST", "0")):
-        jax.distributed.initialize()
+    distributed_utils.distributed_init (fairseq/distributed/utils.py:239).
+
+    With only DIFFNORM_MULTIHOST=1 set, auto-detects the cluster (TPU pod
+    metadata). DIFFNORM_COORDINATOR=host:port plus DIFFNORM_NUM_PROCESSES /
+    DIFFNORM_PROCESS_ID pin an explicit rendezvous — the file-rendezvous
+    equivalent of the reference's tests/distributed/utils.py:12-40, used by
+    tests/test_distributed_multiprocess.py to run real 2-process training.
+    """
+    if not int(os.environ.get("DIFFNORM_MULTIHOST", "0")):
+        return
+    kwargs = {}
+    coord = os.environ.get("DIFFNORM_COORDINATOR")
+    if coord:
+        kwargs = dict(
+            coordinator_address=coord,
+            num_processes=int(os.environ["DIFFNORM_NUM_PROCESSES"]),
+            process_id=int(os.environ["DIFFNORM_PROCESS_ID"]),
+        )
+    jax.distributed.initialize(**kwargs)
 
 
 def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:

@@ -83,17 +83,35 @@ class CheckpointManager:
         it and only then commits its manifest entry."""
         self.finalize()
         path = self._path(step)
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        # defensive host copy: the caller's buffers may be donated to the
-        # next jitted step while the background write is still reading them
-        state = jax.tree_util.tree_map(
-            lambda x: np.array(x) if hasattr(x, "__array__") else x, state
-        )
+        if jax.process_count() > 1:
+            # multi-host: only the primary clears a stale dir, behind a
+            # barrier so no peer starts writing shards into it first
+            from jax.experimental import multihost_utils
+
+            if self._primary() and os.path.exists(path):
+                shutil.rmtree(path)
+            multihost_utils.sync_global_devices(f"ckpt_clear_{step}")
+            # keep sharded jax.Arrays as-is: each process hands orbax its
+            # addressable shards (np.array on a non-addressable global
+            # array would throw); orbax copies to host before returning
+        else:
+            # defensive host copy: the caller's buffers may be donated to
+            # the next jitted step while the background write still reads
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            state = jax.tree_util.tree_map(
+                lambda x: np.array(x) if hasattr(x, "__array__") else x, state
+            )
         self._ckptr.save(path, state)
         self._pending = (step, metric_value, extra)
         if blocking:
             self.finalize()
+
+    @staticmethod
+    def _primary() -> bool:
+        """True on the process that owns manifest/sidecar writes and
+        rotation deletes (all processes in single-host mode)."""
+        return jax.process_index() == 0
 
     def finalize(self):
         """Wait for the in-flight save (if any) and commit its manifest."""
@@ -102,16 +120,30 @@ class CheckpointManager:
         self._ckptr.wait_until_finished()
         step, metric_value, extra = self._pending
         self._pending = None
-        path = self._path(step)
-        with open(path + ".json", "w") as f:
-            json.dump({"step": step, "metric": metric_value, **(extra or {})}, f)
+        if self._primary():
+            path = self._path(step)
+            with open(path + ".json", "w") as f:
+                json.dump(
+                    {"step": step, "metric": metric_value, **(extra or {})}, f
+                )
+            entries = [
+                e for e in self.manifest["checkpoints"] if e["step"] != step
+            ]
+            entries.append({"step": step, "metric": metric_value})
+            entries.sort(key=lambda e: e["step"])
+            self.manifest["checkpoints"] = entries
+            self._rotate()
+            self._write_manifest()
+        if jax.process_count() > 1:
+            # peers participate in the array write; the JSON state is
+            # host-global and written once by the primary. Barrier, then
+            # peers re-read the committed manifest so latest_step()/
+            # best_step() agree across processes.
+            from jax.experimental import multihost_utils
 
-        entries = [e for e in self.manifest["checkpoints"] if e["step"] != step]
-        entries.append({"step": step, "metric": metric_value})
-        entries.sort(key=lambda e: e["step"])
-        self.manifest["checkpoints"] = entries
-        self._rotate()
-        self._write_manifest()
+            multihost_utils.sync_global_devices(f"ckpt_commit_{step}")
+            if not self._primary():
+                self.manifest = self._load_manifest()
 
     def _rotate(self):
         entries = self.manifest["checkpoints"]

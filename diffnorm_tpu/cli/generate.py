@@ -121,6 +121,32 @@ def main(cfg: Optional[Config] = None) -> int:
                 scores[:, :1], best.shape
             ).astype(jnp.float32), jnp.ones((best.shape[0],), jnp.int32)
     else:
+        # optional AR reranker over the length beam (reference
+        # --iter-decode-with-external-reranker,
+        # iterative_refinement_generator.py:294-361): any --rerank-<key>
+        # flag overrides <key> in the reranker model's config
+        reranker = None
+        rerank_path = cfg.get("rerank_path")
+        if rerank_path and beam > 1:
+            from diffnorm_tpu.registry import build_model as _build_model
+
+            overrides = {k[len("rerank_"):]: v for k, v in cfg.items()
+                         if k.startswith("rerank_") and k != "rerank_path"}
+            r_cfg = Config(**{
+                **{k: v for k, v in cfg.items()
+                   if not k.startswith("rerank_")},
+                **overrides,
+            })
+            r_cfg["arch"] = overrides.get("arch", "s2ut_conformer")
+            ar_model = _build_model(r_cfg["arch"], r_cfg, task=task)
+            restored = load_checkpoint_params(rerank_path)
+            if "params" not in restored:
+                restored = {"params": restored}
+            reranker = (ar_model, restored)
+            logger.info("reranking beam=%d with AR model from %s",
+                        beam, rerank_path)
+        retain_history = bool(cfg.get("retain_iter_history"))
+
         def _decode(v, src, lengths):
             return mask_predict_decode_chunked(
                 model, v, src, lengths,
@@ -128,6 +154,7 @@ def main(cfg: Optional[Config] = None) -> int:
                 max_iter=max_iter,
                 max_len=min(max_len, 256), cond_scale=cond_scale,
                 length_beam=beam, n_frames_per_step=n_frames,
+                reranker=reranker, retain_history=retain_history,
             )
 
     decode = jax.jit(_decode)
@@ -167,9 +194,13 @@ def main(cfg: Optional[Config] = None) -> int:
     for batch in read_ahead(itr, _upload_src, depth=2):
         if "id" not in batch:
             batch["id"] = np.arange(n_sent, n_sent + len(batch["src_lengths"]))
-        tokens, scores, steps = decode(
-            variables, batch["src_tokens"], batch["src_lengths"]
-        )
+        out = decode(variables, batch["src_tokens"], batch["src_lengths"])
+        history = None
+        if len(out) == 4:  # --retain-iter-history
+            tokens, scores, steps, history = out
+            history = np.asarray(history)
+        else:
+            tokens, scores, steps = out
         tokens = np.asarray(tokens)
         scores = np.asarray(scores)
         total_steps += int(np.asarray(steps).sum())
@@ -184,6 +215,12 @@ def main(cfg: Optional[Config] = None) -> int:
             print(f"T-{sid}\t{ref}", file=out_f)
             print(f"H-{sid}\t{score:.4f}\t{hyp}", file=out_f)
             print(f"D-{sid}\t{score:.4f}\t{hyp}", file=out_f)
+            if history is not None:
+                # reference E-{id}_{step} lines (fairseq_cli/generate.py
+                # retain_iter_history output)
+                for st in range(history.shape[0]):
+                    h = strip_special(history[st, i], tgt_dict)
+                    print(f"E-{sid}_{st}\t{h}", file=out_f)
             bleu.add(ref.split(), hyp.split())
             n_sent += 1
     wall = time.time() - t0

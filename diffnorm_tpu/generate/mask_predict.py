@@ -67,6 +67,26 @@ def fill_and_remask(tokens, scores, new_tokens, new_scores, step, max_step):
     return filled_tokens, filled_scores, out_tokens, out_scores
 
 
+def ar_rerank_scores(ar_model, ar_variables, src, src_lengths, cand_tokens):
+    """Mean per-token log-prob of each candidate under an AR model
+    (reference rerank, iterative_refinement_generator.py:316-361): position
+    0 is overwritten with EOS (the AR decoder's start symbol), the decoder
+    is teacher-forced on tokens[:-1], and the log-probs of tokens[1:] are
+    mean-pooled over non-pad positions. One batched forward, jit-safe.
+
+    cand_tokens [N, T]; src/src_lengths already repeated to N rows."""
+    toks = cand_tokens.at[:, 0].set(EOS)
+    out = ar_model.module.apply(
+        ar_variables, src, src_lengths, toks[:, :-1]
+    )
+    logits = out["logits"] if isinstance(out, dict) else out
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    tgt = toks[:, 1:]
+    tok_lp = jnp.take_along_axis(lp, tgt[..., None], axis=-1)[..., 0]
+    m = (tgt != PAD).astype(jnp.float32)
+    return jnp.sum(tok_lp * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
+
+
 def init_canvas(length_tgt, max_len: int):
     """[B] lengths -> (tokens [B, max_len] unk/eos/pad, scores zeros).
 
@@ -91,14 +111,23 @@ def mask_predict_decode(
     true_length=None,
     length_beam: int = 1,
     n_frames_per_step: int = 1,
+    reranker=None,
+    retain_history: bool = False,
 ):
-    """Returns (tokens [B', T], scores [B', T], n_steps).
+    """Returns (tokens [B', T], scores [B', T], n_steps), plus a history
+    array [max_iter+1, B', T] as a 4th element when retain_history=True.
 
     With length_beam > 1, B' = B and the best-scoring beam per sentence is
     selected (regenerate_length_beam parity: lengths l + k - beam//2).
-    With n_frames_per_step > 1 the canvas holds packed ids; each fill takes
-    the per-sub-frame argmax of the [B, T, k, V] logits, re-packs, and the
-    returned tokens are the flattened full-rate unit stream [B', T*k].
+    `reranker` = (ar_model, ar_variables) replaces the mean-score beam
+    selection with AR teacher-forced log-prob scoring (reference
+    iterative_refinement_generator.py:294-361, --iter-decode-with-external-reranker).
+    `retain_history` keeps each step's FILLED canvas (reference
+    --retain-iter-history; rows frozen by adaptive exit repeat their final
+    canvas). With n_frames_per_step > 1 the canvas holds packed ids; each
+    fill takes the per-sub-frame argmax of the [B, T, k, V] logits,
+    re-packs, and the returned tokens are the flattened full-rate unit
+    stream [B', T*k].
     """
     module = model.module
     kf = n_frames_per_step
@@ -180,41 +209,65 @@ def mask_predict_decode(
         out_scores = jnp.where(done[:, None], scores, out_scores)
         steps_used = jnp.where(done, 0, 1)
         new_done = done | now_done
+        ys = (steps_used, result) if retain_history else steps_used
         return (out_tokens, out_scores, new_done, filled_tokens,
-                result, res_sc), steps_used
+                result, res_sc), ys
 
     done0 = jnp.zeros((tokens.shape[0],), bool)
-    (_, _, done, _, tokens, scores), steps = jax.lax.scan(
+    (_, _, done, _, tokens, scores), ys = jax.lax.scan(
         step_fn,
         (tokens, scores, done0, tokens, tokens,
          jnp.zeros(tokens.shape, jnp.float32)),
         jnp.arange(max_step),
     )
+    history = None
+    if retain_history:
+        steps, history = ys  # history: [S, B*, T] filled canvas per step
+    else:
+        steps = ys
     n_steps = jnp.sum(steps, axis=0)
 
     if length_beam > 1:
-        non_pad = tokens != PAD
-        mean_score = jnp.sum(scores * non_pad, axis=1) / jnp.maximum(
-            jnp.sum(non_pad, axis=1), 1
-        )
-        mean_score = mean_score.reshape(-1, length_beam)
-        best = jnp.argmax(mean_score, axis=1)
-        tokens = tokens.reshape(-1, length_beam, tokens.shape[-1])[
-            jnp.arange(best.shape[0]), best
-        ]
-        scores = scores.reshape(-1, length_beam, scores.shape[-1])[
-            jnp.arange(best.shape[0]), best
-        ]
+        if reranker is not None:
+            # AR reranking over the beam candidates: score each finalized
+            # canvas by teacher-forced AR log-prob on the repeated source
+            ar_model, ar_variables = reranker
+            assert kf == 1, "AR reranking expects unit-level candidates"
+            src_rep = jnp.repeat(src, length_beam, axis=0)
+            len_rep = jnp.repeat(src_lengths, length_beam, axis=0)
+            sel_score = ar_rerank_scores(
+                ar_model, ar_variables, src_rep, len_rep, tokens
+            )
+        else:
+            non_pad = tokens != PAD
+            sel_score = jnp.sum(scores * non_pad, axis=1) / jnp.maximum(
+                jnp.sum(non_pad, axis=1), 1
+            )
+        sel_score = sel_score.reshape(-1, length_beam)
+        best = jnp.argmax(sel_score, axis=1)
+        rows = jnp.arange(best.shape[0])
+        tokens = tokens.reshape(-1, length_beam, tokens.shape[-1])[rows, best]
+        scores = scores.reshape(-1, length_beam, scores.shape[-1])[rows, best]
         # keep n_steps aligned with the returned [B] rows (it was [B*beam])
-        n_steps = n_steps.reshape(-1, length_beam)[
-            jnp.arange(best.shape[0]), best
-        ]
+        n_steps = n_steps.reshape(-1, length_beam)[rows, best]
+        if history is not None:
+            s = history.shape[0]
+            history = history.reshape(s, -1, length_beam, history.shape[-1])[
+                :, rows, best
+            ]
     if kf > 1:
         from diffnorm_tpu.models.stacked import unpack_units
 
         sub = unpack_units(tokens, sub_vocab, kf)  # specials pass through
         tokens = sub.reshape(tokens.shape[0], -1)
         scores = jnp.repeat(scores, kf, axis=1)
+        if history is not None:
+            s, bh = history.shape[0], history.shape[1]
+            hsub = unpack_units(history.reshape(-1, history.shape[-1]),
+                                sub_vocab, kf)
+            history = hsub.reshape(s, bh, -1)
+    if retain_history:
+        return tokens, scores, n_steps, history
     return tokens, scores, n_steps
 
 
@@ -258,9 +311,16 @@ def mask_predict_decode_chunked(model, variables, src, src_lengths, *,
             model, variables, sl[0], sl[1], **kw
         )
     n = src.shape[0]
-    tokens, scores, n_steps = jax.lax.map(body, mapped)
+    outs = jax.lax.map(body, mapped)
     unchunk = lambda x: x.reshape((n * chunk,) + x.shape[2:])[:b]  # noqa: E731
-    return unchunk(tokens), unchunk(scores), unchunk(n_steps)
+    if len(outs) == 4:  # retain_history: [n, S, chunk, T] -> [S, B, T]
+        hist = outs[3]
+        s = hist.shape[1]
+        hist = jnp.transpose(hist, (1, 0, 2, 3)).reshape(
+            s, n * chunk, hist.shape[-1]
+        )[:, :b]
+        return unchunk(outs[0]), unchunk(outs[1]), unchunk(outs[2]), hist
+    return unchunk(outs[0]), unchunk(outs[1]), unchunk(outs[2])
 
 
 def jit_decoder(model, max_iter: int = 15, max_len: int = 256,

@@ -186,3 +186,138 @@ def test_mask_predict_decode_chunked_matches_unchunked():
     )
     assert np.asarray(tb).shape == (3, 32)
     assert np.asarray(nb).shape == (3,)
+
+
+def test_retain_history(built):
+    """retain_history returns each step's FILLED canvas; the last history
+    entry is exactly the final output (reference --retain-iter-history)."""
+    task, model, crit, batch, variables = built
+    out = mask_predict_decode(
+        model, variables, batch["src_tokens"], batch["src_lengths"],
+        max_iter=2, max_len=32, retain_history=True,
+    )
+    assert len(out) == 4
+    tokens, scores, steps, history = out
+    history = np.asarray(history)
+    assert history.shape == (3, 2, 32)
+    np.testing.assert_array_equal(history[-1], np.asarray(tokens))
+    # and with a length beam the history follows the SELECTED beam
+    t2, _, _, h2 = mask_predict_decode(
+        model, variables, batch["src_tokens"], batch["src_lengths"],
+        max_iter=1, max_len=32, length_beam=3, retain_history=True,
+    )
+    np.testing.assert_array_equal(np.asarray(h2)[-1], np.asarray(t2))
+
+
+def test_ar_rerank_scores_oracle():
+    """ar_rerank_scores against a numpy oracle: EOS start substitution,
+    teacher-forced gather of tokens[1:], pad-masked mean."""
+    import types
+
+    from diffnorm_tpu.generate.mask_predict import ar_rerank_scores
+
+    n, t, v = 3, 6, 11
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(n, t - 1, v)).astype(np.float32)
+    cand = rng.integers(4, v, size=(n, t)).astype(np.int32)
+    cand[1, 4:] = PAD
+    cand[2, 3:] = PAD
+
+    class Stub:
+        def apply(self, variables, src, src_lengths, prev):
+            assert prev.shape == (n, t - 1)
+            return dict(logits=jnp.asarray(logits))
+
+    model = types.SimpleNamespace(module=Stub())
+    got = np.asarray(ar_rerank_scores(
+        model, {}, jnp.zeros((n, 4, 8)), jnp.full((n,), 4),
+        jnp.asarray(cand),
+    ))
+
+    toks = cand.copy()
+    toks[:, 0] = EOS
+    lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    want = np.zeros(n)
+    for i in range(n):
+        tgt = toks[i, 1:]
+        m = tgt != PAD
+        want[i] = lp[i, np.arange(t - 1), tgt][m].mean()
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_ar_reranked_beam_selection(built):
+    """Length-beam selection with an AR reranker picks the candidate the
+    reranker scores highest — verified by reconstructing each beam's
+    candidate independently (true_length = l + offset reproduces the beam
+    row exactly) and choosing a reranker that provably disagrees with the
+    mean-score selection on this case."""
+    import types
+
+    from diffnorm_tpu.generate.mask_predict import ar_rerank_scores
+
+    task, model, crit, _, variables = built
+    batch = task.dummy_batch(4, 48)
+    src, lens = batch["src_tokens"], batch["src_lengths"]
+    beam, max_len = 3, 32
+    module = model.module
+    vocab = module.vocab_size
+
+    # predicted lengths (same code path as the decoder)
+    enc, enc_mask = module.apply(variables, src, lens, method="encode")
+    length_logits = module.apply(variables, enc, enc_mask,
+                                 method="forward_length")
+    l_pred = np.asarray(jnp.argmax(length_logits, axis=-1))
+
+    # reconstruct the three beam candidates per row + their mean scores
+    cands, means = [], []
+    for off in (-1, 0, 1):
+        tk, sc, _ = mask_predict_decode(
+            model, variables, src, lens, max_iter=2, max_len=max_len,
+            true_length=jnp.asarray(l_pred + off),
+        )
+        tk, sc = np.asarray(tk), np.asarray(sc)
+        np_ = tk != PAD
+        means.append((sc * np_).sum(1) / np.maximum(np_.sum(1), 1))
+        cands.append(tk)
+    cands = np.stack(cands, axis=1)  # [B, beam, T]
+    mean_winner = np.argmax(np.stack(means, 1), axis=1)
+
+    def make_stub(sign):
+        class Stub:
+            def apply(self, variables, src, src_lengths, prev):
+                n, tm1 = prev.shape
+                base = np.zeros((n, tm1, vocab), np.float32)
+                base[..., EOS] = 10.0 * sign
+                return dict(logits=jnp.asarray(base))
+
+        return types.SimpleNamespace(module=Stub())
+
+    # favor-short (EOS bonus) picks beam 0; favor-long picks beam 2;
+    # whichever disagrees with the mean-score winner somewhere is the
+    # constructed "reranker changes the selection" case
+    sign = 1.0 if (mean_winner != 0).any() else -1.0
+    stub = make_stub(sign)
+
+    tokens_rr, _, _ = mask_predict_decode(
+        model, variables, src, lens, max_iter=2, max_len=max_len,
+        length_beam=beam, reranker=(stub, {}),
+    )
+    tokens_rr = np.asarray(tokens_rr)
+
+    # oracle winner via the same scorer on the reconstructed candidates
+    flat = jnp.asarray(cands.reshape(-1, max_len))
+    rr = np.asarray(ar_rerank_scores(
+        stub, {}, jnp.repeat(src, beam, axis=0),
+        jnp.repeat(lens, beam, axis=0), flat,
+    )).reshape(-1, beam)
+    rr_winner = np.argmax(rr, axis=1)
+    for i in range(cands.shape[0]):
+        np.testing.assert_array_equal(tokens_rr[i], cands[i, rr_winner[i]],
+                                      err_msg=f"row {i}")
+    assert (rr_winner != mean_winner).any()  # the constructed disagreement
+
+    tokens_ms, _, _ = mask_predict_decode(
+        model, variables, src, lens, max_iter=2, max_len=max_len,
+        length_beam=beam,
+    )
+    assert not np.array_equal(tokens_rr, np.asarray(tokens_ms))

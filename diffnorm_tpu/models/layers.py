@@ -155,13 +155,11 @@ class CausalConv1d(nn.Module):
         if self.quant:
             # quantize activations ONCE; shifted taps reuse the int8 tensor
             # and its per-token scales (zero rows shift in as exact zeros)
-            from diffnorm_tpu.ops.quant import dequant, quantize_weight
-
-            ax = jnp.maximum(
-                jnp.max(jnp.abs(xc.astype(jnp.float32)), axis=-1,
-                        keepdims=True) / 127.0, 1e-12,
+            from diffnorm_tpu.ops.quant import (
+                dequant, quantize_act, quantize_weight,
             )
-            xq = jnp.round(xc.astype(jnp.float32) / ax).astype(jnp.int8)
+
+            xq, ax = quantize_act(xc)
         # each tap's matmul accumulates f32 inside the MXU; the k-term sum
         # stays in the compute dtype (avoids materializing f32 activations —
         # profiled as a major HBM cost in the transformer's conv-FF)
@@ -206,7 +204,7 @@ class QDense(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, pre_quant=None):
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (x.shape[-1], self.features), jnp.float32,
@@ -214,7 +212,7 @@ class QDense(nn.Module):
         if self.quant:
             from diffnorm_tpu.ops.quant import int8_dense
 
-            y = int8_dense(x.astype(self.dtype), kernel)
+            y = int8_dense(x.astype(self.dtype), kernel, pre_quant=pre_quant)
         else:
             y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
                         preferred_element_type=self.dtype)
@@ -277,10 +275,19 @@ class Attention(nn.Module):
     def __call__(self, x, context=None, mask=None, deterministic: bool = True):
         h, d = self.heads, self.dim_head
         ctx = x if context is None else context
+        pq = None
+        if self.quant and context is None:
+            # self-attention: q and kv read the SAME tensor — quantize the
+            # activations once and let both int8 matmuls reuse the int8
+            # tensor + per-token scales (the quant chain is VPU-bound and
+            # a visible share of the int8 DDIM step, PERFORMANCE.md)
+            from diffnorm_tpu.ops.quant import quantize_act
+
+            pq = quantize_act(x.astype(self.dtype))
         q = QDense(h * d, use_bias=False, quant=self.quant, dtype=self.dtype,
-                   name="to_q")(x)
+                   name="to_q")(x, pre_quant=pq)
         kv = QDense(2 * h * d, use_bias=False, quant=self.quant,
-                    dtype=self.dtype, name="to_kv")(ctx)
+                    dtype=self.dtype, name="to_kv")(ctx, pre_quant=pq)
         k, v = jnp.split(kv, 2, axis=-1)
 
         def split_heads(t):

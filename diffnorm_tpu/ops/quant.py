@@ -32,6 +32,9 @@ import jax.numpy as jnp
 _DEQ_BF16 = os.environ.get("DIFFNORM_INT8_DEQ_BF16", "1") == "1"
 
 
+_QUANT_BF16 = os.environ.get("DIFFNORM_INT8_QUANT_BF16", "0") == "1"
+
+
 def quantize_weight(w):
     """w: [in, out] float -> (int8 [in, out], per-out-channel scale [1, out])."""
     ws = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0, keepdims=True) / 127.0
@@ -40,13 +43,32 @@ def quantize_weight(w):
     return wq, ws
 
 
-def int8_matmul(x, wq, ws):
-    """x: [..., in] float; wq/ws from quantize_weight. Returns [..., out]
-    in x.dtype. Per-token dynamic activation quantization; the contraction
-    runs int8 x int8 -> int32 on the MXU."""
+def quantize_act(x):
+    """x: [..., in] float -> (int8 x, per-token scale [..., 1]).
+
+    Shared by every int8 matmul so call sites with a common input (q/kv
+    projections, causal-conv taps) can quantize ONCE and reuse the int8
+    tensor + scales. DIFFNORM_INT8_QUANT_BF16=1 keeps the abs-max/divide
+    chain in bf16 (halves its element traffic; the quotient rounds at
+    bf16's 2^-8 before the int8 round, adding <=0.5 ulp of int8 error)."""
+    if _QUANT_BF16 and x.dtype == jnp.bfloat16:
+        ax = jnp.max(jnp.abs(x), axis=-1, keepdims=True) * (
+            jnp.bfloat16(1.0 / 127.0))
+        ax = jnp.maximum(ax, jnp.bfloat16(1e-12))
+        xq = jnp.round(x / ax).astype(jnp.int8)
+        return xq, ax
     ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True) / 127.0
     ax = jnp.maximum(ax, 1e-12)
     xq = jnp.round(x.astype(jnp.float32) / ax).astype(jnp.int8)
+    return xq, ax
+
+
+def int8_matmul(x, wq, ws, pre_quant=None):
+    """x: [..., in] float; wq/ws from quantize_weight. Returns [..., out]
+    in x.dtype. Per-token dynamic activation quantization; the contraction
+    runs int8 x int8 -> int32 on the MXU. `pre_quant=(xq, ax)` skips the
+    activation quantization (caller already quantized this input)."""
+    xq, ax = pre_quant if pre_quant is not None else quantize_act(x)
     y = jax.lax.dot_general(
         xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -71,8 +93,8 @@ def dequant(acc, ax, ws, out_dtype):
     return (acc.astype(jnp.float32) * ax * ws).astype(out_dtype)
 
 
-def int8_dense(x, w):
+def int8_dense(x, w, pre_quant=None):
     """One-shot helper: quantize w and contract (the quantization is
     loop-invariant under scan and gets hoisted by XLA)."""
     wq, ws = quantize_weight(w)
-    return int8_matmul(x, wq, ws)
+    return int8_matmul(x, wq, ws, pre_quant=pre_quant)

@@ -27,6 +27,16 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/diffnorm_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
+# per-tensor (scalar) int8 scale granularity: measured fastest on v5e for
+# the VPU-op-bound DDIM step (RTF 309 -> 324; PERFORMANCE.md "Int8 scale
+# granularity") with parity pinned by
+# tests/test_variants.py::test_int8_scale_granularity_parity.
+# Set =0 to restore per-out-channel weight / per-token activation scales.
+import os as _os
+
+_os.environ.setdefault("DIFFNORM_INT8_WSCALAR", "1")
+_os.environ.setdefault("DIFFNORM_INT8_ASCALAR", "1")
+
 BATCH = int(__import__("os").environ.get("BENCH_BATCH", 64))  # reference driver batches ~100
 SEQ = 128
 START_STEP = 50

@@ -154,12 +154,26 @@ class CausalConv1d(nn.Module):
         xc = x.astype(self.dtype)
         if self.quant:
             # quantize activations ONCE; shifted taps reuse the int8 tensor
-            # and its per-token scales (zero rows shift in as exact zeros)
-            from diffnorm_tpu.ops.quant import (
-                dequant, quantize_act, quantize_weight,
-            )
+            # and its scales (zero rows shift in as exact zeros). All taps
+            # share ONE per-out-channel weight scale (amax over [k, in]) so
+            # the per-channel dequant multiply runs once for the whole conv;
+            # with a per-tensor activation scale (DIFFNORM_INT8_ASCALAR=1)
+            # the taps also share the token scale and the k-term sum stays
+            # in int32 with a single dequant at the end.
+            from diffnorm_tpu.ops import quant as _q
+            from diffnorm_tpu.ops.quant import dequant, quantize_act
 
             xq, ax = quantize_act(xc)
+            kf = kernel.astype(jnp.float32)
+            w_axes = None if _q._W_SCALAR else (0, 1)
+            ws = jnp.max(jnp.abs(kf), axis=w_axes, keepdims=True) / 127.0
+            ws = jnp.reshape(ws, (1, 1, -1))
+            ws = jnp.maximum(ws, 1e-12)
+            wq_all = jnp.round(kf / ws).astype(jnp.int8)
+            ws = ws[0]  # [1, out] (or [1, 1] under DIFFNORM_INT8_WSCALAR)
+            if ws.size == 1 and ax.size > 1:
+                ax = ax * jnp.squeeze(ws)  # scalar ws folds into token scale
+                ws = None
         # each tap's matmul accumulates f32 inside the MXU; the k-term sum
         # stays in the compute dtype (avoids materializing f32 activations —
         # profiled as a major HBM cost in the transformer's conv-FF)
@@ -172,14 +186,16 @@ class CausalConv1d(nn.Module):
             if self.quant:
                 xi = xq if shift == 0 else jnp.pad(
                     xq[:, :-shift], ((0, 0), (shift, 0), (0, 0)))
-                axi = ax if shift == 0 else jnp.pad(
-                    ax[:, :-shift], ((0, 0), (shift, 0), (0, 0)))
-                wq, ws = quantize_weight(kernel[i])
                 acc = jax.lax.dot_general(
-                    xi, wq, (((2,), (0,)), ((), ())),
+                    xi, wq_all[i], (((2,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 )
-                term = dequant(acc, axi, ws, self.dtype)
+                if ax.size == 1:
+                    term = acc  # shared scalar token scale: sum in int32
+                else:
+                    axi = ax if shift == 0 else jnp.pad(
+                        ax[:, :-shift], ((0, 0), (shift, 0), (0, 0)))
+                    term = acc.astype(self.dtype) * axi.astype(self.dtype)
             else:
                 xi = xc if shift == 0 else jnp.pad(
                     xc[:, :-shift], ((0, 0), (shift, 0), (0, 0)))
@@ -188,6 +204,11 @@ class CausalConv1d(nn.Module):
                     preferred_element_type=self.dtype,
                 )
             out = term if out is None else out + term
+        if self.quant:
+            if ax.size == 1:
+                out = dequant(out, ax, ws, self.dtype)
+            elif ws is not None:  # ws None: scalar already folded into ax
+                out = out * ws.astype(self.dtype)
         if bias is not None:
             out = out + bias
         return out

@@ -34,30 +34,59 @@ _DEQ_BF16 = os.environ.get("DIFFNORM_INT8_DEQ_BF16", "1") == "1"
 
 _QUANT_BF16 = os.environ.get("DIFFNORM_INT8_QUANT_BF16", "0") == "1"
 
+# Coarser scale granularities (both opt-in; the int8 DDIM step is
+# VPU-op-count-bound — PERFORMANCE.md — and each knob removes one full
+# [B, T, C] multiply from every dequant epilogue):
+#  DIFFNORM_INT8_WSCALAR=1 — per-TENSOR weight scales: ws becomes a scalar
+#    that folds into the per-token activation scale, so dequant is a single
+#    elementwise multiply instead of two.
+#  DIFFNORM_INT8_ASCALAR=1 — per-TENSOR activation scales: ax becomes a
+#    scalar; shifted causal-conv taps then share one scale and can
+#    accumulate in int32, collapsing the conv epilogue to one dequant.
+_W_SCALAR = os.environ.get("DIFFNORM_INT8_WSCALAR", "0") == "1"
+_A_SCALAR = os.environ.get("DIFFNORM_INT8_ASCALAR", "0") == "1"
+
 
 def quantize_weight(w):
-    """w: [in, out] float -> (int8 [in, out], per-out-channel scale [1, out])."""
-    ws = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0, keepdims=True) / 127.0
+    """w: [in, out] float -> (int8 [in, out], scale).
+
+    Scale is per-out-channel [1, out] by default; a per-tensor scalar
+    [1, 1] under DIFFNORM_INT8_WSCALAR=1 (folds into the per-token scale
+    at dequant — one fewer multiply per output element)."""
+    wf = w.astype(jnp.float32)
+    if _W_SCALAR:
+        ws = jnp.max(jnp.abs(wf)).reshape((1,) * w.ndim) / 127.0
+    else:
+        ws = jnp.max(jnp.abs(wf), axis=0, keepdims=True) / 127.0
     ws = jnp.maximum(ws, 1e-12)
-    wq = jnp.round(w.astype(jnp.float32) / ws).astype(jnp.int8)
+    wq = jnp.round(wf / ws).astype(jnp.int8)
     return wq, ws
 
 
 def quantize_act(x):
-    """x: [..., in] float -> (int8 x, per-token scale [..., 1]).
+    """x: [..., in] float -> (int8 x, scale).
 
-    Shared by every int8 matmul so call sites with a common input (q/kv
-    projections, causal-conv taps) can quantize ONCE and reuse the int8
-    tensor + scales. DIFFNORM_INT8_QUANT_BF16=1 keeps the abs-max/divide
-    chain in bf16 (halves its element traffic; the quotient rounds at
-    bf16's 2^-8 before the int8 round, adding <=0.5 ulp of int8 error)."""
+    Scale is per-token [..., 1] by default, a per-tensor scalar under
+    DIFFNORM_INT8_ASCALAR=1. Shared by every int8 matmul so call sites
+    with a common input (q/kv projections, causal-conv taps) can quantize
+    ONCE and reuse the int8 tensor + scales. DIFFNORM_INT8_QUANT_BF16=1
+    keeps the abs-max/divide chain in bf16 (halves its element traffic;
+    the quotient rounds at bf16's 2^-8 before the int8 round, adding
+    <=0.5 ulp of int8 error)."""
+    axes = None if _A_SCALAR else -1
+
+    def _keep(r):
+        return r.reshape((1,) * x.ndim) if _A_SCALAR else r
+
     if _QUANT_BF16 and x.dtype == jnp.bfloat16:
-        ax = jnp.max(jnp.abs(x), axis=-1, keepdims=True) * (
+        ax = _keep(jnp.max(jnp.abs(x), axis=axes, keepdims=not _A_SCALAR)) * (
             jnp.bfloat16(1.0 / 127.0))
         ax = jnp.maximum(ax, jnp.bfloat16(1e-12))
         xq = jnp.round(x / ax).astype(jnp.int8)
         return xq, ax
-    ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True) / 127.0
+    ax = _keep(jnp.max(
+        jnp.abs(x.astype(jnp.float32)), axis=axes, keepdims=not _A_SCALAR
+    )) / 127.0
     ax = jnp.maximum(ax, 1e-12)
     xq = jnp.round(x.astype(jnp.float32) / ax).astype(jnp.int8)
     return xq, ax
@@ -84,6 +113,13 @@ def dequant(acc, ax, ws, out_dtype):
     DIFFNORM_INT8_DEQ_BF16=0 restores the f32 epilogue. The single shared
     implementation for int8_matmul, CausalConv1d taps, and the fused
     Pallas block's packing."""
+    if ws.size == 1 or ax.size == 1:
+        # a scalar scale folds into the other (tiny or scalar) scale tensor:
+        # the wide [..., out] accumulator is multiplied exactly once
+        scale = (ax * jnp.squeeze(ws)) if ws.size == 1 else (ws * jnp.squeeze(ax))
+        if _DEQ_BF16 and out_dtype == jnp.bfloat16:
+            return acc.astype(jnp.bfloat16) * scale.astype(jnp.bfloat16)
+        return (acc.astype(jnp.float32) * scale).astype(out_dtype)
     if _DEQ_BF16 and out_dtype == jnp.bfloat16:
         return (
             acc.astype(jnp.bfloat16)

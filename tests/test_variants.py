@@ -99,6 +99,37 @@ def test_nar_multitask_ctc():
     assert "ctc_loss" in mets and np.isfinite(float(mets["ctc_loss"]))
 
 
+@pytest.mark.parametrize(
+    "wscalar,ascalar", [(True, False), (False, True), (True, True)]
+)
+def test_int8_scale_granularity_parity(monkeypatch, wscalar, ascalar):
+    """The coarse-scale knobs (DIFFNORM_INT8_WSCALAR / _ASCALAR, which trade
+    per-channel/per-token scales for fewer VPU dequant multiplies) must track
+    the float path through a full DDIM chain within the same bounds as the
+    default int8 scheme."""
+    from diffnorm_tpu.models.diffusion import LatentDiffusionModel, ddim_sample
+    from diffnorm_tpu.ops import quant
+
+    monkeypatch.setattr(quant, "_W_SCALAR", wscalar)
+    monkeypatch.setattr(quant, "_A_SCALAR", ascalar)
+    common = dict(hidden_dim=64, latent_dim=3, feature_dim=24, timesteps=50,
+                  vocab_size=52, denoiser_depth=2, wavenet_layers=3,
+                  wavenet_stacks=2, chan_mults=[4])
+    m_f = LatentDiffusionModel.build_model(Config(**common))
+    m_q = LatentDiffusionModel.build_model(Config(**common, quant_int8=True))
+    rng = jax.random.PRNGKey(0)
+    feat = jnp.asarray(
+        np.random.default_rng(0).normal(size=(4, 32, 24)), jnp.float32)
+    mask = jnp.ones((4, 32), bool)
+    v = m_f.module.init({"params": rng}, feat, mask, rng, deterministic=True)
+    uf, rf = ddim_sample(m_f, v, feat, mask, jax.random.PRNGKey(7),
+                         start_step=12)
+    uq, rq = ddim_sample(m_q, v, feat, mask, jax.random.PRNGKey(7),
+                         start_step=12)
+    assert float(jnp.mean(uf == uq)) > 0.95
+    assert float(jnp.linalg.norm(rq - rf) / jnp.linalg.norm(rf)) < 0.03
+
+
 def test_int8_inference_parity():
     """quant_int8: the W8A8 denoiser path must track the float path through
     a full DDIM chain — near-total unit agreement and tiny recon error

@@ -251,9 +251,13 @@ class Denoiser(nn.Module):
 
     def __call__(self, x, times, mask=None, deterministic: bool = True,
                  prompt=None, prompt_mask=None, cond_drop_prob: float = 0.0,
-                 step_cond=None):
+                 step_cond=None, pos=None):
         """x: [B, T, latent], times: [B] (float or int), mask: [B, T] bool.
-        step_cond: one step's slice of precompute_step_conds output."""
+        step_cond: one step's slice of precompute_step_conds output.
+        pos: optional precomputed sinusoidal positions [B, T, dim] — they
+        depend only on the (loop-invariant) mask, and XLA does not hoist
+        the sin/cos fusion out of the DDIM scan (~60 us/step on v5e), so
+        sampling loops precompute them once."""
         context = None
         if step_cond is not None:
             t = None
@@ -295,7 +299,9 @@ class Denoiser(nn.Module):
         h = self.wavenet(h, t, film=wavenet_film)
         if mask is None:
             mask = jnp.ones(h.shape[:2], dtype=bool)
-        h = h + sinusoidal_positions(mask, self.dim).astype(h.dtype)
+        if pos is None:
+            pos = sinusoidal_positions(mask, self.dim)
+        h = h + pos.astype(h.dtype)
         h = self.transformer(
             h, cond=t, mask=mask, context=context,
             deterministic=deterministic, film=transformer_film,
@@ -387,17 +393,22 @@ class LatentDiffusionModule(nn.Module):
 
     def denoise(self, x_t, times, mask, deterministic: bool = True,
                 prompt=None, prompt_mask=None, cond_drop_prob: float = 0.0,
-                step_cond=None):
+                step_cond=None, pos=None):
         if self.use_cond:
             return self.denoiser(
                 x_t, times, mask, deterministic=deterministic, prompt=prompt,
                 prompt_mask=prompt_mask, cond_drop_prob=cond_drop_prob,
             )
         return self.denoiser(x_t, times, mask, deterministic=deterministic,
-                             step_cond=step_cond)
+                             step_cond=step_cond, pos=pos)
 
     def precompute_step_conds(self, times_all):
         return self.denoiser.precompute_step_conds(times_all)
+
+    def precompute_pos(self, mask):
+        """Loop-invariant sinusoidal positions for the denoiser (hoisted out
+        of sampling scans; see Denoiser.__call__)."""
+        return sinusoidal_positions(mask, self.denoiser.dim)
 
     def __call__(self, feature, mask, rng, deterministic: bool = True,
                  prompt=None, prompt_mask=None):
@@ -487,11 +498,15 @@ def ddim_sample(
     # scan: one [S*B, dim_time] batched matmul per projection instead of a
     # full HBM weight read per step (PERFORMANCE.md)
     step_conds = None
+    pos = None
     if not module.use_cond:
         times_all = jnp.broadcast_to(times[:, None], (times.shape[0], b))
         step_conds = module.apply(
             variables, times_all.astype(jnp.float32),
             method=LatentDiffusionModule.precompute_step_conds,
+        )
+        pos = module.apply(
+            variables, mask, method=LatentDiffusionModule.precompute_pos,
         )
 
     def step(x, xs):
@@ -499,7 +514,7 @@ def ddim_sample(
         t = jnp.full((b,), time, dtype=jnp.int32)
         noise = module.apply(
             variables, x, t, mask, method=LatentDiffusionModule.denoise,
-            step_cond=step_cond,
+            step_cond=step_cond, pos=pos,
         )
         sac_t = extract(schedule.sqrt_alphas_cumprod, t, noise.ndim)
         s1mac_t = extract(schedule.sqrt_one_minus_alphas_cumprod, t, noise.ndim)

@@ -53,6 +53,9 @@ def main(cfg: Optional[Config] = None) -> int:
         cfg = parse_args()
     if cfg.get("cpu"):
         jax.config.update("jax_platforms", "cpu")
+    from diffnorm_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     cfg.setdefault("task", "speech_diffusion_discrete")
     cfg.setdefault("arch", "diff_discrete")

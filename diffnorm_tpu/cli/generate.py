@@ -49,6 +49,9 @@ def main(cfg: Optional[Config] = None) -> int:
         cfg = parse_args()
     if cfg.get("cpu"):
         jax.config.update("jax_platforms", "cpu")
+    from diffnorm_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     task = TASKS.get(cfg.get("task")).setup_task(cfg)
     model = task.build_model()

@@ -82,6 +82,9 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    from diffnorm_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     vocoder = load_vocoder(args.vocoder, args.vocoder_cfg)
     os.makedirs(args.results_path, exist_ok=True)

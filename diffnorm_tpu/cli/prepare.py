@@ -201,6 +201,9 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    from diffnorm_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     {"dump-features": cmd_dump_features,
      "learn-kmeans": cmd_learn_kmeans,
      "quantize": cmd_quantize}[args.cmd](args)

@@ -41,6 +41,9 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    from diffnorm_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from diffnorm_tpu.cli.generate_waveform import write_wav
     from diffnorm_tpu.data.audio import read_audio

@@ -63,6 +63,9 @@ def main(cfg: Optional[Config] = None) -> int:
         cfg = parse_args()
     if cfg.get("cpu"):  # force host CPU (the image pins jax to the TPU tunnel)
         jax.config.update("jax_platforms", "cpu")
+    from diffnorm_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     init_distributed()
     cfg = normalize_cfg(cfg)
     tcfg = make_trainer_config(cfg)

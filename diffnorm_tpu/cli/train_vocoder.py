@@ -39,6 +39,9 @@ def main(cfg: Optional[Config] = None) -> int:
         cfg = parse_args()
     if cfg.get("cpu"):
         jax.config.update("jax_platforms", "cpu")
+    from diffnorm_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     with open(cfg["vocoder_cfg"]) as f:
         vcfg = json.load(f)

@@ -65,16 +65,28 @@ def main(cfg: Optional[Config] = None) -> int:
     variables = task.init_variables(model, jax.random.PRNGKey(0), batch0)
     path = cfg.get("path")
     if path:
-        restored = load_checkpoint_params(path)
-        if isinstance(restored, dict) and "params" in restored:
-            if "step" in restored:  # a saved TrainState
-                params = {**restored["params"],
-                          **(restored.get("frozen_params") or {})}
-                variables = {"params": params,
-                             **(restored.get("model_state") or {})}
-            else:
-                variables = restored
-        logger.info("restored checkpoint from %s", path)
+        def _restore_one(p):
+            restored = load_checkpoint_params(p)
+            if isinstance(restored, dict) and "params" in restored:
+                if "step" in restored:  # a saved TrainState
+                    params = {**restored["params"],
+                              **(restored.get("frozen_params") or {})}
+                    return {"params": params,
+                            **(restored.get("model_state") or {})}
+                return restored
+            return variables
+
+        # fairseq parity: --path a:b:c loads a decode-time model ensemble
+        # (checkpoint_utils.load_model_ensemble); per-step probabilities are
+        # averaged inside the jitted decode loops
+        paths = [p for p in str(path).split(":") if p]
+        if len(paths) > 1:
+            variables = [_restore_one(p) for p in paths]
+            logger.info("restored %d-model ensemble from %s",
+                        len(paths), ", ".join(paths))
+        else:
+            variables = _restore_one(paths[0])
+            logger.info("restored checkpoint from %s", paths[0])
 
     max_iter = cfg.get("iter_decode_max_iter", 15)
     beam = cfg.get("iter_decode_with_beam", 1)
@@ -100,7 +112,14 @@ def main(cfg: Optional[Config] = None) -> int:
                 jnp.full((b,), max_iter, jnp.int32)
     elif is_ar and n_frames > 1:
         # greedy stacked-unit generation; report the full-rate unit stream
+        # (no ensemble support here — the reference's StackUnitSequenceGenerator
+        # also decodes models[0] only)
         from diffnorm_tpu.generate.beam_search import ar_generate_stacked
+
+        if isinstance(variables, list):
+            logger.warning("stacked-unit generation uses the first model "
+                           "of the ensemble")
+            variables = variables[0]
 
         def _decode(v, src, lengths):
             packed, sub = ar_generate_stacked(

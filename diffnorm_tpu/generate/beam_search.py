@@ -155,40 +155,64 @@ def ar_generate(
     no_repeat_ngram: int = 0,
 ):
     """End-to-end AR generation for ARS2UTModule (encode once, replicate
-    encoder states across beams, run the jitted beam loop)."""
+    encoder states across beams, run the jitted beam loop).
+
+    `variables` may be a LIST of parameter trees (same architecture):
+    per-step probabilities are averaged across models inside the jitted
+    loop (fairseq sequence_generator EnsembleModel parity — logsumexp of
+    per-model log-probs - log M). Each model keeps its own KV cache; the
+    caches live in a tuple pytree whose leaves keep the [batch*beam, ...]
+    leading dim, so beam reordering applies transparently."""
     from diffnorm_tpu.models.ar_transformer import ARS2UTModule
 
     module = model.module
-    enc, enc_mask = module.apply(
-        variables, src, src_lengths, method=ARS2UTModule.encode
-    )
-    b = enc.shape[0]
-    enc_rep = jnp.repeat(enc, beam_size, axis=0)
-    mask_rep = jnp.repeat(enc_mask, beam_size, axis=0)
+    vlist = (list(variables) if isinstance(variables, (list, tuple))
+             else [variables])
+    n_models = len(vlist)
 
-    # init the cache by tracing one step with zero tokens
-    _, cache_vars = module.apply(
-        {**variables},
-        jnp.full((b * beam_size, 1), EOS, jnp.int32),
-        enc_rep, mask_rep, jnp.zeros((b * beam_size,), jnp.int32), max_len,
-        method=ARS2UTModule.decode_step, mutable=["cache"],
-    )
-    # reset the cache index/content to zero (the probe wrote one step)
-    cache0 = jax.tree_util.tree_map(jnp.zeros_like, cache_vars["cache"])
+    pairs = [module.apply(v, src, src_lengths, method=ARS2UTModule.encode)
+             for v in vlist]
+    b = pairs[0][0].shape[0]
+    enc_reps = [jnp.repeat(e, beam_size, axis=0) for e, _ in pairs]
+    mask_rep = jnp.repeat(pairs[0][1], beam_size, axis=0)
 
-    params_only = {k: v for k, v in variables.items() if k != "cache"}
-
-    def decode_step(cache, tokens, positions):
-        logits, mutated = module.apply(
-            {**params_only, "cache": cache},
-            tokens, enc_rep, mask_rep, positions, max_len,
+    # init each model's cache by tracing one step with zero tokens
+    caches0 = []
+    params_only = []
+    for v, enc_rep in zip(vlist, enc_reps):
+        _, cache_vars = module.apply(
+            {**v},
+            jnp.full((b * beam_size, 1), EOS, jnp.int32),
+            enc_rep, mask_rep, jnp.zeros((b * beam_size,), jnp.int32),
+            max_len,
             method=ARS2UTModule.decode_step, mutable=["cache"],
         )
-        return logits, mutated["cache"]
+        # reset the cache index/content to zero (the probe wrote one step)
+        caches0.append(jax.tree_util.tree_map(jnp.zeros_like,
+                                              cache_vars["cache"]))
+        params_only.append({k: p for k, p in v.items() if k != "cache"})
+
+    def decode_step(caches, tokens, positions):
+        lps, new_caches = [], []
+        for p, cache, enc_rep in zip(params_only, caches, enc_reps):
+            logits, mutated = module.apply(
+                {**p, "cache": cache},
+                tokens, enc_rep, mask_rep, positions, max_len,
+                method=ARS2UTModule.decode_step, mutable=["cache"],
+            )
+            lps.append(jax.nn.log_softmax(
+                logits.astype(jnp.float32), axis=-1))
+            new_caches.append(mutated["cache"])
+        if n_models == 1:
+            avg = lps[0]
+        else:
+            avg = jax.nn.logsumexp(jnp.stack(lps), axis=0) - jnp.log(
+                float(n_models))
+        return avg, tuple(new_caches)
 
     vocab = module.vocab_size
     return beam_search(
-        decode_step, cache0, b, beam_size, max_len, vocab,
+        decode_step, tuple(caches0), b, beam_size, max_len, vocab,
         min_len=min_len, len_penalty=len_penalty,
         no_repeat_ngram=no_repeat_ngram,
     )

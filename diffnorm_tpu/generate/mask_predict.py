@@ -133,47 +133,69 @@ def mask_predict_decode(
     kf = n_frames_per_step
     sub_vocab = module.vocab_size - 4 if kf > 1 else 0
 
-    enc, enc_mask = module.apply(
-        variables, src, src_lengths, method="encode"
-    )
-    length_logits = module.apply(
-        variables, enc, enc_mask, method="forward_length"
-    )
+    # `variables` may be a LIST of parameter trees (same architecture):
+    # decode probabilities are averaged per iteration, fairseq-ensemble
+    # style (nonautoregressive_ensembles.py / sequence_generator
+    # EnsembleModel: logsumexp of per-model log-probs - log M)
+    vlist = (list(variables) if isinstance(variables, (list, tuple))
+             else [variables])
+    n_models = len(vlist)
+
+    pairs = [module.apply(v, src, src_lengths, method="encode")
+             for v in vlist]
+    encs = [p[0] for p in pairs]
+    enc_mask = pairs[0][1]
+
+    def _avg_lp(lps):
+        if len(lps) == 1:
+            return lps[0]
+        return jax.nn.logsumexp(jnp.stack(lps), axis=0) - jnp.log(
+            float(len(lps)))
+
+    length_lp = _avg_lp([
+        jax.nn.log_softmax(
+            module.apply(v, e, enc_mask, method="forward_length")
+            .astype(jnp.float32), axis=-1)
+        for v, e in zip(vlist, encs)
+    ])
     if true_length is not None:
         length_tgt = jnp.asarray(true_length)
     else:
-        length_tgt = jnp.argmax(length_logits, axis=-1)
+        length_tgt = jnp.argmax(length_lp, axis=-1)
 
     use_cg = cond_scale != 1.0
 
     if length_beam > 1:
-        b = enc.shape[0]
         offsets = jnp.arange(length_beam) - length_beam // 2
         length_tgt = (length_tgt[:, None] + offsets[None, :]).reshape(-1)
-        enc = jnp.repeat(enc, length_beam, axis=0)
+        encs = [jnp.repeat(e, length_beam, axis=0) for e in encs]
         enc_mask = jnp.repeat(enc_mask, length_beam, axis=0)
 
     tokens, scores = init_canvas(length_tgt, max_len)
 
-    null_enc = null_mask = None
+    null_pairs = [None] * n_models
     if use_cg:
-        drop = jnp.ones((enc.shape[0],), bool)
-        null_enc, null_mask = module.apply(
-            variables, enc, enc_mask, drop, method="apply_cg_drop"
-        )
+        drop = jnp.ones((encs[0].shape[0],), bool)
+        null_pairs = [
+            module.apply(v, e, enc_mask, drop, method="apply_cg_drop")
+            for v, e in zip(vlist, encs)
+        ]
 
     def decode_lprobs(tok):
-        logits = module.apply(
-            variables, tok, enc, enc_mask, method="decode"
-        )
-        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        if use_cg:
-            null_logits = module.apply(
-                variables, tok, null_enc, null_mask, method="decode"
-            )
-            null_lp = jax.nn.log_softmax(null_logits.astype(jnp.float32), axis=-1)
-            lp = null_lp + cond_scale * (lp - null_lp)
-        return lp
+        lps = []
+        for v, e, null_pair in zip(vlist, encs, null_pairs):
+            logits = module.apply(v, tok, e, enc_mask, method="decode")
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            if use_cg:
+                null_enc, null_mask = null_pair
+                null_logits = module.apply(
+                    v, tok, null_enc, null_mask, method="decode"
+                )
+                null_lp = jax.nn.log_softmax(
+                    null_logits.astype(jnp.float32), axis=-1)
+                lp = null_lp + cond_scale * (lp - null_lp)
+            lps.append(lp)
+        return _avg_lp(lps)
 
     max_step = max_iter + 1
 

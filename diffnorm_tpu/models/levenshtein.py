@@ -265,11 +265,18 @@ def levenshtein_decode_jit(
     Three decoder passes per iteration, matching the reference's policy of
     scoring insertion on the post-deletion canvas and words on the
     post-insertion canvas. Converged rows freeze. Returns canvas [B, max_len].
+
+    `variables` may be a LIST of parameter trees (same architecture): the
+    word/delete/insert head scores are averaged across models per pass
+    (reference EnsembleLevT, fairseq/models/nat/nonautoregressive_ensembles.py
+    — logsumexp of per-model log-probs - log M).
     """
     module = model.module
-    enc, enc_mask = module.apply(
-        variables, src_tokens, src_lengths, method="encode"
-    )
+    vlist = (list(variables) if isinstance(variables, (list, tuple))
+             else [variables])
+    n_models = len(vlist)
+    pairs = [module.apply(v, src_tokens, src_lengths, method="encode")
+             for v in vlist]
     b = src_tokens.shape[0]
     l = max_len
 
@@ -277,7 +284,21 @@ def levenshtein_decode_jit(
     canvas0 = canvas0.at[:, 0].set(BOS).at[:, 1].set(EOS)
 
     def score(tokens):
-        return module.apply(variables, tokens, enc, enc_mask, method="decode")
+        outs = [
+            module.apply(v, tokens, e, m, method="decode")
+            for v, (e, m) in zip(vlist, pairs)
+        ]
+        if n_models == 1:
+            return outs[0]
+
+        def avg(idx):
+            lps = jnp.stack([
+                jax.nn.log_softmax(o[idx].astype(jnp.float32), axis=-1)
+                for o in outs
+            ])
+            return jax.nn.logsumexp(lps, axis=0) - jnp.log(float(n_models))
+
+        return avg(0), avg(1), avg(2)
 
     def step(carry, _):
         canvas, finished = carry

@@ -98,6 +98,7 @@ def main(cfg: Optional[Config] = None) -> int:
 
     is_ar = isinstance(task, ARS2UTTask)
     n_frames = int(cfg.get("n_frames_per_step", 1))
+    needs_target = False  # set by decoders that consume the reference
     if isinstance(task, LevenshteinTask):
         # iterative insert/delete refinement, one shape-static jitted scan
         from diffnorm_tpu.models.levenshtein import levenshtein_decode_jit
@@ -129,14 +130,49 @@ def main(cfg: Optional[Config] = None) -> int:
             tokens = sub.reshape(b, -1)  # [B, L*k] full-rate units
             return tokens, jnp.zeros(tokens.shape, jnp.float32), \
                 jnp.ones((b,), jnp.int32)
+    elif is_ar and cfg.get("score_reference"):
+        # fairseq --score-reference (sequence_scorer.py): emit the reference
+        # as the hypothesis with its teacher-forced log-prob under the
+        # model (ensemble members' probs are averaged)
+        needs_target = True
+
+        def _decode(v, src, lengths, target):
+            # jnp shift_right (tasks.ar_s2ut_task.shift_right is host-side):
+            # prev = [eos, t0, t1, ...], pad stays pad
+            prev = jnp.full_like(target, PAD).at[:, 0].set(EOS)
+            prev = prev.at[:, 1:].set(target[:, :-1])
+            prev = jnp.where(target == PAD, PAD, prev)
+            lps = []
+            for vv in (v if isinstance(v, list) else [v]):
+                out = model.module.apply(vv, src, lengths, prev)
+                logits = out["logits"] if isinstance(out, dict) else out
+                lps.append(jax.nn.log_softmax(
+                    logits.astype(jnp.float32), axis=-1))
+            lp = (lps[0] if len(lps) == 1 else
+                  jax.nn.logsumexp(jnp.stack(lps), axis=0)
+                  - jnp.log(float(len(lps))))
+            tok_lp = jnp.take_along_axis(lp, target[..., None], axis=-1)[..., 0]
+            return target, tok_lp, jnp.ones((target.shape[0],), jnp.int32)
     elif is_ar:
         from diffnorm_tpu.generate.beam_search import ar_generate
 
-        def _decode(v, src, lengths):
+        sampling = bool(cfg.get("sampling"))
+        prefix_size = int(cfg.get("prefix_size", 0))
+        needs_target = prefix_size > 0
+
+        def _decode(v, src, lengths, target=None):
             seqs, scores = ar_generate(
                 model, v, src, lengths, beam_size=cfg.get("beam", 5),
                 max_len=min(max_len, 256),
                 len_penalty=cfg.get("lenpen", 1.0),
+                no_repeat_ngram=int(cfg.get("no_repeat_ngram_size", 0)),
+                prefix_tokens=(target[:, :prefix_size]
+                               if prefix_size > 0 else None),
+                sampling=sampling,
+                sampling_topk=int(cfg.get("sampling_topk", 0)),
+                sampling_topp=float(cfg.get("sampling_topp", 0.0)),
+                temperature=float(cfg.get("temperature", 1.0)),
+                rng=jax.random.PRNGKey(int(cfg.get("seed", 1))),
             )
             best = seqs[:, 0]  # [B, L] top beam
             return best, jnp.broadcast_to(
@@ -216,7 +252,12 @@ def main(cfg: Optional[Config] = None) -> int:
     for batch in read_ahead(itr, _upload_src, depth=2):
         if "id" not in batch:
             batch["id"] = np.arange(n_sent, n_sent + len(batch["src_lengths"]))
-        out = decode(variables, batch["src_tokens"], batch["src_lengths"])
+        if needs_target:
+            out = decode(variables, batch["src_tokens"],
+                         batch["src_lengths"],
+                         jnp.asarray(np.asarray(batch["target"]), jnp.int32))
+        else:
+            out = decode(variables, batch["src_tokens"], batch["src_lengths"])
         history = None
         if len(out) == 4:  # --retain-iter-history
             tokens, scores, steps, history = out

@@ -73,12 +73,18 @@ def beam_search(
     len_penalty: float = 1.0,
     no_repeat_ngram: int = 0,
     unk_penalty: float = 0.0,
+    prefix_tokens=None,
 ):
     """Generic AR beam search.
 
     decode_step(cache, tokens [N,1], positions [N]) -> (log_probs [N,V],
     new_cache) where N = batch*beam. Returns (seqs [B, K, L], scores [B, K])
     sorted best-first.
+
+    prefix_tokens: optional [B, P] int32 — force the first P target tokens
+    per sentence (fairseq sequence_generator._prefix_tokens: every
+    non-prefix continuation is masked to -inf, the forced token keeps its
+    model log-prob; PAD positions in the prefix are unconstrained).
     """
     n = batch_size * beam_size
 
@@ -103,6 +109,17 @@ def beam_search(
         lp = lp.at[:, BOS].set(NEG_INF)
         lp = lp.at[:, UNK].add(-unk_penalty)
         lp = jnp.where(step < min_len, lp.at[:, EOS].set(NEG_INF), lp)
+        if prefix_tokens is not None and prefix_tokens.shape[1] > 0:
+            p_len = prefix_tokens.shape[1]
+            forced = jax.lax.dynamic_index_in_dim(
+                prefix_tokens, jnp.minimum(step, p_len - 1), axis=1,
+                keepdims=False,
+            )  # [B]
+            forced = jnp.repeat(forced, beam_size, axis=0)  # [N]
+            use = (step < p_len) & (forced != PAD) & ~finished
+            keep = jnp.zeros((n, vocab_size), bool).at[
+                jnp.arange(n), forced].set(True)
+            lp = jnp.where(use[:, None] & ~keep, NEG_INF, lp)
         if no_repeat_ngram > 0:
             lp = lp + ngram_blocking_mask(seqs, step, vocab_size,
                                           no_repeat_ngram)
@@ -143,6 +160,69 @@ def beam_search(
     return seqs[b_idx, order], norm[b_idx, order]
 
 
+def sample_generate(
+    decode_step,
+    init_cache,
+    batch_size: int,
+    max_len: int,
+    vocab_size: int,
+    rng,
+    temperature: float = 1.0,
+    sampling_topk: int = 0,
+    sampling_topp: float = 0.0,
+    min_len: int = 1,
+    unk_penalty: float = 0.0,
+):
+    """Ancestral sampling decode (fairseq search.Sampling parity:
+    --sampling [--sampling-topk K | --sampling-topp P] [--temperature T]).
+
+    Per step each row samples from the temperature-scaled distribution,
+    optionally truncated to the top-K tokens or the smallest nucleus whose
+    cumulative probability exceeds P (at least one token survives).
+    decode_step has the beam_search contract with N = batch_size.
+    Returns (seqs [B, L], scores [B] sum of sampled log-probs).
+    """
+    n = batch_size
+    seqs = jnp.full((n, max_len), PAD, jnp.int32)
+    prev = jnp.full((n, 1), EOS, jnp.int32)
+
+    def body(carry, step):
+        seqs, prev, scores, cache, finished, key = carry
+        key, sub = jax.random.split(key)
+        lp, cache = decode_step(cache, prev, jnp.full((n,), step))
+        lp = jax.nn.log_softmax(lp.astype(jnp.float32) / temperature, axis=-1)
+        lp = lp.at[:, PAD].set(NEG_INF)
+        lp = lp.at[:, BOS].set(NEG_INF)
+        lp = lp.at[:, UNK].add(-unk_penalty)
+        lp = jnp.where(step < min_len, lp.at[:, EOS].set(NEG_INF), lp)
+        if sampling_topk > 0:
+            kth = jax.lax.top_k(lp, sampling_topk)[0][:, -1:]
+            lp = jnp.where(lp < kth, NEG_INF, lp)
+        if sampling_topp > 0.0:
+            sorted_lp = jnp.sort(lp, axis=-1)[:, ::-1]
+            cum = jnp.cumsum(jnp.exp(sorted_lp), axis=-1)
+            # keep tokens strictly inside the nucleus plus the one that
+            # crosses P (fairseq keeps the crossing token)
+            inside = cum - jnp.exp(sorted_lp) < sampling_topp
+            cutoff = jnp.min(
+                jnp.where(inside, sorted_lp, jnp.inf), axis=-1, keepdims=True
+            )
+            lp = jnp.where(lp < cutoff, NEG_INF, lp)
+        tok = jax.random.categorical(sub, lp, axis=-1).astype(jnp.int32)
+        tok = jnp.where(finished, PAD, tok)
+        tok_lp = jnp.take_along_axis(lp, tok[:, None], axis=-1)[:, 0]
+        scores = scores + jnp.where(finished, 0.0, tok_lp)
+        seqs = seqs.at[:, step].set(tok)
+        finished = finished | (tok == EOS)
+        return (seqs, tok[:, None], scores, cache, finished, key), ()
+
+    carry0 = (seqs, prev, jnp.zeros((n,), jnp.float32), init_cache,
+              jnp.zeros((n,), bool), rng)
+    (seqs, _, scores, _, _, _), _ = jax.lax.scan(
+        body, carry0, jnp.arange(max_len))
+    return seqs, scores
+
+
 def ar_generate(
     model,
     variables,
@@ -153,6 +233,12 @@ def ar_generate(
     min_len: int = 1,
     len_penalty: float = 1.0,
     no_repeat_ngram: int = 0,
+    prefix_tokens=None,
+    sampling: bool = False,
+    sampling_topk: int = 0,
+    sampling_topp: float = 0.0,
+    temperature: float = 1.0,
+    rng=None,
 ):
     """End-to-end AR generation for ARS2UTModule (encode once, replicate
     encoder states across beams, run the jitted beam loop).
@@ -211,10 +297,27 @@ def ar_generate(
         return avg, tuple(new_caches)
 
     vocab = module.vocab_size
+    if sampling:
+        # beam_size independent samples per sentence (fairseq --sampling
+        # draws beam hypotheses); rows are already replicated beam_size-fold
+        key = rng if rng is not None else jax.random.PRNGKey(0)
+        seqs, scores = sample_generate(
+            decode_step, tuple(caches0), b * beam_size, max_len, vocab, key,
+            temperature=temperature, sampling_topk=sampling_topk,
+            sampling_topp=sampling_topp, min_len=min_len,
+        )
+        lengths = jnp.sum(seqs != PAD, axis=1)
+        norm = scores / jnp.maximum(
+            lengths.astype(jnp.float32), 1.0) ** len_penalty
+        seqs = seqs.reshape(b, beam_size, max_len)
+        norm = norm.reshape(b, beam_size)
+        order = jnp.argsort(-norm, axis=1)
+        b_idx = jnp.arange(b)[:, None]
+        return seqs[b_idx, order], norm[b_idx, order]
     return beam_search(
         decode_step, tuple(caches0), b, beam_size, max_len, vocab,
         min_len=min_len, len_penalty=len_penalty,
-        no_repeat_ngram=no_repeat_ngram,
+        no_repeat_ngram=no_repeat_ngram, prefix_tokens=prefix_tokens,
     )
 
 

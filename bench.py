@@ -36,6 +36,10 @@ import os as _os
 
 _os.environ.setdefault("DIFFNORM_INT8_WSCALAR", "1")
 _os.environ.setdefault("DIFFNORM_INT8_ASCALAR", "1")
+# software-pipelined FF kernel (ops/pallas_ffpipe.py): row b's proj_in/GEGLU
+# overlaps row b-1's conv/proj_out — RTF 332 -> 338 (PERFORMANCE.md); parity
+# pinned by tests/test_pallas_ops.py::test_ffpipe_kernel_matches_module
+_os.environ.setdefault("DIFFNORM_FFPIPE", "1")
 
 BATCH = int(__import__("os").environ.get("BENCH_BATCH", 64))  # reference driver batches ~100
 SEQ = 128

@@ -28,6 +28,9 @@ _PALLAS_NORM = bool(int(os.environ.get("DIFFNORM_PALLAS_NORM", "0")))
 # fused Pallas transformer-layer kernel for the DDIM sampling path
 # (ops/pallas_block.py): whole layer per batch row in VMEM, int8 FF
 _FUSED_BLOCK = bool(int(os.environ.get("DIFFNORM_FUSED_BLOCK", "0")))
+# software-pipelined FF kernel (ops/pallas_ffpipe.py): overlaps row b's
+# proj_in/GEGLU with row b-1's conv/proj_out across the batch grid
+_FF_PIPE = bool(int(os.environ.get("DIFFNORM_FFPIPE", "0")))
 
 
 def l2norm(x, eps: float = 1e-12):
@@ -476,6 +479,14 @@ class ConditionableTransformer(nn.Module):
                 )
             x = self.final_norm(x)
             return self.to_pred(x)
+        use_ffpipe = (
+            _FF_PIPE
+            and film is not None
+            and self.ff_causal_conv
+            and self.quant_int8
+            and deterministic
+            and self.dtype == jnp.bfloat16
+        )
         for i in range(self.depth):
             res = x
             hn = self.attn_norms[i](
@@ -493,6 +504,22 @@ class ConditionableTransformer(nn.Module):
                 x = res + self.cross_attns[i](
                     hn, context=context, deterministic=deterministic
                 )
+            if use_ffpipe:
+                # pipelined Pallas FF sublayer (norm+FiLM fused in-kernel)
+                from diffnorm_tpu.ops.pallas_ffpipe import (
+                    _round_up as _ru, ffpipe_layer, pack_ff_weights,
+                )
+
+                inner = int(self.dim * self.ff_mult * 2 / 3)
+                w = pack_ff_weights(
+                    self.variables["params"][f"ff_{i}"], inner
+                )
+                x = ffpipe_layer(
+                    x, film["ff"][i], w, dim=self.dim,
+                    pad_inner=_ru(inner, 128),
+                    interpret=jax.devices()[0].platform != "tpu",
+                )
+                continue
             res = x
             hn = self.ff_norms[i](
                 x, cond=cond, film=film["ff"][i] if film else None

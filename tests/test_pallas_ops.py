@@ -189,3 +189,42 @@ def test_bf16_dequant_error_bound():
     # exact float matmul (the documented "~0.4% on top of ~1%" claim)
     exact = np.asarray(x.astype(jnp.float32) @ w)
     assert np.abs(y16 - exact).max() / np.abs(exact).max() < 3e-2
+
+
+def test_ffpipe_kernel_matches_module():
+    """Software-pipelined FF kernel (ops/pallas_ffpipe.py, interpret mode)
+    vs the ConditionableTransformer int8 module path — the kernel computes
+    norm+FiLM, int8 proj_in/GEGLU, k=3 causal conv, and proj_out+residual
+    across a double-buffered two-stage pipeline, so row order and the
+    fill/drain steps must reproduce the unfused math row-for-row."""
+    import diffnorm_tpu.models.layers as L
+
+    dim, depth, heads, dh, T, B = 128, 2, 2, 64, 32, 3
+    mod = L.ConditionableTransformer(
+        dim=dim, depth=depth, dim_head=dh, heads=heads, ff_mult=4,
+        ff_causal_conv=True, cond_dim=dim * 4, dropout=0.0,
+        quant_int8=True, dtype=jnp.bfloat16,
+    )
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(B, T, dim)), jnp.bfloat16)
+    cond = jnp.asarray(rng.normal(size=(B, dim * 4)), jnp.float32)
+    mask = jnp.arange(T)[None, :] < jnp.asarray([T, T - 5, 7])[:, None]
+    v = mod.init({"params": jax.random.PRNGKey(0)}, x, cond=cond, mask=mask)
+    film = mod.apply(v, cond, method=mod.precompute_film)
+
+    old = L._FF_PIPE
+    try:
+        L._FF_PIPE = False
+        ref = np.asarray(mod.apply(v, x, mask=mask, film=film), np.float32)
+        L._FF_PIPE = True
+        got = np.asarray(mod.apply(v, x, mask=mask, film=film), np.float32)
+    finally:
+        L._FF_PIPE = old
+
+    m = np.asarray(mask)
+    r, g = ref[m], got[m]
+    row_cos = (r * g).sum(-1) / (
+        np.linalg.norm(r, axis=-1) * np.linalg.norm(g, axis=-1)
+    )
+    assert row_cos.min() > 0.998, row_cos.min()
+    assert np.abs(r - g).max() / np.abs(r).max() < 0.05

@@ -165,7 +165,9 @@ def main(cfg: Optional[Config] = None) -> int:
                 model, v, src, lengths, beam_size=cfg.get("beam", 5),
                 max_len=min(max_len, 256),
                 len_penalty=cfg.get("lenpen", 1.0),
+                min_len=int(cfg.get("min_len", 1)),
                 no_repeat_ngram=int(cfg.get("no_repeat_ngram_size", 0)),
+                unk_penalty=float(cfg.get("unkpen", 0.0)),
                 prefix_tokens=(target[:, :prefix_size]
                                if prefix_size > 0 else None),
                 sampling=sampling,

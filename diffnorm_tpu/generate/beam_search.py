@@ -233,6 +233,7 @@ def ar_generate(
     min_len: int = 1,
     len_penalty: float = 1.0,
     no_repeat_ngram: int = 0,
+    unk_penalty: float = 0.0,
     prefix_tokens=None,
     sampling: bool = False,
     sampling_topk: int = 0,
@@ -305,6 +306,7 @@ def ar_generate(
             decode_step, tuple(caches0), b * beam_size, max_len, vocab, key,
             temperature=temperature, sampling_topk=sampling_topk,
             sampling_topp=sampling_topp, min_len=min_len,
+            unk_penalty=unk_penalty,
         )
         lengths = jnp.sum(seqs != PAD, axis=1)
         norm = scores / jnp.maximum(
@@ -317,7 +319,8 @@ def ar_generate(
     return beam_search(
         decode_step, tuple(caches0), b, beam_size, max_len, vocab,
         min_len=min_len, len_penalty=len_penalty,
-        no_repeat_ngram=no_repeat_ngram, prefix_tokens=prefix_tokens,
+        no_repeat_ngram=no_repeat_ngram, unk_penalty=unk_penalty,
+        prefix_tokens=prefix_tokens,
     )
 
 

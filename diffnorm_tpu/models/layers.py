@@ -257,8 +257,9 @@ class GEGLU(nn.Module):
 
 
 class FeedForward(nn.Module):
-    """GEGLU FF with optional depthwise-position causal conv
-    (latent_module.py:887-903). dim_inner = int(dim * mult * 2/3)."""
+    """GEGLU FF with an optional full (dense, groups=1) k=3 causal conv at
+    dim_inner (latent_module.py:887-903 — the reference CausalConv1d is a
+    plain nn.Conv1d). dim_inner = int(dim * mult * 2/3)."""
 
     dim: int
     mult: int = 4

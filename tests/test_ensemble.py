@@ -101,3 +101,19 @@ def test_levenshtein_ensemble():
     assert out_mix.shape == out_single.shape
     assert (out_mix[:, 0] == BOS).all()
     assert not (out_mix == UNK).any()
+
+
+def test_mask_predict_ensemble_with_cg():
+    """Classifier-free guidance composes with ensembles: CG is applied per
+    member before prob averaging, and a [v, v] ensemble under CG still
+    reproduces the single-model CG decode."""
+    from diffnorm_tpu.generate.mask_predict import mask_predict_decode
+
+    task, model, batch, v1, v2 = _build("dummy_nar", **NAR_CFG)
+    src, lens = batch["src_tokens"], batch["src_lengths"]
+    kw = dict(max_iter=2, max_len=24, cond_scale=1.5)
+    t1, s1, _ = mask_predict_decode(model, v1, src, lens, **kw)
+    t_dup, s_dup, _ = mask_predict_decode(model, [v1, v1], src, lens, **kw)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t_dup))
+    t_mix, _, _ = mask_predict_decode(model, [v1, v2], src, lens, **kw)
+    assert t_mix.shape == t1.shape

@@ -228,3 +228,23 @@ def test_ffpipe_kernel_matches_module():
     )
     assert row_cos.min() > 0.998, row_cos.min()
     assert np.abs(r - g).max() / np.abs(r).max() < 0.05
+
+
+def test_quantize_edge_cases():
+    """quantize_act/weight on degenerate inputs: all-zero tensors must not
+    divide by zero (scale floors at 1e-12) and round-trip to exact zeros;
+    a single huge outlier still reconstructs within int8 resolution."""
+    from diffnorm_tpu.ops import quant
+
+    z = jnp.zeros((2, 4, 8), jnp.float32)
+    zq, za = quant.quantize_act(z)
+    assert np.all(np.asarray(zq) == 0)
+    assert np.all(np.isfinite(np.asarray(za)))
+    wq, ws = quant.quantize_weight(jnp.zeros((8, 16), jnp.float32))
+    assert np.all(np.asarray(wq) == 0)
+
+    x = jnp.zeros((1, 1, 8), jnp.float32).at[0, 0, 3].set(1e4)
+    xq, ax = quant.quantize_act(x)
+    rec = np.asarray(xq, np.float32) * np.asarray(ax)
+    np.testing.assert_allclose(rec[0, 0, 3], 1e4, rtol=1e-2)
+    assert np.abs(rec[0, 0, :3]).max() <= float(ax.max())  # <= 1 ulp

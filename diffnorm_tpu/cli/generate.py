@@ -41,6 +41,20 @@ def strip_special(tokens, dictionary):
     return " ".join(dictionary[t] for t in toks)
 
 
+def _to_variables(restored):
+    """Canonicalize a restored checkpoint to a flax variables dict:
+    a saved TrainState becomes params (+frozen subtrees) + model state;
+    a raw variables dict passes through; None if unrecognized."""
+    if isinstance(restored, dict) and "params" in restored:
+        if "step" in restored:  # a saved TrainState
+            params = {**restored["params"],
+                      **(restored.get("frozen_params") or {})}
+            return {"params": params,
+                    **(restored.get("model_state") or {})}
+        return restored
+    return None
+
+
 def main(cfg: Optional[Config] = None) -> int:
     logging.basicConfig(level=logging.INFO, force=True,
                         format="%(asctime)s | %(levelname)s | %(message)s")
@@ -66,15 +80,8 @@ def main(cfg: Optional[Config] = None) -> int:
     path = cfg.get("path")
     if path:
         def _restore_one(p):
-            restored = load_checkpoint_params(p)
-            if isinstance(restored, dict) and "params" in restored:
-                if "step" in restored:  # a saved TrainState
-                    params = {**restored["params"],
-                              **(restored.get("frozen_params") or {})}
-                    return {"params": params,
-                            **(restored.get("model_state") or {})}
-                return restored
-            return variables
+            restored = _to_variables(load_checkpoint_params(p))
+            return restored if restored is not None else variables
 
         # fairseq parity: --path a:b:c loads a decode-time model ensemble
         # (checkpoint_utils.load_model_ensemble); per-step probabilities are
@@ -99,6 +106,7 @@ def main(cfg: Optional[Config] = None) -> int:
     is_ar = isinstance(task, ARS2UTTask)
     n_frames = int(cfg.get("n_frames_per_step", 1))
     needs_target = False  # set by decoders that consume the reference
+    needs_rng = False  # set by stochastic decoders (--sampling)
     if isinstance(task, LevenshteinTask):
         # iterative insert/delete refinement, one shape-static jitted scan
         from diffnorm_tpu.models.levenshtein import levenshtein_decode_jit
@@ -159,8 +167,9 @@ def main(cfg: Optional[Config] = None) -> int:
         sampling = bool(cfg.get("sampling"))
         prefix_size = int(cfg.get("prefix_size", 0))
         needs_target = prefix_size > 0
+        needs_rng = sampling
 
-        def _decode(v, src, lengths, target=None):
+        def _decode(v, src, lengths, target=None, rng=None):
             seqs, scores = ar_generate(
                 model, v, src, lengths, beam_size=cfg.get("beam", 5),
                 max_len=min(max_len, 256),
@@ -174,7 +183,7 @@ def main(cfg: Optional[Config] = None) -> int:
                 sampling_topk=int(cfg.get("sampling_topk", 0)),
                 sampling_topp=float(cfg.get("sampling_topp", 0.0)),
                 temperature=float(cfg.get("temperature", 1.0)),
-                rng=jax.random.PRNGKey(int(cfg.get("seed", 1))),
+                rng=rng,
             )
             best = seqs[:, 0]  # [B, L] top beam
             return best, jnp.broadcast_to(
@@ -199,9 +208,10 @@ def main(cfg: Optional[Config] = None) -> int:
             })
             r_cfg["arch"] = overrides.get("arch", "s2ut_conformer")
             ar_model = _build_model(r_cfg["arch"], r_cfg, task=task)
-            restored = load_checkpoint_params(rerank_path)
-            if "params" not in restored:
-                restored = {"params": restored}
+            raw = load_checkpoint_params(rerank_path)
+            # TrainState checkpoints (this repo's trainer output) and raw
+            # param trees are both accepted, same as --path
+            restored = _to_variables(raw) or {"params": raw}
             reranker = (ar_model, restored)
             logger.info("reranking beam=%d with AR model from %s",
                         beam, rerank_path)
@@ -251,15 +261,23 @@ def main(cfg: Optional[Config] = None) -> int:
                 b[k] = jax.device_put(np.asarray(b[k]))
         return b
 
-    for batch in read_ahead(itr, _upload_src, depth=2):
+    # the RNG advances across batches (fairseq parity: a jit-baked constant
+    # key would replay the identical random stream for every batch)
+    base_key = (jax.random.PRNGKey(int(cfg.get("seed", 1)))
+                if needs_rng else None)
+
+    for batch_i, batch in enumerate(read_ahead(itr, _upload_src, depth=2)):
         if "id" not in batch:
             batch["id"] = np.arange(n_sent, n_sent + len(batch["src_lengths"]))
+        kw = {"rng": jax.random.fold_in(base_key, batch_i)} if needs_rng else {}
         if needs_target:
             out = decode(variables, batch["src_tokens"],
                          batch["src_lengths"],
-                         jnp.asarray(np.asarray(batch["target"]), jnp.int32))
+                         jnp.asarray(np.asarray(batch["target"]), jnp.int32),
+                         **kw)
         else:
-            out = decode(variables, batch["src_tokens"], batch["src_lengths"])
+            out = decode(variables, batch["src_tokens"], batch["src_lengths"],
+                         **kw)
         history = None
         if len(out) == 4:  # --retain-iter-history
             tokens, scores, steps, history = out

@@ -172,6 +172,8 @@ def sample_generate(
     sampling_topp: float = 0.0,
     min_len: int = 1,
     unk_penalty: float = 0.0,
+    no_repeat_ngram: int = 0,
+    prefix_tokens=None,
 ):
     """Ancestral sampling decode (fairseq search.Sampling parity:
     --sampling [--sampling-topk K | --sampling-topp P] [--temperature T]).
@@ -181,6 +183,12 @@ def sample_generate(
     cumulative probability exceeds P (at least one token survives).
     decode_step has the beam_search contract with N = batch_size.
     Returns (seqs [B, L], scores [B] sum of sampled log-probs).
+
+    prefix_tokens: optional [N, P] int32 forced prefix per ROW (callers with
+    replicated sample rows pre-repeat it). fairseq applies _prefix_tokens
+    and ngram repeat blocking before search.step for every strategy
+    including Sampling, so the constraints run BEFORE top-k/top-p
+    truncation — a forced token is then the row max and always survives.
     """
     n = batch_size
     seqs = jnp.full((n, max_len), PAD, jnp.int32)
@@ -195,6 +203,19 @@ def sample_generate(
         lp = lp.at[:, BOS].set(NEG_INF)
         lp = lp.at[:, UNK].add(-unk_penalty)
         lp = jnp.where(step < min_len, lp.at[:, EOS].set(NEG_INF), lp)
+        if prefix_tokens is not None and prefix_tokens.shape[1] > 0:
+            p_len = prefix_tokens.shape[1]
+            forced = jax.lax.dynamic_index_in_dim(
+                prefix_tokens, jnp.minimum(step, p_len - 1), axis=1,
+                keepdims=False,
+            )  # [N]
+            use = (step < p_len) & (forced != PAD) & ~finished
+            keep = jnp.zeros((n, vocab_size), bool).at[
+                jnp.arange(n), forced].set(True)
+            lp = jnp.where(use[:, None] & ~keep, NEG_INF, lp)
+        if no_repeat_ngram > 0:
+            lp = lp + ngram_blocking_mask(seqs, step, vocab_size,
+                                          no_repeat_ngram)
         if sampling_topk > 0:
             kth = jax.lax.top_k(lp, sampling_topk)[0][:, -1:]
             lp = jnp.where(lp < kth, NEG_INF, lp)
@@ -306,7 +327,9 @@ def ar_generate(
             decode_step, tuple(caches0), b * beam_size, max_len, vocab, key,
             temperature=temperature, sampling_topk=sampling_topk,
             sampling_topp=sampling_topp, min_len=min_len,
-            unk_penalty=unk_penalty,
+            unk_penalty=unk_penalty, no_repeat_ngram=no_repeat_ngram,
+            prefix_tokens=(jnp.repeat(prefix_tokens, beam_size, axis=0)
+                           if prefix_tokens is not None else None),
         )
         lengths = jnp.sum(seqs != PAD, axis=1)
         norm = scores / jnp.maximum(

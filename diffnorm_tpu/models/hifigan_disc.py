@@ -74,13 +74,17 @@ class ScaleDiscriminator(nn.Module):
             (1024, 5, 1, 1),
         ]
         if self.width != 1.0:
+            from math import gcd
+
             scaled = []
             for i, (c, k, s, g) in enumerate(specs):
-                # output channels must stay divisible by the NEXT layer's
-                # feature_group_count (its input is this layer's output)
+                # output channels must stay divisible by this layer's OWN
+                # feature_group_count AND the NEXT layer's (its input is
+                # this layer's output) — round up to their lcm
                 ng = specs[i + 1][3] if i + 1 < len(specs) else 1
-                ch = max(int(c * self.width), ng)
-                ch = ((ch + ng - 1) // ng) * ng
+                mult = g * ng // gcd(g, ng)
+                ch = max(int(c * self.width), mult)
+                ch = ((ch + mult - 1) // mult) * mult
                 scaled.append((ch, k, s, g))
             specs = scaled
         for i, (ch, k, s, g) in enumerate(specs):

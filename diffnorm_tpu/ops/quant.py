@@ -70,9 +70,10 @@ def quantize_act(x):
     DIFFNORM_INT8_ASCALAR=1. Shared by every int8 matmul so call sites
     with a common input (q/kv projections, causal-conv taps) can quantize
     ONCE and reuse the int8 tensor + scales. DIFFNORM_INT8_QUANT_BF16=1
-    keeps the abs-max/divide chain in bf16 (halves its element traffic;
-    the quotient rounds at bf16's 2^-8 before the int8 round, adding
-    <=0.5 ulp of int8 error)."""
+    keeps the abs-max/divide chain in bf16 (halves its element traffic; the
+    max*(1/127) product and the quotient each round at bf16's 2^-9 relative,
+    compounding to ~1 int8 ulp of extra error; the quotient is clamped to
+    [-127, 127] so the compounded rounding can never overflow the cast)."""
     axes = None if _A_SCALAR else -1
 
     def _keep(r):
@@ -82,7 +83,11 @@ def quantize_act(x):
         ax = _keep(jnp.max(jnp.abs(x), axis=axes, keepdims=not _A_SCALAR)) * (
             jnp.bfloat16(1.0 / 127.0))
         ax = jnp.maximum(ax, jnp.bfloat16(1e-12))
-        xq = jnp.round(x / ax).astype(jnp.int8)
+        # the bf16 max*(1/127) product and the division each round at 2^-9
+        # relative; compounded they can push the row max past 127.5, and an
+        # out-of-range float->int8 convert is implementation-defined (could
+        # wrap to -128) — clamp before the cast
+        xq = jnp.clip(jnp.round(x / ax), -127.0, 127.0).astype(jnp.int8)
         return xq, ax
     ax = _keep(jnp.max(
         jnp.abs(x.astype(jnp.float32)), axis=axes, keepdims=not _A_SCALAR

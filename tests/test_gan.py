@@ -68,3 +68,18 @@ def test_gan_train_step():
         state, {"code": code, "wav": wav, "durations": durations}
     )
     assert np.isfinite(mets2["loss_g"])
+
+
+def test_scale_discriminator_fractional_width():
+    """disc_width values where int(c*w) is not a multiple of a layer's OWN
+    feature_group_count (e.g. 0.1: 1024*0.1=102 vs groups=16) must still
+    build — output channels round up to lcm(own groups, next groups)."""
+    from diffnorm_tpu.models.hifigan_disc import ScaleDiscriminator
+
+    wav = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 512)), jnp.float32)
+    for width in (0.1, 0.3, 0.07):
+        d = ScaleDiscriminator(width=width)
+        score, fmaps = d.apply(d.init(jax.random.PRNGKey(0), wav), wav)
+        assert np.isfinite(np.asarray(score)).all()
+        assert len(fmaps) == 8

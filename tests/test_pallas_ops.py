@@ -248,3 +248,34 @@ def test_quantize_edge_cases():
     rec = np.asarray(xq, np.float32) * np.asarray(ax)
     np.testing.assert_allclose(rec[0, 0, 3], 1e4, rtol=1e-2)
     assert np.abs(rec[0, 0, :3]).max() <= float(ax.max())  # <= 1 ulp
+
+
+def test_bf16_quant_clamp(monkeypatch):
+    """DIFFNORM_INT8_QUANT_BF16: the bf16 max*(1/127) product and the
+    quotient each round at 2^-9 relative, which can push round(x/ax) to 128
+    for the row max; the clamp must keep the int8 cast in range (an
+    out-of-range float->int8 convert may wrap to -128, flipping the sign of
+    the largest activation in the token)."""
+    from diffnorm_tpu.ops import quant
+
+    monkeypatch.setattr(quant, "_QUANT_BF16", True)
+    x = jnp.linspace(0.5, 2.0, 4096).astype(jnp.bfloat16)[:, None]
+    # the hazard is real on this input: the unclamped quotient hits 128
+    ax = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+                     * jnp.bfloat16(1.0 / 127.0), jnp.bfloat16(1e-12))
+    assert np.asarray(jnp.round(x / ax), np.float32).max() >= 128
+    xq, _ = quant.quantize_act(x)
+    q = np.asarray(xq, np.int32)
+    assert q.max() <= 127 and q.min() >= -127
+    assert (q > 0).all()  # no sign-flipped wraparound
+
+
+def test_quantize_f32_row_max_in_range():
+    """Default (f32) per-token quantization: the row max lands on exactly
+    127 (one division rounds at most 1 ulp) for adversarial magnitudes."""
+    from diffnorm_tpu.ops import quant
+
+    x = jnp.linspace(1e-3, 3.0, 8192, dtype=jnp.float32)[:, None]
+    xq, _ = quant.quantize_act(x)
+    q = np.asarray(xq, np.int32)
+    assert q.max() == 127 and q.min() >= 0

@@ -140,3 +140,38 @@ def test_cli_sampling(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     txt = (tmp_path / "generate-test.txt").read_text()
     assert "H-" in txt
+
+
+def test_sampling_honors_prefix_and_ngram(built):
+    """--sampling composes with --prefix-size and --no-repeat-ngram-size
+    (fairseq applies _prefix_tokens and repeat blocking before search.step
+    for every strategy including Sampling)."""
+    task, model, batch, variables = built
+    src, lens = batch["src_tokens"], batch["src_lengths"]
+    prefix = jnp.asarray([[7, 8], [9, 10]], jnp.int32)
+    seqs, _ = ar_generate(
+        model, variables, src, lens, beam_size=2, max_len=12,
+        sampling=True, temperature=0.8, no_repeat_ngram=2,
+        prefix_tokens=prefix, rng=jax.random.PRNGKey(5),
+    )
+    # every sampled hypothesis of every sentence starts with the prefix
+    np.testing.assert_array_equal(
+        np.asarray(seqs[:, :, :2]),
+        np.broadcast_to(np.asarray(prefix)[:, None, :], (2, 2, 2)),
+    )
+
+
+def test_to_variables_handles_trainstate():
+    """--rerank-path / --path accept both raw variables dicts and this
+    repo's TrainState checkpoints (step/params/opt_state/frozen_params/
+    model_state) — the latter must fold frozen subtrees back into params
+    and surface model_state collections."""
+    from diffnorm_tpu.cli.generate import _to_variables
+
+    ts = {"step": 3, "params": {"a": 1}, "opt_state": {"mu": 0},
+          "frozen_params": {"vae": 2}, "model_state": {"batch_stats": {"b": 3}}}
+    assert _to_variables(ts) == {"params": {"a": 1, "vae": 2},
+                                 "batch_stats": {"b": 3}}
+    raw = {"params": {"a": 1}}
+    assert _to_variables(raw) is raw
+    assert _to_variables({"a": 1}) is None  # unrecognized -> caller decides

@@ -43,7 +43,16 @@ def parse_code_line(line: str):
         _, units = line.split("\t", 1)
     else:
         units = line
-    return np.asarray([int(x) for x in units.split()], np.int32)
+
+    def to_code(x: str) -> int:
+        try:
+            return int(x)
+        except ValueError:
+            return -1  # non-numeric symbols (<unk> from an undertrained
+            # model) become invalid codes; the vocoder wrapper strips
+            # codes < 0 like the reference (vocoder.py:229-235)
+
+    return np.asarray([to_code(x) for x in units.split()], np.int32)
 
 
 def load_vocoder(ckpt_path: str, cfg_path: str):
@@ -63,6 +72,14 @@ def load_vocoder(ckpt_path: str, cfg_path: str):
             from diffnorm_tpu.train.checkpoint import load_checkpoint_params
 
             variables = load_checkpoint_params(ckpt_path)
+            if isinstance(variables, dict) and "g_params" in variables:
+                # a GAN fine-tune TrainState (cli.train_vocoder output):
+                # the generator subtree IS the vocoder (the reference loads
+                # the "generator" key of its hifigan dicts the same way,
+                # fairseq/models/text_to_speech/vocoder.py:214-243)
+                variables = {"params": variables["g_params"]}
+            elif isinstance(variables, dict) and "params" not in variables:
+                variables = {"params": variables}
     return CodeHiFiGANVocoder.from_config(cfg, variables=variables)
 
 
@@ -92,8 +109,11 @@ def main(argv=None):
         lines = [l for l in f if l.strip()]
     for i, line in enumerate(lines):
         units = parse_code_line(line)
-        wav = vocoder(units, dur_prediction=args.dur_prediction,
-                      reduce=args.reduce)
+        if (units >= 0).any():
+            wav = vocoder(units, dur_prediction=args.dur_prediction,
+                          reduce=args.reduce)
+        else:  # nothing synthesizable on this line: emit 20 ms of silence
+            wav = np.zeros(args.sample_rate // 50, np.float32)
         write_wav(os.path.join(args.results_path, f"{i}_pred.wav"), wav,
                   args.sample_rate)
     logger.info("wrote %d waveforms to %s", len(lines), args.results_path)

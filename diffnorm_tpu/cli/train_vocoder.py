@@ -75,6 +75,10 @@ def main(cfg: Optional[Config] = None) -> int:
             num_embeddings=vcfg["num_embeddings"],
             embedding_dim=vcfg["embedding_dim"],
             dur_predictor=bool(vcfg.get("dur_predictor_params")),
+            # must match CodeHiFiGANVocoder.from_config so fine-tuned
+            # checkpoints load back at synthesis time
+            var_pred_hidden_dim=(vcfg.get("dur_predictor_params") or {}).get(
+                "var_pred_hidden_dim", 256),
             **common,
         )
         dataset = CodeToSpeechDataset.from_files(
@@ -122,6 +126,7 @@ def main(cfg: Optional[Config] = None) -> int:
             if step >= max_update:
                 break
         itr.finish_epoch()
+    ckpt.finalize()  # commit any in-flight async save before exit
     logger.info("vocoder training done at step %d", step)
     return 0
 

@@ -10,10 +10,6 @@ This exercises: wav file IO -> processor feature extraction -> CTC forward
 -> greedy decode -> text normalization -> corpus BLEU
 (compute_asr_bleu_custom.py:129-186)."""
 
-import json
-import os
-import wave
-
 import numpy as np
 import pytest
 
@@ -26,55 +22,17 @@ from diffnorm_tpu.eval.asr_bleu import (  # noqa: E402
     run_asr_bleu,
 )
 
-VOCAB = ["<pad>", "<s>", "</s>", "<unk>", "|", "a", "b", "c", "d", "e",
-         "h", "l", "o", "t", "w"]
+from tests.helpers import make_tiny_ctc_checkpoint, write_wav16  # noqa: E402
 
 
 @pytest.fixture(scope="module")
 def tiny_ctc_checkpoint(tmp_path_factory):
     """A loadable wav2vec2-CTC checkpoint dir (random weights, ~200k params)."""
-    os.environ.setdefault("HF_HUB_OFFLINE", "1")
-    from transformers import (
-        Wav2Vec2Config,
-        Wav2Vec2CTCTokenizer,
-        Wav2Vec2FeatureExtractor,
-        Wav2Vec2ForCTC,
-        Wav2Vec2Processor,
-    )
-
-    d = tmp_path_factory.mktemp("tiny_ctc")
-    vocab_file = d / "vocab.json"
-    vocab_file.write_text(json.dumps({c: i for i, c in enumerate(VOCAB)}))
-    tokenizer = Wav2Vec2CTCTokenizer(
-        str(vocab_file), pad_token="<pad>", unk_token="<unk>",
-        word_delimiter_token="|",
-    )
-    fe = Wav2Vec2FeatureExtractor(
-        feature_size=1, sampling_rate=16000, padding_value=0.0,
-        do_normalize=True, return_attention_mask=False,
-    )
-    processor = Wav2Vec2Processor(feature_extractor=fe, tokenizer=tokenizer)
-    torch.manual_seed(0)
-    config = Wav2Vec2Config(
-        vocab_size=len(VOCAB), hidden_size=32, num_hidden_layers=2,
-        num_attention_heads=2, intermediate_size=64,
-        conv_dim=(16, 16, 16), conv_kernel=(10, 3, 3), conv_stride=(5, 2, 2),
-        num_feat_extract_layers=3, num_conv_pos_embeddings=16,
-        num_conv_pos_embedding_groups=4,
-    )
-    model = Wav2Vec2ForCTC(config)
-    model.save_pretrained(d)
-    processor.save_pretrained(d)
-    return str(d)
+    return make_tiny_ctc_checkpoint(tmp_path_factory.mktemp("tiny_ctc"))
 
 
 def _write_wav(path, wav, sr=16000):
-    pcm = np.clip(wav * 32767.0, -32768, 32767).astype("<i2")
-    with wave.open(str(path), "wb") as w:
-        w.setnchannels(1)
-        w.setsampwidth(2)
-        w.setframerate(sr)
-        w.writeframes(pcm.tobytes())
+    write_wav16(path, wav, sr)
 
 
 def test_normalize_text():

@@ -8,6 +8,14 @@ Stages (tiny dims, CPU):
   3. DDIM-normalize the units   (cli.diff_norm_synthesis -> new {split}.tsv)
   4. train NAR S2UT on the normalized manifests (cli.train)
   5. decode with mask-predict   (cli.generate -> generate-*.txt + unit BLEU)
+  6. fine-tune the code-HiFi-GAN vocoder (cli.train_vocoder, MPD/MSD GAN)
+  7. synthesize waveforms from the stage-5 units with the fine-tuned
+     vocoder (cli.generate_waveform --dur-prediction --reduce)
+  8. ASR-BLEU the waveforms (eval.asr_bleu over a materialized CTC ckpt;
+     skipped when torch/transformers are unavailable)
+
+Together the eight stages are the full CVSS recipe shape
+(scripts/{prepare,vae,diffusion,s2ut}/*.sh + asr_bleu) on synthetic data.
 """
 
 import json
@@ -164,3 +172,84 @@ def test_full_pipeline(tmp_path):
 
     hyp, ref = extract_unit_files(gen_file, results)
     assert os.path.getsize(hyp) > 0
+
+    # ---- stage 6: vocoder fine-tune (unit -> waveform MPD/MSD GAN) ---------
+    from tests.helpers import write_wav16
+
+    from diffnorm_tpu.cli import train_vocoder
+
+    rng = np.random.default_rng(7)
+    voc_audio = tmp_path / "voc_audio"
+    voc_audio.mkdir()
+    unit_lines = []
+    for i in range(4):
+        units = rng.integers(0, CODE_SIZE, size=8)
+        unit_lines.append(f"voc{i}|{' '.join(map(str, units))}")
+        # 320 samples per 50 Hz unit at 16 kHz (data/code_dataset.py)
+        write_wav16(voc_audio / f"voc{i}.wav",
+                    (rng.normal(size=8 * 320) * 0.1).astype(np.float32))
+    units_file = tmp_path / "voc.units"
+    units_file.write_text("\n".join(unit_lines) + "\n")
+    vcfg = dict(
+        num_embeddings=CODE_SIZE, embedding_dim=8,
+        upsample_rates=[4, 2], upsample_kernel_sizes=[8, 4],
+        upsample_initial_channel=16, resblock_kernel_sizes=[3],
+        resblock_dilation_sizes=[[1, 2]],
+        dur_predictor_params={"var_pred_hidden_dim": 8},
+    )
+    vcfg_path = tmp_path / "vocoder_cfg.json"
+    vcfg_path.write_text(json.dumps(vcfg))
+    voc_dir = str(tmp_path / "ckpt_voc")
+    rc = train_vocoder.main(Config(
+        units_file=str(units_file), audio_dir=str(voc_audio),
+        vocoder_cfg=str(vcfg_path), save_dir=voc_dir, cpu=True,
+        batch_size=2, crop_units=8, max_update=2, log_interval=1,
+        save_interval_updates=2, lr=1e-4,
+        mpd_periods=(2, 3), msd_scales=2, disc_width=0.0625,
+        n_fft=64, hop_size=32, win_size=64, num_mels=20,
+    ))
+    assert rc == 0
+    voc_ckpts = sorted(d for d in os.listdir(voc_dir)
+                       if d.startswith("step_") and not d.endswith(".json"))
+    assert voc_ckpts, os.listdir(voc_dir)
+    voc_ckpt = os.path.join(voc_dir, voc_ckpts[-1])
+
+    # ---- stage 7: unit -> waveform synthesis with the fine-tuned ckpt -----
+    from diffnorm_tpu.cli import generate_waveform
+
+    wav_dir = str(tmp_path / "wavs")
+    # append one known-numeric line: an undertrained NAR can emit all-<unk>
+    # hypotheses (silence path), and the vocoder forward must still be
+    # exercised through the fine-tuned checkpoint
+    hyp_plus = str(tmp_path / "hyp_plus.unit")
+    with open(hyp_plus, "w") as f:
+        f.write(open(hyp).read())
+        f.write("0 1 2 3 4 5\n")
+    generate_waveform.main([
+        "--in-code-file", hyp_plus, "--vocoder", voc_ckpt,
+        "--vocoder-cfg", str(vcfg_path), "--results-path", wav_dir,
+        "--dur-prediction", "--reduce", "--cpu",
+    ])
+    wavs = sorted(f for f in os.listdir(wav_dir) if f.endswith("_pred.wav"))
+    assert len(wavs) == sum(1 for l in open(hyp_plus) if l.strip())
+    import wave as _wave
+
+    last = sorted(wavs, key=lambda f: int(f.split("_")[0]))[-1]
+    with _wave.open(os.path.join(wav_dir, last)) as w:
+        # 6 units x >=1 predicted duration x 8 upsample samples each
+        assert w.getframerate() == 16000 and w.getnframes() >= 6 * 8
+
+    # ---- stage 8: ASR-BLEU over the synthesized waveforms ------------------
+    pytest.importorskip("torch")
+    pytest.importorskip("transformers")
+    from tests.helpers import make_tiny_ctc_checkpoint
+
+    from diffnorm_tpu.eval.asr_bleu import run_asr_bleu
+
+    ctc = make_tiny_ctc_checkpoint(tmp_path / "tiny_ctc")
+    ref_path = tmp_path / "refs.txt"
+    ref_path.write_text("\n".join("hello world" for _ in wavs) + "\n")
+    bleu, transcripts, refs = run_asr_bleu(wav_dir, str(ref_path),
+                                           model_name=ctc)
+    assert len(transcripts) == len(wavs) and len(refs) == len(wavs)
+    assert 0.0 <= bleu <= 100.0  # untrained ASR -> ~0, but a valid score

@@ -20,7 +20,10 @@ from diffnorm_tpu.cli.args import parse_args
 from diffnorm_tpu.config import Config
 from diffnorm_tpu.data.iterators import EpochBatchIterator
 from diffnorm_tpu.registry import TASKS, _import_all
-from diffnorm_tpu.train.checkpoint import load_checkpoint_params
+from diffnorm_tpu.train.checkpoint import (
+    load_checkpoint_params,
+    restored_to_variables,
+)
 
 logger = logging.getLogger("diffnorm_tpu.eval_lm")
 
@@ -50,11 +53,9 @@ def main(cfg: Optional[Config] = None) -> int:
         tokens0, deterministic=True,
     )
     if cfg.get("path"):
-        restored = load_checkpoint_params(cfg["path"])
-        if "params" in restored:
-            variables = (
-                {"params": restored["params"]} if "step" in restored else restored
-            )
+        restored = restored_to_variables(load_checkpoint_params(cfg["path"]))
+        if restored is not None:
+            variables = restored
         logger.info("restored %s", cfg["path"])
 
     @jax.jit

@@ -28,7 +28,10 @@ from diffnorm_tpu.config import Config
 from diffnorm_tpu.data.iterators import EpochBatchIterator
 from diffnorm_tpu.generate.mask_predict import mask_predict_decode_chunked
 from diffnorm_tpu.registry import TASKS, _import_all
-from diffnorm_tpu.train.checkpoint import load_checkpoint_params
+from diffnorm_tpu.train.checkpoint import (
+    load_checkpoint_params,
+    restored_to_variables,
+)
 
 logger = logging.getLogger("diffnorm_tpu.generate")
 
@@ -41,18 +44,7 @@ def strip_special(tokens, dictionary):
     return " ".join(dictionary[t] for t in toks)
 
 
-def _to_variables(restored):
-    """Canonicalize a restored checkpoint to a flax variables dict:
-    a saved TrainState becomes params (+frozen subtrees) + model state;
-    a raw variables dict passes through; None if unrecognized."""
-    if isinstance(restored, dict) and "params" in restored:
-        if "step" in restored:  # a saved TrainState
-            params = {**restored["params"],
-                      **(restored.get("frozen_params") or {})}
-            return {"params": params,
-                    **(restored.get("model_state") or {})}
-        return restored
-    return None
+_to_variables = restored_to_variables  # back-compat alias for tests
 
 
 def main(cfg: Optional[Config] = None) -> int:

@@ -17,7 +17,10 @@ import numpy as np
 from diffnorm_tpu.cli.args import parse_args
 from diffnorm_tpu.config import Config
 from diffnorm_tpu.registry import TASKS, _import_all
-from diffnorm_tpu.train.checkpoint import load_checkpoint_params
+from diffnorm_tpu.train.checkpoint import (
+    load_checkpoint_params,
+    restored_to_variables,
+)
 
 logger = logging.getLogger("diffnorm_tpu.interactive")
 
@@ -38,12 +41,8 @@ def main(cfg: Optional[Config] = None) -> int:
     batch0 = task.dummy_batch()
     variables = task.init_variables(model, jax.random.PRNGKey(0), batch0)
     if cfg.get("path"):
-        restored = load_checkpoint_params(cfg["path"])
-        if "params" in restored and "frozen_params" in restored:
-            variables = {"params": {**restored["params"],
-                                    **restored["frozen_params"]},
-                         **(restored.get("model_state") or {})}
-        elif "params" in restored:
+        restored = restored_to_variables(load_checkpoint_params(cfg["path"]))
+        if restored is not None:
             variables = restored
         logger.info("restored %s", cfg["path"])
 

@@ -210,3 +210,22 @@ def load_checkpoint_params(path: str, target=None):
     diff_discrete.py:73-79 load_model_ensemble_and_task)."""
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(os.path.abspath(path), target=target)
+
+
+def restored_to_variables(restored):
+    """Canonicalize a restored checkpoint to a flax variables dict.
+
+    A saved TrainState (step/params/opt_state/...) becomes params with any
+    frozen subtrees folded back in plus the model-state collections; a raw
+    variables dict ({"params": ...}) passes through; anything else returns
+    None so the caller can decide (fairseq checkpoint_utils.load_model_ensemble
+    accepts either full trainer state or bare model state the same way).
+    Shared by every CLI that consumes --path-style checkpoints."""
+    if isinstance(restored, dict) and "params" in restored:
+        if "step" in restored:  # a saved TrainState
+            params = {**restored["params"],
+                      **(restored.get("frozen_params") or {})}
+            return {"params": params,
+                    **(restored.get("model_state") or {})}
+        return restored
+    return None

@@ -17,8 +17,12 @@ def average_checkpoints(paths):
     n = len(trees)
 
     def avg(*xs):
-        if not hasattr(xs[0], "dtype") or not np.issubdtype(
-            np.asarray(xs[0]).dtype, np.floating
+        # jnp.issubdtype (not np.) so extended float dtypes (bfloat16)
+        # are averaged too instead of silently keeping the first value
+        import jax.numpy as jnp
+
+        if not hasattr(xs[0], "dtype") or not jnp.issubdtype(
+            np.asarray(xs[0]).dtype, jnp.floating
         ):
             return xs[0]
         mean = sum(np.asarray(x, np.float64) for x in xs) / n

@@ -119,3 +119,39 @@ def test_get_manifest_cli(tmp_path):
     entries = dict(l.split("\t") for l in lines[1:])
     assert entries["a.wav"] == "160"
     assert entries[str(Path("sub") / "b.wav")] == "320"
+
+
+def test_average_checkpoints_cli(tmp_path):
+    """scripts/average_checkpoints.py parity: float leaves are averaged in
+    f64 and cast back, integer leaves (step) pass through, and the output
+    is a loadable checkpoint."""
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from diffnorm_tpu.cli.average_checkpoints import main
+    from diffnorm_tpu.train.checkpoint import (
+        load_checkpoint_params,
+        restored_to_variables,
+    )
+
+    ckptr = ocp.StandardCheckpointer()
+    paths = []
+    for i, scale in enumerate((1.0, 3.0)):
+        tree = {
+            "step": np.asarray(10 * (i + 1), np.int32),
+            "params": {"w": np.full((4, 4), scale, np.float32),
+                       "b": np.asarray([scale], jnp.bfloat16)},
+        }
+        p = str(tmp_path / f"ck{i}")
+        ckptr.save(p, tree)
+        paths.append(p)
+    ckptr.wait_until_finished()
+    out = str(tmp_path / "avg")
+    assert main(["--inputs", *paths, "--output", out]) == 0
+
+    avg = load_checkpoint_params(out)
+    np.testing.assert_allclose(np.asarray(avg["params"]["w"]), 2.0)
+    np.testing.assert_allclose(np.asarray(avg["params"]["b"], np.float32), 2.0)
+    assert int(avg["step"]) == 10  # non-float leaves keep the first value
+    # the averaged checkpoint canonicalizes like any --path checkpoint
+    assert restored_to_variables(avg)["params"]["w"].shape == (4, 4)

@@ -31,6 +31,9 @@ _FUSED_BLOCK = bool(int(os.environ.get("DIFFNORM_FUSED_BLOCK", "0")))
 # software-pipelined FF kernel (ops/pallas_ffpipe.py): overlaps row b's
 # proj_in/GEGLU with row b-1's conv/proj_out across the batch grid
 _FF_PIPE = bool(int(os.environ.get("DIFFNORM_FFPIPE", "0")))
+# im2col int8 causal conv (one K=k*C dot instead of k K=C dots); only
+# active under a shared per-tensor activation scale (DIFFNORM_INT8_ASCALAR)
+_CONVCAT = bool(int(os.environ.get("DIFFNORM_INT8_CONVCAT", "0")))
 
 
 def l2norm(x, eps: float = 1e-12):
@@ -177,6 +180,34 @@ class CausalConv1d(nn.Module):
             if ws.size == 1 and ax.size > 1:
                 ax = ax * jnp.squeeze(ws)  # scalar ws folds into token scale
                 ws = None
+        if self.quant and ax.size == 1 and _CONVCAT and self.kernel_size > 1:
+            # im2col variant (DIFFNORM_INT8_CONVCAT=1): under a shared
+            # per-tensor activation scale the shifted int8 taps concatenate
+            # along channels WITHOUT requantizing, so the whole conv is ONE
+            # K=k*C int8 dot — deeper contraction sustains the MXU better
+            # than k separate K=C dots (roofline: K=512 int8 dots sit below
+            # peak), and the epilogue is a single dequant either way.
+            taps = []
+            for i in range(self.kernel_size):
+                shift = (self.kernel_size - 1 - i) * self.dilation
+                if shift == 0:
+                    taps.append(xq)
+                elif shift >= xc.shape[1]:
+                    taps.append(jnp.zeros_like(xq))
+                else:
+                    taps.append(jnp.pad(
+                        xq[:, :-shift], ((0, 0), (shift, 0), (0, 0))))
+            xcat = jnp.concatenate(taps, axis=-1)  # [B, T, k*C] int8
+            wcat = wq_all.reshape(-1, wq_all.shape[-1])  # [k*C, out]
+            out = jax.lax.dot_general(
+                xcat, wcat, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            out = dequant(out, ax, ws, self.dtype)
+            if bias is not None:
+                out = out + bias
+            return out
+
         # each tap's matmul accumulates f32 inside the MXU; the k-term sum
         # stays in the compute dtype (avoids materializing f32 activations —
         # profiled as a major HBM cost in the transformer's conv-FF)

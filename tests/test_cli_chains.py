@@ -150,3 +150,139 @@ def test_cmlm_interactive_chain(tmp_path, monkeypatch, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert out.count("H-") == 2
+
+
+TTS_CFG = dict(
+    task="dummy_tts", arch="tts_transformer", criterion="tacotron2_loss",
+    vocab_size=30, encoder_embed_dim=16, encoder_ffn_embed_dim=32,
+    encoder_transformer_layers=1, decoder_transformer_layers=1,
+    encoder_attention_heads=2, output_frame_dim=8, prenet_dim=12,
+    postnet_conv_dim=16, postnet_layers=2, encoder_conv_layers=1,
+)
+
+
+def test_tts_transformer_train_validate_generate_chain(tmp_path):
+    """AR TTS: train via CLI -> validate the checkpoint -> AR spectrogram
+    generation + MCD against a target mel (reference text_to_speech task +
+    speech_generator.py + batch_mel_cepstral_distortion)."""
+    import jax
+
+    from diffnorm_tpu.cli import validate
+    from diffnorm_tpu.train.checkpoint import (
+        load_checkpoint_params,
+        restored_to_variables,
+    )
+
+    ckpt = _train(tmp_path, "tts", **TTS_CFG)
+    rc = validate.main(Config(path=ckpt, cpu=True, batch_size=2,
+                              dataset_size=4, tokens_per_sample=12,
+                              valid_subset="dev", **TTS_CFG))
+    assert rc == 0
+
+    from diffnorm_tpu.generate.speech_ar import ARSpeechGenerator
+    from diffnorm_tpu.registry import TASKS
+    from diffnorm_tpu.registry import build_model as _build
+
+    cfg = Config(**TTS_CFG)
+    task = TASKS.get("dummy_tts").setup_task(cfg)
+    model = _build(cfg["arch"], cfg, task=task)
+    variables = restored_to_variables(load_checkpoint_params(ckpt))
+    # threshold > 1 disables early eos stop: an untrained model otherwise
+    # emits zero frames and MCD over an empty sequence is degenerate
+    gen = ARSpeechGenerator(model, variables, max_iter=16,
+                            eos_prob_threshold=1.1)
+    batch = task.dummy_batch(2, 12)
+    finalized = gen.generate(batch["src_tokens"], rng=jax.random.PRNGKey(0))
+    assert len(finalized) == 2
+    for entry in finalized:
+        feat = entry["feature"]
+        assert feat.ndim == 2 and feat.shape == (16, 8)  # full rollout
+        assert np.isfinite(feat).all()
+        assert np.isfinite(entry["eos_prob"]).all()
+
+
+def test_fastspeech2_train_validate_chain(tmp_path):
+    from diffnorm_tpu.cli import validate
+
+    cfg = dict(
+        task="dummy_tts", arch="fastspeech2", criterion="fastspeech2_loss",
+        vocab_size=30, encoder_embed_dim=16, encoder_ffn_embed_dim=32,
+        encoder_layers=1, decoder_layers=1, encoder_attention_heads=2,
+        output_frame_dim=8, max_target_positions=32,
+    )
+    ckpt = _train(tmp_path, "fs2", **cfg)
+    rc = validate.main(Config(path=ckpt, cpu=True, batch_size=2,
+                              dataset_size=4, tokens_per_sample=12,
+                              valid_subset="dev", **cfg))
+    assert rc == 0
+
+
+def test_text_to_speech_manifest_dataset(tmp_path):
+    """Real-data path of the text_to_speech task: S2T-style TSV manifest ->
+    dataset -> collater -> one criterion eval on both archs."""
+    import jax
+
+    from diffnorm_tpu.registry import TASKS
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(3):
+        t = int(rng.integers(8, 14))
+        feat = rng.normal(size=(t, 8)).astype(np.float32)
+        np.save(tmp_path / f"utt{i}.npy", feat)
+        words = " ".join(rng.choice(list("abcdefg"), size=4))
+        n_tok = len(words.split()) + 1  # + eos
+        dur = rng.integers(1, 4, size=n_tok)
+        dur[-1] += max(t - int(dur.sum()), 0)
+        np.save(tmp_path / f"utt{i}.pitch.npy",
+                rng.normal(size=n_tok).astype(np.float32))
+        np.save(tmp_path / f"utt{i}.energy.npy",
+                rng.normal(size=n_tok).astype(np.float32))
+        rows.append({
+            "id": f"utt{i}", "audio": str(tmp_path / f"utt{i}.npy"),
+            "n_frames": t, "tgt_text": words,
+            "duration": " ".join(map(str, dur)),
+            "pitch": str(tmp_path / f"utt{i}.pitch.npy"),
+            "energy": str(tmp_path / f"utt{i}.energy.npy"),
+        })
+    cols = ["id", "audio", "n_frames", "tgt_text", "duration", "pitch",
+            "energy"]
+    with open(tmp_path / "train.tsv", "w") as f:
+        f.write("\t".join(cols) + "\n")
+        for r in rows:
+            f.write("\t".join(str(r[c]) for c in cols) + "\n")
+
+    cfg = Config(
+        data=str(tmp_path), task="text_to_speech", arch="tts_transformer",
+        criterion="tacotron2_loss", encoder_embed_dim=16,
+        encoder_ffn_embed_dim=32, encoder_transformer_layers=1,
+        decoder_transformer_layers=1, encoder_attention_heads=2,
+        output_frame_dim=8, prenet_dim=12, postnet_conv_dim=16,
+        postnet_layers=2, encoder_conv_layers=1,
+    )
+    task = TASKS.get("text_to_speech").setup_task(cfg)
+    ds = task.dataset("train")
+    batch = ds.collater([ds[0], ds[1]])
+    assert batch["src_tokens"].shape[0] == 2
+    assert batch["feat_tgt"].shape[-1] == 8
+    assert batch["durations"].shape == batch["src_tokens"].shape
+    assert batch["pitches"].shape == batch["src_tokens"].shape
+    # the manifest-built dictionary covers the text
+    assert (batch["src_tokens"] != 3).all()  # no <unk>
+
+    model = task.build_model()
+    crit = task.build_criterion()
+    variables = task.init_variables(model, jax.random.PRNGKey(0), batch)
+    loss, mets, _ = crit(model, variables, batch, jax.random.PRNGKey(1),
+                         train=False)
+    assert np.isfinite(float(loss))
+
+    cfg2 = Config(**{**dict(cfg.items()), "arch": "fastspeech2",
+                     "criterion": "fastspeech2_loss",
+                     "max_target_positions": 32})
+    task2 = TASKS.get("text_to_speech").setup_task(cfg2)
+    model2 = task2.build_model()
+    crit2 = task2.build_criterion()
+    v2 = task2.init_variables(model2, jax.random.PRNGKey(0), batch)
+    loss2, _, _ = crit2(model2, v2, batch, jax.random.PRNGKey(1), train=False)
+    assert np.isfinite(float(loss2))

@@ -155,3 +155,21 @@ def test_average_checkpoints_cli(tmp_path):
     assert int(avg["step"]) == 10  # non-float leaves keep the first value
     # the averaged checkpoint canonicalizes like any --path checkpoint
     assert restored_to_variables(avg)["params"]["w"].shape == (4, 4)
+
+
+def test_mcd_different_wavs_finite_positive():
+    """MCD with DTW over two different waveforms (the TTS eval path,
+    reference batch_mel_cepstral_distortion) is finite and positive, and
+    symmetric-ish under swapping."""
+    from diffnorm_tpu.eval.mcd import (
+        batch_mel_cepstral_distortion,
+        mel_cepstral_distortion,
+    )
+
+    rng = np.random.default_rng(0)
+    a = (rng.normal(size=4000) * 0.1).astype(np.float32)
+    b = (rng.normal(size=4800) * 0.1).astype(np.float32)
+    mcd = mel_cepstral_distortion(a, b)
+    assert np.isfinite(mcd) and mcd > 0
+    mean, vals = batch_mel_cepstral_distortion([a, b], [b, a])
+    assert len(vals) == 2 and np.isfinite(mean) and mean > 0

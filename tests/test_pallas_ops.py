@@ -279,3 +279,32 @@ def test_quantize_f32_row_max_in_range():
     xq, _ = quant.quantize_act(x)
     q = np.asarray(xq, np.int32)
     assert q.max() == 127 and q.min() >= 0
+
+
+def test_convcat_int8_conv_exact_parity(monkeypatch):
+    """DIFFNORM_INT8_CONVCAT: the single K=k*C im2col dot must equal the
+    k-tap int32-accumulated conv BIT-EXACTLY (integer sums commute; the
+    dequant epilogue is identical)."""
+    from diffnorm_tpu.models import layers as L
+    from diffnorm_tpu.ops import quant
+
+    monkeypatch.setattr(quant, "_A_SCALAR", True)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 16, 8)), jnp.float32)
+    conv = L.CausalConv1d(features=12, kernel_size=3, quant=True)
+    variables = conv.init(jax.random.PRNGKey(0), x)
+
+    monkeypatch.setattr(L, "_CONVCAT", False)
+    ref = np.asarray(conv.apply(variables, x))
+    monkeypatch.setattr(L, "_CONVCAT", True)
+    got = np.asarray(conv.apply(variables, x))
+    np.testing.assert_array_equal(got, ref)
+
+    # dilation > 1 and T shorter than the receptive field still agree
+    conv2 = L.CausalConv1d(features=12, kernel_size=3, dilation=4, quant=True)
+    v2 = conv2.init(jax.random.PRNGKey(1), x[:, :6])
+    monkeypatch.setattr(L, "_CONVCAT", False)
+    ref2 = np.asarray(conv2.apply(v2, x[:, :6]))
+    monkeypatch.setattr(L, "_CONVCAT", True)
+    got2 = np.asarray(conv2.apply(v2, x[:, :6]))
+    np.testing.assert_array_equal(got2, ref2)

@@ -47,6 +47,75 @@ def strip_special(tokens, dictionary):
 _to_variables = restored_to_variables  # back-compat alias for tests
 
 
+def _tts_generate(cfg, task, model, split) -> int:
+    """TTS synthesis branch of the generate CLI (reference: fairseq-generate
+    with --task text_to_speech through speech_generator.py): decode each
+    utterance to mel features, write `{results_path}/{id}.npy`, report frame
+    stats. AR tts_transformer uses the jitted AR rollout with eos stopping;
+    fastspeech2 uses the NAR forward with predicted variances."""
+    import numpy as _np
+
+    batch0 = (task.dataset(split).collater([task.dataset(split)[0]])
+              if hasattr(task.dataset(split), "collater")
+              else next(iter(task.dataset(split))))
+    variables = task.init_variables(model, jax.random.PRNGKey(0), batch0)
+    if cfg.get("path"):
+        restored = restored_to_variables(load_checkpoint_params(cfg["path"]))
+        if restored is not None:
+            variables = restored
+        logger.info("restored checkpoint from %s", cfg["path"])
+
+    if "fastspeech" in str(cfg.get("arch", "")):
+        from diffnorm_tpu.models.fastspeech2 import NonARSpeechGenerator
+
+        gen = NonARSpeechGenerator(model, variables)
+
+        def synthesize(batch, rng):
+            out = gen.generate(batch["src_tokens"])
+            feats, masks = out["feature"], out["frame_mask"]
+            return [feats[i][masks[i]] for i in range(feats.shape[0])]
+    else:
+        from diffnorm_tpu.generate.speech_ar import ARSpeechGenerator
+
+        gen = ARSpeechGenerator(
+            model, variables,
+            max_iter=int(cfg.get("max_target_positions", 256)),
+            eos_prob_threshold=float(cfg.get("eos_prob_threshold", 0.5)),
+        )
+
+        def synthesize(batch, rng):
+            return [e["feature"] for e in
+                    gen.generate(batch["src_tokens"], rng=rng)]
+
+    dataset = task.dataset(split)
+    if hasattr(dataset, "collater"):
+        itr = EpochBatchIterator(
+            dataset, max_tokens=cfg.get("max_tokens"),
+            max_sentences=cfg.get("batch_size"), shuffle=False,
+        ).next_epoch_itr(shuffle=False)
+    else:
+        itr = iter(dataset)
+
+    results_path = cfg.get("results_path", "tts_out")
+    os.makedirs(results_path, exist_ok=True)
+    n_utts, n_frames, t0 = 0, 0, time.time()
+    base_key = jax.random.PRNGKey(int(cfg.get("seed", 1)))
+    for bi, batch in enumerate(itr):
+        feats = synthesize(batch, jax.random.fold_in(base_key, bi))
+        ids = batch.get("id", range(n_utts, n_utts + len(feats)))
+        for i, feat in enumerate(feats):
+            _np.save(os.path.join(results_path, f"{int(ids[i])}.npy"),
+                     _np.asarray(feat, _np.float32))
+            n_frames += feat.shape[0]
+            n_utts += 1
+    wall = time.time() - t0
+    logger.info(
+        "synthesized %d utterances (%d frames, %.1f avg) in %.1fs -> %s",
+        n_utts, n_frames, n_frames / max(n_utts, 1), wall, results_path,
+    )
+    return 0
+
+
 def main(cfg: Optional[Config] = None) -> int:
     logging.basicConfig(level=logging.INFO, force=True,
                         format="%(asctime)s | %(levelname)s | %(message)s")
@@ -62,6 +131,12 @@ def main(cfg: Optional[Config] = None) -> int:
     task = TASKS.get(cfg.get("task")).setup_task(cfg)
     model = task.build_model()
     split = cfg.get("gen_subset", "test")
+
+    from diffnorm_tpu.tasks.tts_task import TextToSpeechTask
+
+    if isinstance(task, TextToSpeechTask):
+        return _tts_generate(cfg, task, model, split)
+
     dataset = task.dataset(split)
     tgt_dict = task.target_dictionary
 

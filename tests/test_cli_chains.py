@@ -200,6 +200,20 @@ def test_tts_transformer_train_validate_generate_chain(tmp_path):
         assert np.isfinite(feat).all()
         assert np.isfinite(entry["eos_prob"]).all()
 
+    # the generate CLI's TTS branch writes per-utterance mel dumps
+    from diffnorm_tpu.cli import generate
+
+    out_dir = str(tmp_path / "tts_gen")
+    rc = generate.main(Config(path=ckpt, cpu=True, batch_size=2,
+                              dataset_size=2, tokens_per_sample=12,
+                              max_target_positions=16,
+                              results_path=out_dir, **TTS_CFG))
+    assert rc == 0
+    dumps = [f for f in os.listdir(out_dir) if f.endswith(".npy")]
+    assert len(dumps) == 4  # 2 batches x 2 utterances
+    mel = np.load(os.path.join(out_dir, dumps[0]))
+    assert mel.shape[-1] == 8 and np.isfinite(mel).all()
+
 
 def test_fastspeech2_train_validate_chain(tmp_path):
     from diffnorm_tpu.cli import validate
@@ -215,6 +229,16 @@ def test_fastspeech2_train_validate_chain(tmp_path):
                               dataset_size=4, tokens_per_sample=12,
                               valid_subset="dev", **cfg))
     assert rc == 0
+
+    from diffnorm_tpu.cli import generate
+
+    out_dir = str(tmp_path / "fs2_gen")
+    rc = generate.main(Config(path=ckpt, cpu=True, batch_size=2,
+                              dataset_size=2, tokens_per_sample=12,
+                              results_path=out_dir, **cfg))
+    assert rc == 0
+    dumps = [f for f in os.listdir(out_dir) if f.endswith(".npy")]
+    assert len(dumps) == 4
 
 
 def test_text_to_speech_manifest_dataset(tmp_path):

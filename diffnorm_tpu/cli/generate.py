@@ -87,6 +87,38 @@ def _tts_generate(cfg, task, model, split) -> int:
             return [e["feature"] for e in
                     gen.generate(batch["src_tokens"], rng=rng)]
 
+    vocode = None
+    if cfg.get("vocoder"):
+        # mel -> waveform through a FeatureGenerator HiFi-GAN (the
+        # `--input-type features` fine-tune of cli.train_vocoder; reference
+        # repr_hifigan_task.py). Accepts GAN TrainState or raw params.
+        import json as _json
+
+        from diffnorm_tpu.models.hifigan import FeatureGenerator
+
+        with open(cfg["vocoder_cfg"]) as f:
+            vcfg = _json.load(f)
+        fgen = FeatureGenerator(
+            feature_dim=vcfg.get("model_in_dim",
+                                 cfg.get("output_frame_dim", 80)),
+            embedding_dim=vcfg["embedding_dim"],
+            upsample_rates=tuple(vcfg["upsample_rates"]),
+            upsample_kernel_sizes=tuple(vcfg["upsample_kernel_sizes"]),
+            upsample_initial_channel=vcfg["upsample_initial_channel"],
+            resblock_kernel_sizes=tuple(vcfg["resblock_kernel_sizes"]),
+            resblock_dilation_sizes=tuple(
+                tuple(d) for d in vcfg["resblock_dilation_sizes"]),
+        )
+        raw = load_checkpoint_params(cfg["vocoder"])
+        if isinstance(raw, dict) and "g_params" in raw:
+            gvars = {"params": raw["g_params"]}
+        else:
+            gvars = restored_to_variables(raw) or {"params": raw}
+        wave_fn = jax.jit(fgen.apply)
+
+        def vocode(feat):
+            return _np.asarray(wave_fn(gvars, jnp.asarray(feat)[None]))[0]
+
     dataset = task.dataset(split)
     if hasattr(dataset, "collater"):
         itr = EpochBatchIterator(
@@ -106,6 +138,13 @@ def _tts_generate(cfg, task, model, split) -> int:
         for i, feat in enumerate(feats):
             _np.save(os.path.join(results_path, f"{int(ids[i])}.npy"),
                      _np.asarray(feat, _np.float32))
+            if vocode is not None and feat.shape[0] > 0:
+                from diffnorm_tpu.cli.generate_waveform import write_wav
+
+                write_wav(
+                    os.path.join(results_path, f"{int(ids[i])}_pred.wav"),
+                    vocode(feat), int(cfg.get("sample_rate", 16000)),
+                )
             n_frames += feat.shape[0]
             n_utts += 1
     wall = time.time() - t0

@@ -214,6 +214,46 @@ def test_tts_transformer_train_validate_generate_chain(tmp_path):
     mel = np.load(os.path.join(out_dir, dumps[0]))
     assert mel.shape[-1] == 8 and np.isfinite(mel).all()
 
+    # --vocoder: mel -> waveform through a FeatureGenerator HiFi-GAN
+    # checkpoint in the GAN-TrainState layout train_vocoder produces
+    import json
+
+    import orbax.checkpoint as ocp
+
+    from diffnorm_tpu.models.hifigan import FeatureGenerator
+
+    vcfg = dict(model_in_dim=8, embedding_dim=8, upsample_rates=[4, 2],
+                upsample_kernel_sizes=[8, 4], upsample_initial_channel=16,
+                resblock_kernel_sizes=[3], resblock_dilation_sizes=[[1, 2]])
+    (tmp_path / "voc_cfg.json").write_text(json.dumps(vcfg))
+    fgen = FeatureGenerator(
+        feature_dim=8, embedding_dim=8, upsample_rates=(4, 2),
+        upsample_kernel_sizes=(8, 4), upsample_initial_channel=16,
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 2),),
+    )
+    gvars = fgen.init(jax.random.PRNGKey(0), np.zeros((1, 4, 8), np.float32))
+    ckptr = ocp.StandardCheckpointer()
+    voc_ckpt = str(tmp_path / "voc_ck")
+    ckptr.save(voc_ckpt, {"step": np.asarray(2, np.int32),
+                          "g_params": gvars["params"]})
+    ckptr.wait_until_finished()
+
+    out_dir2 = str(tmp_path / "tts_gen_wav")
+    rc = generate.main(Config(path=ckpt, cpu=True, batch_size=2,
+                              dataset_size=1, tokens_per_sample=12,
+                              max_target_positions=16,
+                              eos_prob_threshold=1.1,  # full rollout
+                              vocoder=voc_ckpt,
+                              vocoder_cfg=str(tmp_path / "voc_cfg.json"),
+                              results_path=out_dir2, **TTS_CFG))
+    assert rc == 0
+    wavs = [f for f in os.listdir(out_dir2) if f.endswith("_pred.wav")]
+    assert len(wavs) == 2
+    import wave as _wave
+
+    with _wave.open(os.path.join(out_dir2, wavs[0])) as w:
+        assert w.getnframes() == 16 * 8  # frames x total upsample
+
 
 def test_fastspeech2_train_validate_chain(tmp_path):
     from diffnorm_tpu.cli import validate

@@ -350,3 +350,56 @@ def test_text_to_speech_manifest_dataset(tmp_path):
     v2 = task2.init_variables(model2, jax.random.PRNGKey(0), batch)
     loss2, _, _ = crit2(model2, v2, batch, jax.random.PRNGKey(1), train=False)
     assert np.isfinite(float(loss2))
+
+
+def test_nar_interactive_speech_input(tmp_path, monkeypatch, capsys):
+    """interactive.py speech branch: .npy feature paths on stdin ->
+    mask-predict decode -> H- lines (reference fairseq-interactive over
+    audio inputs)."""
+    import io
+
+    from diffnorm_tpu.cli import interactive
+
+    feat = np.random.default_rng(0).normal(size=(24, 80)).astype(np.float32)
+    p1 = tmp_path / "utt0.npy"
+    p2 = tmp_path / "utt1.npy"
+    np.save(p1, feat)
+    np.save(p2, feat[:16])
+    cfg = dict(
+        task="dummy_nar", arch="nar_s2ut_conformer",
+        criterion="nar_speech_to_unit", label_smoothing=0.2,
+        encoder_layers=1, decoder_layers=1, encoder_embed_dim=32,
+        encoder_ffn_embed_dim=64, encoder_attention_heads=2,
+        decoder_attention_heads=2, decoder_embed_dim=32,
+        decoder_ffn_embed_dim=64, conv_channels=32,
+        depthwise_conv_kernel_size=7, target_code_size=16,
+    )
+    monkeypatch.setattr("sys.stdin", io.StringIO(f"{p1}\n{p2}\n"))
+    rc = interactive.main(Config(cpu=True, iter_decode_max_iter=2,
+                                 max_target_positions=16, **cfg))
+    assert rc == 0
+    assert capsys.readouterr().out.count("H-") == 2
+
+
+def test_train_profile_flag(tmp_path):
+    """--profile wraps training in jax.profiler traces (reference
+    fairseq_cli/train.py:528-531 torch profiler hook): the trace directory
+    must contain an xplane proto after a 2-step run."""
+    import glob
+
+    from diffnorm_tpu.cli import train
+
+    save_dir = str(tmp_path / "ckpt_prof")
+    rc = train.main(Config(
+        task="dummy_vae", arch="speech_vae_decoder",
+        criterion="speech_vae_decoder_loss",
+        feature_dim=24, latent_dim=3, chan_mults=[4], vae_decoder_depth=1,
+        vae_decoder_dim_head=8, vae_decoder_heads=2, target_code_size=16,
+        save_dir=save_dir, cpu=True, batch_size=2, lr=1e-3,
+        warmup_updates=2, log_interval=1, max_updates=2,
+        dataset_size=2, tokens_per_sample=10, profile=True,
+        profile_dir=str(tmp_path / "trace"),
+    ))
+    assert rc == 0
+    assert glob.glob(str(tmp_path / "trace" / "**" / "*.xplane.pb"),
+                     recursive=True)

@@ -122,6 +122,50 @@ def main(cfg: Optional[Config] = None) -> int:
         if epoch_itr is not None and "iterator" in extra:
             epoch_itr.load_state_dict(extra["iterator"])
         logger.info("resumed from step %s (epoch %d)", extra.get("step"), start_epoch)
+    elif cfg.get("restore_file"):
+        # fairseq --restore-file: warm-start from another run's checkpoint
+        # when save_dir has no checkpoint of its own (fine-tuning).
+        # --reset-optimizer takes only the model weights (fresh optimizer,
+        # step 0); otherwise the full TrainState (step/optimizer) carries
+        # over. --reset-dataloader skips the saved iterator position
+        # (checkpoint_utils.load_checkpoint:188-280 semantics).
+        from diffnorm_tpu.parallel.mesh import replicate
+        from diffnorm_tpu.train.checkpoint import (
+            load_checkpoint_params,
+            restored_to_variables,
+        )
+
+        rf = cfg["restore_file"]
+        if cfg.get("reset_optimizer"):
+            v = restored_to_variables(load_checkpoint_params(rf))
+            if v is None:
+                raise ValueError(f"--restore-file {rf}: unrecognized layout")
+            params = v["params"]
+            missing = [k for k in state.params if k not in params]
+            if missing:
+                raise ValueError(
+                    f"--restore-file {rf} lacks param subtrees {missing}")
+            host = jax.device_get(state)
+            state = replicate(
+                host.replace(
+                    params={k: params[k] for k in host.params},
+                    frozen_params={k: params.get(k, fv) for k, fv in
+                                   host.frozen_params.items()},
+                    model_state={k: v[k] for k in host.model_state if k in v}
+                    or host.model_state,
+                ),
+                trainer.mesh,
+            )
+            logger.info("warm-started params from %s (optimizer reset)", rf)
+        else:
+            full, extra = CheckpointManager.load_path(
+                rf, target=jax.device_get(state))
+            state = replicate(full, trainer.mesh)
+            if not cfg.get("reset_dataloader"):
+                start_epoch = extra.get("epoch", 1)
+                if epoch_itr is not None and "iterator" in extra:
+                    epoch_itr.load_state_dict(extra["iterator"])
+            logger.info("restored %s at step %s", rf, extra.get("step"))
 
     np_rng = np.random.default_rng(tcfg.seed)
     best_metric = None

@@ -203,6 +203,20 @@ class CheckpointManager:
             return self.load_latest(target)
         return self.load(step, target)
 
+    @staticmethod
+    def load_path(path: str, target=None) -> Tuple[Any, Dict[str, Any]]:
+        """Restore a specific checkpoint directory (possibly from another
+        run's save_dir — fairseq --restore-file) plus its sidecar metadata
+        (epoch/iterator position) when present."""
+        ckptr = ocp.StandardCheckpointer()
+        path = os.path.abspath(path)
+        state = ckptr.restore(path, target=target)
+        extra = {}
+        if os.path.exists(path + ".json"):
+            with open(path + ".json") as f:
+                extra = json.load(f)
+        return state, extra
+
 
 def load_checkpoint_params(path: str, target=None):
     """Load a single checkpoint directory (for cross-stage composition, e.g.

@@ -10,6 +10,7 @@ All chains run tiny models on CPU and are slow-marked.
 
 import os
 
+import jax
 import numpy as np
 import pytest
 
@@ -403,3 +404,50 @@ def test_train_profile_flag(tmp_path):
     assert rc == 0
     assert glob.glob(str(tmp_path / "trace" / "**" / "*.xplane.pb"),
                      recursive=True)
+
+
+def test_restore_file_finetune_chain(tmp_path):
+    """fairseq --restore-file parity: warm-start a NEW run from another
+    run's checkpoint. --reset-optimizer takes weights only (step restarts
+    at 0, fresh optimizer); without it the full TrainState (step included)
+    carries over; --reset-dataloader skips the saved iterator position."""
+    import json
+
+    from diffnorm_tpu.cli import train
+
+    ckpt = _train(tmp_path, "base", **AR_CFG)  # trains to step 2
+
+    def run(name, **extra_cfg):
+        save_dir = str(tmp_path / name)
+        rc = train.main(Config(
+            save_dir=save_dir, cpu=True, batch_size=2, lr=1e-3,
+            warmup_updates=2, log_interval=1,
+            keep_last_epochs=1, keep_best_checkpoints=1, seed=3,
+            dataset_size=4, tokens_per_sample=10,
+            restore_file=ckpt, **extra_cfg, **AR_CFG,
+        ))
+        assert rc == 0
+        steps = sorted(int(d.split("_")[1].split(".")[0])
+                       for d in os.listdir(save_dir)
+                       if d.startswith("step_") and d.endswith(".json"))
+        return save_dir, steps
+
+    # weights only: training restarts at step 0, so 2 updates save step 2
+    save_dir, steps = run("ft_reset", max_updates=2, reset_optimizer=True)
+    assert steps == [2], steps
+    # the warm start actually took the base run's weights
+    from diffnorm_tpu.train.checkpoint import load_checkpoint_params
+
+    base = load_checkpoint_params(ckpt)
+    ft = load_checkpoint_params(os.path.join(save_dir, "step_000000002"))
+    leaves_b = jax.tree_util.tree_leaves(base["params"])
+    leaves_f = jax.tree_util.tree_leaves(ft["params"])
+    # 2 further adam steps move weights only slightly: same tree, near-equal
+    assert len(leaves_b) == len(leaves_f)
+    rel = float(np.mean([np.mean(np.abs(a - b)) for a, b in
+                         zip(leaves_b, leaves_f)]))
+    assert rel < 0.1, rel
+
+    # full restore: the step counter carries over (2 -> max_updates 4)
+    _, steps = run("ft_full", max_updates=4, reset_dataloader=True)
+    assert steps == [4], steps

@@ -263,3 +263,51 @@ def load_nar_transformer():
             "ref_nar_transformer", f"{REF}/research/TranSpeech/nar_transformer.py"
         )
     return _cache["nar"]
+
+
+def load_tacotron2_criterion():
+    """Exec the real fairseq/criterions/tacotron2_loss.py (the TTS loss:
+    masked L1+MSE over both feature heads + eos BCEWithLogits pos_weight)."""
+    if "tacotron2" not in _cache:
+        import torch
+
+        install_fairseq_stubs()
+
+        def lengths_to_mask(lens, max_len=None):
+            m = max_len if max_len is not None else int(lens.max())
+            return torch.arange(m)[None, :].to(lens.device) < lens[:, None]
+
+        class _CritBase(torch.nn.Module):
+            def __init__(self, task=None, *a, **k):
+                super().__init__()
+                self.task = task
+
+        _stub("omegaconf", II=lambda s: s)
+        sys.modules["fairseq.utils"].item = (
+            lambda x: x.item() if hasattr(x, "item") else x)
+        _stub("fairseq.criterions",
+              FairseqCriterion=_CritBase,
+              register_criterion=_identity_decorator)
+        _stub("fairseq.dataclass", FairseqDataclass=object)
+        _stub("fairseq.data.data_utils", lengths_to_mask=lengths_to_mask)
+        sys.modules["fairseq"].metrics = _stub(
+            "fairseq.metrics",
+            log_scalar=lambda *a, **k: None,
+            log_derived=lambda *a, **k: None,
+        )
+        _cache["tacotron2"] = _file_module(
+            "ref_tacotron2_loss", f"{REF}/fairseq/criterions/tacotron2_loss.py"
+        )
+    return _cache["tacotron2"]
+
+
+def load_fastspeech2_criterion():
+    """Exec the real fairseq/criterions/fastspeech2_loss.py."""
+    if "fastspeech2" not in _cache:
+        load_tacotron2_criterion()  # installs the shared criterion stubs
+        _stub("fairseq.models.fairseq_model", FairseqEncoderModel=object)
+        _cache["fastspeech2"] = _file_module(
+            "ref_fastspeech2_loss",
+            f"{REF}/fairseq/criterions/fastspeech2_loss.py",
+        )
+    return _cache["fastspeech2"]

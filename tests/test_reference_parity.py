@@ -336,3 +336,133 @@ def test_mask_predict_iteration_matches_reference():
             np.asarray(scores_j), score_ref.numpy(), rtol=1e-6, atol=1e-6,
             err_msg=f"step {step} scores",
         )
+
+
+@pytest.mark.slow
+def test_tacotron2_loss_matches_reference():
+    """tts_loss (models/tts_transformer.py) vs the REAL
+    Tacotron2Criterion.compute_loss (fairseq/criterions/tacotron2_loss.py
+    :166-198) on shared random tensors: masked L1 + MSE over both feature
+    heads and eos BCEWithLogits with pos_weight must agree."""
+    import torch
+
+    from reference_loader import load_tacotron2_criterion
+
+    from diffnorm_tpu.models.tts_transformer import tts_loss
+
+    ref_mod = load_tacotron2_criterion()
+    rng = np.random.default_rng(0)
+    b, t, d = 3, 12, 8
+    feat = rng.normal(size=(b, t, d)).astype(np.float32)
+    post = rng.normal(size=(b, t, d)).astype(np.float32)
+    eos = rng.normal(size=(b, t)).astype(np.float32)
+    tgt = rng.normal(size=(b, t, d)).astype(np.float32)
+    lens = np.asarray([12, 7, 9], np.int64)
+
+    for w in (1.0, 5.0):
+        crit = ref_mod.Tacotron2Criterion(
+            task=None, sentence_avg=True, use_guided_attention_loss=False,
+            guided_attention_loss_sigma=0.4, bce_pos_weight=w, ctc_weight=0.0,
+        )
+        t_lens = torch.tensor(lens)
+        eos_tgt = (torch.arange(t)[None, :].expand(b, -1)
+                   == (t_lens[:, None] - 1)).float()
+        l1_r, mse_r, eos_r = crit.compute_loss(
+            torch.tensor(feat), torch.tensor(post),
+            torch.tensor(eos)[..., None], torch.tensor(tgt), eos_tgt, t_lens,
+        )
+
+        loss_j, mets = tts_loss(
+            {"feat": jnp.asarray(feat), "post_feat": jnp.asarray(post),
+             "eos_logits": jnp.asarray(eos)},
+            jnp.asarray(tgt), jnp.asarray(lens), bce_pos_weight=w,
+        )
+        np.testing.assert_allclose(float(mets["l1_loss"]), float(l1_r),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(mets["mse_loss"]), float(mse_r),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(mets["eos_loss"]), float(eos_r),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(
+            float(loss_j), float(l1_r + mse_r + eos_r), rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_fastspeech2_loss_matches_reference():
+    """criterions/tts_loss.py FastSpeech2Loss vs the REAL
+    FastSpeech2Loss.forward (fairseq/criterions/fastspeech2_loss.py:32-87)
+    driven with a stub model returning shared random outputs: masked L1
+    over both mel heads + log-duration/pitch/energy MSE must agree."""
+    import torch
+
+    from reference_loader import load_fastspeech2_criterion
+
+    from diffnorm_tpu.config import Config
+    from diffnorm_tpu.criterions.tts_loss import FastSpeech2Loss
+
+    ref_mod = load_fastspeech2_criterion()
+    rng = np.random.default_rng(1)
+    b, s, t, d = 3, 6, 14, 8
+    mel = rng.normal(size=(b, t, d)).astype(np.float32)
+    post = rng.normal(size=(b, t, d)).astype(np.float32)
+    tgt = rng.normal(size=(b, t, d)).astype(np.float32)
+    log_dur = rng.normal(size=(b, s)).astype(np.float32)
+    pitch_out = rng.normal(size=(b, s)).astype(np.float32)
+    energy_out = rng.normal(size=(b, s)).astype(np.float32)
+    durations = rng.integers(1, 5, size=(b, s)).astype(np.int64)
+    pitches = rng.normal(size=(b, s)).astype(np.float32)
+    energies = rng.normal(size=(b, s)).astype(np.float32)
+    src_tokens = rng.integers(4, 20, size=(b, s)).astype(np.int64)
+    src_lens = np.asarray([6, 4, 5], np.int64)
+    # PAD beyond the source length (both sides mask by length)
+    for i, n in enumerate(src_lens):
+        src_tokens[i, n:] = 1
+    tgt_lens = np.asarray([14, 9, 11], np.int64)
+
+    crit_ref = ref_mod.FastSpeech2Loss(task=None, ctc_weight=0.0)
+
+    def stub_model(**kw):
+        return (torch.tensor(mel), torch.tensor(post), None,
+                torch.tensor(log_dur), torch.tensor(pitch_out),
+                torch.tensor(energy_out))
+
+    sample = {
+        "net_input": {"src_tokens": torch.tensor(src_tokens),
+                      "src_lengths": torch.tensor(src_lens),
+                      "prev_output_tokens": None},
+        "target": torch.tensor(tgt), "target_lengths": torch.tensor(tgt_lens),
+        "durations": torch.tensor(durations),
+        "pitches": torch.tensor(pitches), "energies": torch.tensor(energies),
+        "speaker": None, "nsentences": b, "ntokens": int(tgt_lens.sum()),
+    }
+    loss_ref, _, logs = crit_ref.forward(stub_model, sample)
+
+    class _StubModule:
+        def apply(self, variables, tokens, durations=None, pitches=None,
+                  energies=None, deterministic=True, **kw):
+            return {"mel": jnp.asarray(mel), "mel_post": jnp.asarray(post),
+                    "log_dur": jnp.asarray(log_dur),
+                    "pitch": jnp.asarray(pitch_out),
+                    "energy": jnp.asarray(energy_out)}
+
+    class _StubModel:
+        module = _StubModule()
+
+    # our criterion masks sources by PAD token, matching lengths_to_mask
+    # because pads were placed beyond src_lens above
+    ours = FastSpeech2Loss(Config())
+    batch = {"src_tokens": src_tokens.astype(np.int32),
+             "feat_tgt": tgt, "tgt_lengths": tgt_lens.astype(np.int32),
+             "durations": durations.astype(np.int32),
+             "pitches": pitches, "energies": energies}
+    loss_j, mets, _ = ours(_StubModel(), {}, batch, None, train=False)
+
+    np.testing.assert_allclose(float(mets["l1_loss"]), logs["l1_loss"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(mets["dur_loss"]), logs["dur_loss"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(mets["pitch_loss"]), logs["pitch_loss"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(mets["energy_loss"]),
+                               logs["energy_loss"], rtol=1e-5)
+    np.testing.assert_allclose(float(loss_j), float(loss_ref), rtol=1e-5)

@@ -22,12 +22,14 @@ class BitextDataset:
     """Parallel text dataset from `{split}.{src}`/`{split}.{tgt}` line files
     (simplified fairseq translation data path; no binarization required)."""
 
-    def __init__(self, src_seqs, tgt_seqs, seed: int = 1, is_train: bool = True):
+    def __init__(self, src_seqs, tgt_seqs, seed: int = 1, is_train: bool = True,
+                 sizes=None):
         self.src_seqs = src_seqs
         self.tgt_seqs = tgt_seqs
         self.shuffle = is_train
         self.seed = seed
-        self._sizes = np.asarray([len(s) for s in src_seqs], np.int64)
+        self._sizes = (np.asarray(sizes, np.int64) if sizes is not None
+                       else np.asarray([len(s) for s in src_seqs], np.int64))
 
     def __len__(self):
         return len(self.src_seqs)
@@ -86,13 +88,44 @@ class BitextDataset:
             is_train=is_train, seed=seed,
         )
 
+    @classmethod
+    def from_binarized(cls, root, split, src_lang, tgt_lang,
+                       is_train=True, seed=1):
+        """Binarized pairs produced by cli.preprocess (fairseq-preprocess
+        parity: `{split}.{src}-{tgt}.{lang}.bin/.idx` memmaps + eos already
+        appended). Lazy zero-copy reads."""
+        from diffnorm_tpu.data.indexed_dataset import IndexedDataset
+
+        pair = f"{src_lang}-{tgt_lang}"
+        src_ds = IndexedDataset(os.path.join(root, f"{split}.{pair}.{src_lang}"))
+        tgt_ds = IndexedDataset(os.path.join(root, f"{split}.{pair}.{tgt_lang}"))
+        assert len(src_ds) == len(tgt_ds)
+        return cls(src_ds, tgt_ds, is_train=is_train, seed=seed,
+                   sizes=src_ds.sizes)
+
+    @staticmethod
+    def binarized_prefix(root, split, src_lang, tgt_lang) -> str:
+        return os.path.join(root, f"{split}.{src_lang}-{tgt_lang}.{src_lang}")
+
 
 @register_task("cmlm_cg")
 class CMLMCGTask(NARS2UTTask):
     def __init__(self, cfg: Config):
         super().__init__(cfg)
-        src_dict_path = cfg.get("src_dict")
-        tgt_dict_path = cfg.get("tgt_dict_path")
+        root = cfg.get("data") or ""
+        src_lang = cfg.get("source_lang", "src")
+        tgt_lang = cfg.get("target_lang", "tgt")
+
+        def _find(flag_path, lang):
+            # explicit flag first, then the dict.{lang}.txt a preprocess
+            # run leaves in the data dir (fairseq translation-task behavior)
+            if flag_path:
+                return flag_path
+            p = os.path.join(root, f"dict.{lang}.txt") if root else ""
+            return p if p and os.path.exists(p) else None
+
+        src_dict_path = _find(cfg.get("src_dict"), src_lang)
+        tgt_dict_path = _find(cfg.get("tgt_dict_path"), tgt_lang)
         self.src_dict = (
             Dictionary.load(src_dict_path) if src_dict_path
             else Dictionary.unit_dictionary(cfg.get("src_vocab_size", 1000) - 4)
@@ -101,12 +134,21 @@ class CMLMCGTask(NARS2UTTask):
             self.tgt_dict = Dictionary.load(tgt_dict_path)
 
     def load_dataset(self, split: str, epoch: int = 1):
-        self.datasets[split] = BitextDataset.from_files(
-            self.cfg.get("data"), split,
-            self.cfg.get("source_lang", "src"), self.cfg.get("target_lang", "tgt"),
-            self.src_dict, self.tgt_dict,
-            is_train=split.startswith("train"),
-        )
+        root = self.cfg.get("data")
+        src_lang = self.cfg.get("source_lang", "src")
+        tgt_lang = self.cfg.get("target_lang", "tgt")
+        is_train = split.startswith("train")
+        if root and os.path.exists(
+            BitextDataset.binarized_prefix(root, split, src_lang, tgt_lang)
+            + ".idx"
+        ):
+            self.datasets[split] = BitextDataset.from_binarized(
+                root, split, src_lang, tgt_lang, is_train=is_train)
+        else:
+            self.datasets[split] = BitextDataset.from_files(
+                root, split, src_lang, tgt_lang,
+                self.src_dict, self.tgt_dict, is_train=is_train,
+            )
 
     def dummy_batch(self, batch_size: int = 2, seq_len: int = 16) -> Dict:
         rng = np.random.default_rng(0)

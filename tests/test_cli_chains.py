@@ -451,3 +451,60 @@ def test_restore_file_finetune_chain(tmp_path):
     # full restore: the step counter carries over (2 -> max_updates 4)
     _, steps = run("ft_full", max_updates=4, reset_dataloader=True)
     assert steps == [4], steps
+
+
+def test_preprocess_train_generate_binarized_chain(tmp_path):
+    """The full fairseq text-MT workflow: fairseq-preprocess (binarize) ->
+    fairseq-train (cmlm_cg over the memmapped IndexedDatasets + the
+    dict.{lang}.txt the preprocess run wrote) -> fairseq-generate."""
+    from diffnorm_tpu.cli import preprocess, train
+    from diffnorm_tpu.cli import generate as gen_cli
+
+    rng = np.random.default_rng(0)
+    words = ["w%d" % i for i in range(12)]
+    for split, n in (("train", 8), ("valid", 2), ("test", 2)):
+        for lang in ("de", "en"):
+            lines = [" ".join(rng.choice(words,
+                                         size=int(rng.integers(3, 7))))
+                     for _ in range(n)]
+            (tmp_path / f"{split}.{lang}").write_text("\n".join(lines) + "\n")
+    dest = str(tmp_path / "bin")
+    preprocess.main([
+        "--source-lang", "de", "--target-lang", "en",
+        "--trainpref", str(tmp_path / "train"),
+        "--validpref", str(tmp_path / "valid"),
+        "--testpref", str(tmp_path / "test"),
+        "--destdir", dest,
+    ])
+    assert os.path.exists(os.path.join(dest, "train.de-en.de.idx"))
+    assert os.path.exists(os.path.join(dest, "dict.de.txt"))
+
+    cfg = dict(
+        task="cmlm_cg", arch="cmlm_transformer",
+        criterion="nar_speech_to_unit", data=dest,
+        source_lang="de", target_lang="en",
+        encoder_embed_dim=32, encoder_ffn_embed_dim=64, encoder_layers=1,
+        decoder_layers=1, encoder_attention_heads=2,
+        cg_prob=0.1, label_smoothing=0.1,
+        train_subset="train", valid_subset="valid",
+    )
+    save_dir = str(tmp_path / "ckpt")
+    rc = train.main(Config(
+        save_dir=save_dir, cpu=True, batch_size=2, lr=1e-3,
+        warmup_updates=2, log_interval=1, max_updates=2,
+        keep_last_epochs=1, keep_best_checkpoints=1, seed=3, **cfg,
+    ))
+    assert rc == 0
+    ckpts = sorted(d for d in os.listdir(save_dir)
+                   if d.startswith("step_") and not d.endswith(".json"))
+    assert ckpts
+
+    results = str(tmp_path / "results")
+    rc = gen_cli.main(Config(
+        path=os.path.join(save_dir, ckpts[-1]), results_path=results,
+        cpu=True, batch_size=2, gen_subset="test", iter_decode_max_iter=2,
+        max_target_positions=32, **cfg,
+    ))
+    assert rc == 0
+    txt = open(os.path.join(results, "generate-test.txt")).read()
+    assert "H-" in txt and "T-" in txt

@@ -84,6 +84,10 @@ def main(cfg: Optional[Config] = None) -> int:
         dataset = CodeToSpeechDataset.from_files(
             cfg["units_file"], cfg["audio_dir"],
             crop_units=cfg.get("crop_units", 32),
+            # --dur-training: run-length duration labels so the duration
+            # predictor actually trains (needed for --dur-prediction synth)
+            dedup_dur=bool(cfg.get("dur_training")
+                           or vcfg.get("dur_predictor_params")),
         )
     trainer = GanTrainer(gen, cfg)
     logger.info("dataset: %d utterances", len(dataset))

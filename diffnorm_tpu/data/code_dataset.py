@@ -41,6 +41,7 @@ class CodeToSpeechDataset:
         crop_units: int = 32,
         is_train: bool = True,
         seed: int = 1,
+        dedup_dur: bool = False,
     ):
         self.names = names
         self.audio_paths = audio_paths
@@ -50,6 +51,9 @@ class CodeToSpeechDataset:
         self.shuffle = is_train
         self._rng = np.random.default_rng(seed)
         self.seed = seed
+        # emit run-length duration labels for dur-predictor fine-tuning
+        # (reference hubert_to_speech.py:67-92: -100 marks masked slots)
+        self.dedup_dur = dedup_dur
 
     def __len__(self):
         return len(self.names)
@@ -82,17 +86,37 @@ class CodeToSpeechDataset:
         want = n * SAMPLES_PER_UNIT
         if len(seg) < want:
             seg = np.pad(seg, (0, want - len(seg)))
-        return {"index": index, "code": u.astype(np.int32),
+        item = {"index": index, "code": u.astype(np.int32),
                 "wav": seg.astype(np.float32)}
+        if self.dedup_dur:
+            # reduced units + run lengths of the crop window; the duration
+            # predictor sees the reduced sequence (its synthesis-time input)
+            # and -100 marks padded slots (reference duration mask)
+            edges = np.concatenate([[True], u[1:] != u[:-1]])
+            uniq = u[edges].astype(np.int32)
+            durs = np.diff(np.concatenate(
+                [np.nonzero(edges)[0], [len(u)]])).astype(np.int32)
+            dur_code = np.zeros((n,), np.int32)
+            durations = np.full((n,), -100, np.int32)
+            k = min(len(uniq), n)
+            dur_code[:k] = uniq[:k]
+            durations[:k] = durs[:k]
+            item["dur_code"] = dur_code
+            item["durations"] = durations
+        return item
 
     def collater(self, samples: List[Dict]) -> Dict:
-        return {
+        batch = {
             "id": np.asarray([s["index"] for s in samples], np.int64),
             "code": np.stack([s["code"] for s in samples]),
             "wav": np.stack([s["wav"] for s in samples]),
             "ntokens": len(samples) * self.crop_units,
             "nsentences": len(samples),
         }
+        if "durations" in samples[0]:
+            batch["dur_code"] = np.stack([s["dur_code"] for s in samples])
+            batch["durations"] = np.stack([s["durations"] for s in samples])
+        return batch
 
     @classmethod
     def from_files(
@@ -103,6 +127,7 @@ class CodeToSpeechDataset:
         is_train: bool = True,
         audio_suffix: str = ".wav",
         seed: int = 1,
+        dedup_dur: bool = False,
     ) -> "CodeToSpeechDataset":
         units_map = read_units_file(units_file)
         names, paths, units = [], [], []
@@ -113,7 +138,7 @@ class CodeToSpeechDataset:
                 paths.append(p)
                 units.append(u)
         return cls(names, paths, units, crop_units=crop_units,
-                   is_train=is_train, seed=seed)
+                   is_train=is_train, seed=seed, dedup_dur=dedup_dur)
 
 
 class FeatureToSpeechDataset(CodeToSpeechDataset):

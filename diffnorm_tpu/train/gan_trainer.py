@@ -109,7 +109,8 @@ class GanTrainer:
         return state.replace(d_params=new_params, d_opt=new_opt), loss
 
     # ------------------------------------------------------------ g step ---
-    def g_step(self, state: GanTrainState, code, wav, durations=None):
+    def g_step(self, state: GanTrainState, code, wav, durations=None,
+               dur_code=None):
         def loss_fn(g_params):
             fake = self._generate(g_params, code)
             real = wav[:, : fake.shape[1]]
@@ -125,12 +126,21 @@ class GanTrainer:
             if durations is not None and self.gen.dur_predictor:
                 from diffnorm_tpu.models.hifigan import CodeGenerator
 
+                # duration labels are run lengths over the REDUCED unit
+                # sequence (dur_code), -100 marking padded slots — the
+                # predictor trains on its synthesis-time input
+                # (reference hubert_to_speech.py:67-92)
+                inp = dur_code if dur_code is not None else code
                 log_dur = self.gen.apply(
-                    {"params": g_params}, code,
+                    {"params": g_params}, inp,
                     method=CodeGenerator.log_durations,
                 )
-                dur_tgt = jnp.log(durations.astype(jnp.float32) + 1.0)
-                dur_mse = jnp.mean((log_dur - dur_tgt) ** 2)
+                keep = durations != -100
+                dur_tgt = jnp.log(
+                    jnp.maximum(durations, 0).astype(jnp.float32) + 1.0)
+                sq = jnp.square(log_dur - dur_tgt)
+                dur_mse = (jnp.sum(jnp.where(keep, sq, 0.0))
+                           / jnp.maximum(jnp.sum(keep), 1))
                 loss = loss + self.dur_weight * dur_mse
                 aux["dur_mse"] = dur_mse
             return loss, aux
@@ -151,7 +161,8 @@ class GanTrainer:
         wav = batch["wav"]
         state, d_loss = self._d_step(state, code, wav)
         state, g_loss, aux = self._g_step(state, code, wav,
-                                          batch.get("durations"))
+                                          batch.get("durations"),
+                                          batch.get("dur_code"))
         # one device->host pull for all logged scalars (per-scalar float()
         # costs a full round trip each through the TPU tunnel)
         d_h, g_h, aux_h = jax.device_get((d_loss, g_loss, aux))

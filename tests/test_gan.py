@@ -83,3 +83,45 @@ def test_scale_discriminator_fractional_width():
         score, fmaps = d.apply(d.init(jax.random.PRNGKey(0), wav), wav)
         assert np.isfinite(np.asarray(score)).all()
         assert len(fmaps) == 8
+
+
+def test_dedup_dur_labels_and_training():
+    """Run-length duration labels for dur-predictor fine-tuning (reference
+    hubert_to_speech.py:67-92): reduced units + durations summing to the
+    crop, -100 on padded slots, and a finite masked dur_mse in the G step."""
+    from diffnorm_tpu.data.code_dataset import CodeToSpeechDataset
+
+    units = np.asarray([5, 5, 5, 2, 2, 7, 7, 7], np.int32)
+    wav = np.zeros(len(units) * 320, np.float32)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        from tests.helpers import write_wav16
+
+        write_wav16(f"{td}/u0.wav", wav)
+        (open(f"{td}/u.units", "w")
+         ).write("u0|" + " ".join(map(str, units)) + "\n")
+        ds = CodeToSpeechDataset.from_files(
+            f"{td}/u.units", td, crop_units=8, is_train=False,
+            dedup_dur=True)
+        item = ds[0]
+    np.testing.assert_array_equal(item["dur_code"][:3], [5, 2, 7])
+    np.testing.assert_array_equal(item["durations"][:3], [3, 2, 3])
+    assert (item["durations"][3:] == -100).all()
+    assert item["durations"][item["durations"] > 0].sum() == 8
+
+    batch = ds.collater([item, item])
+    gen = CodeGenerator(
+        num_embeddings=8, embedding_dim=8, upsample_rates=(4, 2),
+        upsample_kernel_sizes=(8, 4), upsample_initial_channel=16,
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 2),),
+        dur_predictor=True,
+    )
+    trainer = GanTrainer(gen, Config(
+        lr=1e-4, n_fft=64, hop_size=32, win_size=64, num_mels=20,
+        mpd_periods=(2, 3), msd_scales=2, disc_width=0.0625))
+    state = trainer.init_state(
+        jax.random.PRNGKey(0), jnp.asarray(batch["code"][:1]),
+        jnp.asarray(batch["wav"][:1]))
+    state, mets = trainer.train_step(state, batch)
+    assert np.isfinite(mets["dur_mse"]) and np.isfinite(mets["loss_g"])

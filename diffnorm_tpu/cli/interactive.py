@@ -49,8 +49,31 @@ def main(cfg: Optional[Config] = None) -> int:
     is_speech = cfg.get("task") not in ("cmlm_cg", "dummy_cmlm_cg")
     tgt_dict = task.target_dictionary
     max_iter = cfg.get("iter_decode_max_iter", 15)
+    max_len = cfg.get("max_target_positions", 256)
 
-    from diffnorm_tpu.generate.mask_predict import mask_predict_decode
+    from diffnorm_tpu.tasks.ar_s2ut_task import ARS2UTTask
+
+    if isinstance(task, ARS2UTTask):
+        # AR models decode with beam search, like fairseq-interactive
+        from diffnorm_tpu.generate.beam_search import ar_generate
+
+        def decode(src, src_lengths):
+            seqs, _ = ar_generate(
+                model, variables, src, src_lengths,
+                beam_size=cfg.get("beam", 5), max_len=min(max_len, 256),
+                len_penalty=cfg.get("lenpen", 1.0),
+                no_repeat_ngram=int(cfg.get("no_repeat_ngram_size", 0)),
+            )
+            return seqs[:, 0]
+    else:
+        from diffnorm_tpu.generate.mask_predict import mask_predict_decode
+
+        def decode(src, src_lengths):
+            tokens, _, _ = mask_predict_decode(
+                model, variables, src, src_lengths, max_iter=max_iter,
+                max_len=max_len, cond_scale=cfg.get("cond_scale", 1.0),
+            )
+            return tokens
 
     print("| enter input (text tokens, or audio/.npy path); ctrl-d to quit",
           file=sys.stderr)
@@ -68,11 +91,7 @@ def main(cfg: Optional[Config] = None) -> int:
             enc = task.src_dict.encode_line(line, append_eos=True)
             src = enc[None].astype(np.int32)
             src_lengths = np.asarray([len(enc)], np.int32)
-        tokens, scores, _ = mask_predict_decode(
-            model, variables, src, src_lengths, max_iter=max_iter,
-            max_len=cfg.get("max_target_positions", 256),
-            cond_scale=cfg.get("cond_scale", 1.0),
-        )
+        tokens = decode(src, src_lengths)
         toks = [int(t) for t in np.asarray(tokens)[0] if int(t) not in (1, 2)]
         hyp = " ".join(tgt_dict[t] for t in toks)
         print(f"H-{i}\t{hyp}")

@@ -508,3 +508,21 @@ def test_preprocess_train_generate_binarized_chain(tmp_path):
     assert rc == 0
     txt = open(os.path.join(results, "generate-test.txt")).read()
     assert "H-" in txt and "T-" in txt
+
+
+def test_ar_interactive_chain(tmp_path, monkeypatch, capsys):
+    """interactive.py with an AR task decodes via beam search
+    (fairseq-interactive over an AR model), speech .npy inputs."""
+    import io
+
+    from diffnorm_tpu.cli import interactive
+
+    ckpt = _train(tmp_path, "ar_i", **AR_CFG)
+    feat = np.random.default_rng(0).normal(size=(24, 80)).astype(np.float32)
+    p = tmp_path / "utt.npy"
+    np.save(p, feat)
+    monkeypatch.setattr("sys.stdin", io.StringIO(f"{p}\n"))
+    rc = interactive.main(Config(path=ckpt, cpu=True, beam=2,
+                                 max_target_positions=16, **AR_CFG))
+    assert rc == 0
+    assert capsys.readouterr().out.count("H-") == 1

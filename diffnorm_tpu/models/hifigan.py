@@ -31,8 +31,8 @@ from flax import linen as nn
 LRELU_SLOPE = 0.1
 
 
-def leaky_relu(x):
-    return jnp.where(x >= 0, x, LRELU_SLOPE * x)
+def leaky_relu(x, slope: float = LRELU_SLOPE):
+    return jnp.where(x >= 0, x, slope * x)
 
 
 class ResBlock(nn.Module):
@@ -140,7 +140,9 @@ class HifiGanGenerator(nn.Module):
                 )(x)
                 acc = r if acc is None else acc + r
             x = acc / len(self.resblock_kernel_sizes)
-        x = leaky_relu(x)
+        # reference hifigan.py:166 uses F.leaky_relu with the torch DEFAULT
+        # slope (0.01) here, unlike the 0.1 used everywhere else
+        x = leaky_relu(x, 0.01)
         x = nn.Conv(1, kernel_size=(7,), padding=[(3, 3)], dtype=self.dtype,
                     name="conv_post")(x)
         return jnp.tanh(x)[..., 0]

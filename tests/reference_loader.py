@@ -311,3 +311,318 @@ def load_fastspeech2_criterion():
             f"{REF}/fairseq/criterions/fastspeech2_loss.py",
         )
     return _cache["fastspeech2"]
+
+
+def load_code_hifigan():
+    """Exec the real code-HiFi-GAN stack verbatim:
+
+    * fairseq/models/text_to_speech/hifigan.py (Generator + ResBlock)
+    * fairseq/models/text_to_speech/fastspeech2.py (for VariancePredictor;
+      its registry/encoder deps the tests never build are stubbed)
+    * fairseq/models/text_to_speech/codehifigan.py (CodeGenerator: unit
+      embedding + duration-predictor repeat_interleave upsampling)
+
+    Returns the codehifigan module (exposes CodeGenerator).
+    """
+    if "codehifigan" not in _cache:
+        install_fairseq_stubs()
+        import torch
+
+        hifigan = _file_module(
+            "fairseq.models.text_to_speech.hifigan",
+            f"{REF}/fairseq/models/text_to_speech/hifigan.py",
+        )
+        sys.modules["fairseq.models.text_to_speech"].hifigan = hifigan
+
+        # fastspeech2.py deps not exercised by VariancePredictor
+        fdrop = _file_module(
+            "fairseq.modules.fairseq_dropout",
+            f"{REF}/fairseq/modules/fairseq_dropout.py",
+        )
+        m = sys.modules["fairseq.modules"]
+        m.FairseqDropout = fdrop.FairseqDropout
+        m.LayerNorm = torch.nn.LayerNorm
+
+        class _StubBase(torch.nn.Module):
+            def __init__(self, *a, **k):
+                super().__init__()
+
+        m.MultiheadAttention = _StubBase
+        _stub("fairseq.models.text_to_speech.hub_interface",
+              TTSHubInterface=_StubBase)
+        _stub("fairseq.models.text_to_speech.tacotron2", Postnet=_StubBase)
+        _stub("fairseq.data")
+        _stub("fairseq.data.data_utils",
+              lengths_to_padding_mask=lambda lens: (
+                  torch.arange(int(lens.max()))[None, :].to(lens.device)
+                  >= lens[:, None]
+              ))
+        fs2 = _file_module(
+            "fairseq.models.text_to_speech.fastspeech2",
+            f"{REF}/fairseq/models/text_to_speech/fastspeech2.py",
+        )
+        sys.modules["fairseq.models.text_to_speech"].fastspeech2 = fs2
+        _cache["codehifigan"] = _file_module(
+            "ref_codehifigan",
+            f"{REF}/fairseq/models/text_to_speech/codehifigan.py",
+        )
+    return _cache["codehifigan"]
+
+
+def load_conformer_layer():
+    """Exec the real conformer stack verbatim:
+
+    * fairseq/modules/rotary_positional_embedding.py
+    * fairseq/modules/espnet_multihead_attention.py (rel-pos attention)
+    * fairseq/modules/positional_encoding.py (RelPositionalEncoding)
+    * fairseq/modules/conformer_layer.py (ConformerEncoderLayer)
+
+    Returns a namespace with ConformerEncoderLayer + RelPositionalEncoding.
+    """
+    if "conformer" not in _cache:
+        install_fairseq_stubs()
+        import torch
+
+        rope = _file_module(
+            "fairseq.modules.rotary_positional_embedding",
+            f"{REF}/fairseq/modules/rotary_positional_embedding.py",
+        )
+        espnet = _file_module(
+            "fairseq.modules.espnet_multihead_attention",
+            f"{REF}/fairseq/modules/espnet_multihead_attention.py",
+        )
+        pe = _file_module(
+            "fairseq.modules.positional_encoding",
+            f"{REF}/fairseq/modules/positional_encoding.py",
+        )
+        m = sys.modules["fairseq.modules"]
+
+        def _layer_norm(dim, export=False, **k):
+            return torch.nn.LayerNorm(dim, **k)
+
+        class _StubBase(torch.nn.Module):
+            def __init__(self, *a, **k):
+                super().__init__()
+
+        m.LayerNorm = _layer_norm
+        m.ESPNETMultiHeadedAttention = espnet.ESPNETMultiHeadedAttention
+        m.RelPositionMultiHeadedAttention = (
+            espnet.RelPositionMultiHeadedAttention)
+        m.RotaryPositionMultiHeadedAttention = (
+            espnet.RotaryPositionMultiHeadedAttention)
+        if not hasattr(m, "MultiheadAttention"):
+            m.MultiheadAttention = _StubBase
+
+        sys.modules["fairseq.utils"].get_activation_fn = (
+            _make_get_activation_fn())
+        conf = _file_module(
+            "ref_conformer_layer", f"{REF}/fairseq/modules/conformer_layer.py"
+        )
+        conf.RelPositionalEncoding = pe.RelPositionalEncoding
+        _cache["conformer"] = conf
+    return _cache["conformer"]
+
+
+def load_repr_unit_dataset():
+    """Exec the real fairseq/data/audio/repr_to_repr_unit_dataset.py for its
+    _reduce_tgt (the unit-reduce/duration round trip that the DiffNorm
+    pipeline's unit parity hangs on, SURVEY.md §7)."""
+    if "repr_unit" not in _cache:
+        install_fairseq_stubs()
+        import torch
+
+        class _Passthrough:
+            def __init__(self, *a, **k):
+                pass
+
+        _stub("fairseq.data", ConcatDataset=_Passthrough,
+              Dictionary=_Passthrough, FairseqDataset=_Passthrough,
+              data_utils=types.SimpleNamespace())
+        _stub("fairseq.data.audio")
+        _stub("fairseq.data.audio.feature_transforms",
+              CompositeAudioFeatureTransform=_Passthrough)
+        _stub("fairseq.data.audio.waveform_transforms",
+              CompositeAudioWaveformTransform=_Passthrough)
+        _stub("fairseq.data.audio.dataset_transforms",
+              CompositeAudioDatasetTransform=_Passthrough)
+        _stub("fairseq.data.audio.audio_utils",
+              get_features_or_waveform=lambda *a, **k: None)
+        _stub("fairseq.data.audio.data_cfg", S2SDataConfig=_Passthrough)
+        _stub("fairseq.data.audio.speech_to_speech_dataset",
+              SpeechToSpeechDataset=_Passthrough)
+        _stub("fairseq.data.audio.speech_to_text_dataset",
+              SpeechToTextDataset=_Passthrough,
+              SpeechToTextDatasetCreator=_Passthrough,
+              TextTargetMultitaskData=_Passthrough,
+              _collate_frames=lambda *a, **k: None,
+              _is_int_or_np_int=lambda x: isinstance(x, int))
+        _stub("fairseq.data.data_utils")
+        _cache["repr_unit"] = _file_module(
+            "ref_repr_unit_dataset",
+            f"{REF}/fairseq/data/audio/repr_to_repr_unit_dataset.py",
+        )
+    return _cache["repr_unit"]
+
+
+def _make_get_activation_fn():
+    """fairseq/utils.py:546-570 semantics for the names this tree uses:
+    "swish" returns the SiLU CLASS (instantiated with a throwaway arg by
+    conformer_layer.py); "gelu" is the float32-upcast gelu from
+    fairseq/modules/gelu.py (loaded verbatim)."""
+    import torch
+
+    gelu = _file_module("fairseq.modules.gelu", f"{REF}/fairseq/modules/gelu.py")
+
+    def get_activation_fn(name):
+        if name == "gelu":
+            return gelu.gelu
+        if name == "relu":
+            return torch.nn.functional.relu
+        if name == "swish":
+            return torch.nn.SiLU
+        raise KeyError(name)
+
+    return get_activation_fn
+
+
+def load_hubert():
+    """Exec the REAL HuBERT stack verbatim:
+
+    * fairseq/models/wav2vec/wav2vec2.py (ConvFeatureExtractionModel,
+      TransformerEncoder, TransformerSentenceEncoderLayer) + utils.py
+    * fairseq/modules/multihead_attention.py (the genuine fairseq MHA)
+    * fairseq/modules/{gelu, same_pad, transpose_last, grad_multiply,
+      fp32_group_norm, layer_norm, gumbel_vector_quantizer, quant_noise,
+      fairseq_dropout, positional_encoding, espnet_multihead_attention,
+      conformer_layer}.py, fairseq/incremental_decoding_utils.py
+    * fairseq/models/hubert/hubert.py (HubertModel/HubertConfig)
+
+    Only registry/config glue is stubbed (dataclass ChoiceEnum, omegaconf
+    II, fsdp_wrap, checkpoint_wrapper, init_bert_params, Dictionary).
+    """
+    if "hubert" not in _cache:
+        install_fairseq_stubs()
+        import torch
+
+        fdrop = _file_module(
+            "fairseq.modules.fairseq_dropout",
+            f"{REF}/fairseq/modules/fairseq_dropout.py")
+        _file_module(
+            "fairseq.modules.quant_noise",
+            f"{REF}/fairseq/modules/quant_noise.py")
+        sp = _file_module(
+            "fairseq.modules.same_pad", f"{REF}/fairseq/modules/same_pad.py")
+        tl = _file_module(
+            "fairseq.modules.transpose_last",
+            f"{REF}/fairseq/modules/transpose_last.py")
+        gm = _file_module(
+            "fairseq.modules.grad_multiply",
+            f"{REF}/fairseq/modules/grad_multiply.py")
+        fgn = _file_module(
+            "fairseq.modules.fp32_group_norm",
+            f"{REF}/fairseq/modules/fp32_group_norm.py")
+        ln = _file_module(
+            "fairseq.modules.layer_norm",
+            f"{REF}/fairseq/modules/layer_norm.py")
+        pe = _file_module(
+            "fairseq.modules.positional_encoding",
+            f"{REF}/fairseq/modules/positional_encoding.py")
+        _file_module(
+            "fairseq.modules.rotary_positional_embedding",
+            f"{REF}/fairseq/modules/rotary_positional_embedding.py")
+        espnet = _file_module(
+            "fairseq.modules.espnet_multihead_attention",
+            f"{REF}/fairseq/modules/espnet_multihead_attention.py")
+
+        u = sys.modules["fairseq.utils"]
+        u.get_available_activation_fns = lambda: ["relu", "gelu", "swish"]
+        u.get_activation_fn = _make_get_activation_fn()
+        u.eval_str_dict = lambda x, type=dict: x
+        u.is_xla_tensor = lambda t: False
+
+        def index_put(tensor, indices, value):
+            tensor[indices] = value
+            return tensor
+
+        u.index_put = index_put
+        u.buffered_arange = lambda m: torch.arange(m)
+
+        class _StubBase(torch.nn.Module):
+            def __init__(self, *a, **k):
+                super().__init__()
+
+        idu = _file_module(
+            "fairseq.incremental_decoding_utils",
+            f"{REF}/fairseq/incremental_decoding_utils.py")
+
+        @idu.with_incremental_state
+        class _IncDecoder(torch.nn.Module):
+            def __init__(self, *a, **k):
+                super().__init__()
+
+        _stub("fairseq.models.fairseq_incremental_decoder",
+              FairseqIncrementalDecoder=_IncDecoder)
+        mha = _file_module(
+            "fairseq.modules.multihead_attention",
+            f"{REF}/fairseq/modules/multihead_attention.py")
+
+        m = sys.modules["fairseq.modules"]
+        for name, mod in [
+            ("Fp32GroupNorm", fgn.Fp32GroupNorm),
+            ("Fp32LayerNorm", ln.Fp32LayerNorm),
+            ("GradMultiply", gm.GradMultiply),
+            ("LayerNorm", ln.LayerNorm),
+            ("MultiheadAttention", mha.MultiheadAttention),
+            ("SamePad", sp.SamePad),
+            ("TransposeLast", tl.TransposeLast),
+            ("RelPositionalEncoding", pe.RelPositionalEncoding),
+            ("ESPNETMultiHeadedAttention", espnet.ESPNETMultiHeadedAttention),
+            ("RelPositionMultiHeadedAttention",
+             espnet.RelPositionMultiHeadedAttention),
+            ("RotaryPositionMultiHeadedAttention",
+             espnet.RotaryPositionMultiHeadedAttention),
+        ]:
+            setattr(m, name, mod)
+        gvq = _file_module(
+            "fairseq.modules.gumbel_vector_quantizer",
+            f"{REF}/fairseq/modules/gumbel_vector_quantizer.py")
+        m.GumbelVectorQuantizer = gvq.GumbelVectorQuantizer
+        _stub("fairseq.modules.checkpoint_activations",
+              checkpoint_wrapper=lambda mod, **k: mod)
+        _stub("fairseq.modules.transformer_sentence_encoder",
+              init_bert_params=lambda mod: None)
+
+        from enum import Enum
+
+        def ChoiceEnum(choices):
+            return Enum("Choices", {c: c for c in choices})
+
+        _stub("fairseq.dataclass", ChoiceEnum=ChoiceEnum,
+              FairseqDataclass=object)
+        _stub("omegaconf", II=lambda s: s, MISSING="???")
+        _stub("fairseq.distributed", fsdp_wrap=lambda mod, **k: mod)
+        sys.modules["fairseq.models"].BaseFairseqModel = _StubBase
+        _stub("fairseq.data.data_utils",
+              compute_mask_indices=lambda *a, **k: None)
+        _stub("fairseq.data.dictionary", Dictionary=object)
+        _stub("fairseq.tasks.hubert_pretraining",
+              HubertPretrainingConfig=object, HubertPretrainingTask=object)
+        conf = _file_module(
+            "fairseq.modules.conformer_layer",
+            f"{REF}/fairseq/modules/conformer_layer.py")
+        m.conformer_layer = conf
+
+        _stub("fairseq.models.wav2vec")
+        w2vu = _file_module(
+            "fairseq.models.wav2vec.utils",
+            f"{REF}/fairseq/models/wav2vec/utils.py",
+            package="fairseq.models.wav2vec")
+        sys.modules["fairseq.models.wav2vec"].utils = w2vu
+        w2v2 = _file_module(
+            "fairseq.models.wav2vec.wav2vec2",
+            f"{REF}/fairseq/models/wav2vec/wav2vec2.py",
+            package="fairseq.models.wav2vec")
+        sys.modules["fairseq.models.wav2vec"].wav2vec2 = w2v2
+        _cache["hubert"] = _file_module(
+            "ref_hubert", f"{REF}/fairseq/models/hubert/hubert.py")
+    return _cache["hubert"]

@@ -466,3 +466,211 @@ def test_fastspeech2_loss_matches_reference():
     np.testing.assert_allclose(float(mets["energy_loss"]),
                                logs["energy_loss"], rtol=1e-5)
     np.testing.assert_allclose(float(loss_j), float(loss_ref), rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_code_hifigan_matches_reference(tmp_path):
+    """Waveforms from the REAL codehifigan.py CodeGenerator (hifigan.py
+    Generator + fastspeech2.py VariancePredictor, loaded verbatim) must
+    match the JAX vocoder after checkpoint conversion — both the plain
+    path and the duration-prediction path (vocoder.py:229-235 semantics)."""
+    from reference_loader import load_code_hifigan
+
+    from diffnorm_tpu.models.hifigan import CodeHiFiGANVocoder
+    from diffnorm_tpu.utils.convert_weights import convert_hifigan_checkpoint
+
+    ref_mod = load_code_hifigan()
+    cfg = {
+        "num_embeddings": 12,
+        "embedding_dim": 8,
+        "model_in_dim": 8,
+        "upsample_rates": [4, 2],
+        "upsample_kernel_sizes": [8, 4],
+        "upsample_initial_channel": 16,
+        "resblock_kernel_sizes": [3, 5],
+        "resblock_dilation_sizes": [[1, 3, 5], [1, 2, 3]],
+        "dur_predictor_params": {
+            "encoder_embed_dim": 8,
+            "var_pred_hidden_dim": 8,
+            "var_pred_kernel_size": 3,
+            "var_pred_dropout": 0.0,
+        },
+    }
+    torch.manual_seed(0)
+    tg = ref_mod.CodeGenerator(cfg)
+    tg.eval()
+    path = str(tmp_path / "gen.pt")
+    torch.save({"generator": tg.state_dict()}, path)
+
+    variables = convert_hifigan_checkpoint(path, cfg)
+    voc = CodeHiFiGANVocoder.from_config(cfg, variables=variables)
+
+    codes = np.arange(18) % 12
+
+    with torch.no_grad():
+        ref_wav = tg(code=torch.tensor(codes)[None]).squeeze().numpy()
+    jax_wav = voc(codes)
+    assert jax_wav.shape == ref_wav.shape
+    np.testing.assert_allclose(jax_wav, ref_wav, atol=2e-5)
+
+    with torch.no_grad():
+        ref_dur = tg(
+            code=torch.tensor(codes)[None], dur_prediction=True
+        ).squeeze().numpy()
+    jax_dur = voc(codes, dur_prediction=True)
+    assert jax_dur.shape == ref_dur.shape, (jax_dur.shape, ref_dur.shape)
+    np.testing.assert_allclose(jax_dur, ref_dur, atol=2e-5)
+
+
+def test_conformer_layer_matches_reference():
+    """One full conformer block (macaron FF + ESPNet rel-pos attention +
+    depthwise-conv module) from the REAL fairseq/modules/conformer_layer.py
+    must match the JAX ConformerLayer after weight conversion, including the
+    rel-shift and padding-mask semantics (s2t_conformer.py:91-126 usage)."""
+    from reference_loader import load_conformer_layer
+
+    from diffnorm_tpu.models.conformer import (
+        ConformerLayer,
+        rel_positional_encoding,
+    )
+    from diffnorm_tpu.utils.convert_weights import _conformer_layer_trees
+
+    ref = load_conformer_layer()
+    D, H, FFN, K = 16, 4, 32, 7
+    B, T = 2, 10
+    torch.manual_seed(0)
+    layer = ref.ConformerEncoderLayer(
+        embed_dim=D, ffn_embed_dim=FFN, attention_heads=H, dropout=0.0,
+        use_fp16=False, depthwise_conv_kernel_size=K,
+        attn_type="espnet", pos_enc_type="rel_pos",
+    )
+    layer.eval()
+
+    x = torch.randn(T, B, D)
+    lens = torch.tensor([T, T - 3])
+    pad_mask = torch.arange(T)[None, :] >= lens[:, None]  # [B, T] True=pad
+    relpe = ref.RelPositionalEncoding(max_len=4 * T, d_model=D)
+    pos = relpe(x)  # [2T-1, 1, D]
+    with torch.no_grad():
+        ref_out, _ = layer(x, pad_mask, pos)
+    ref_out = ref_out.transpose(0, 1).numpy()  # [B, T, D]
+
+    sd = {f"enc.conformer_layers.0.{k}": v.numpy()
+          for k, v in layer.state_dict().items()}
+    params, stats = _conformer_layer_trees(sd, "enc.conformer_layers.0")
+
+    jl = ConformerLayer(dim=D, ffn_dim=FFN, heads=H, dropout=0.0,
+                        depthwise_kernel_size=K)
+    pos_j = jnp.asarray(rel_positional_encoding(T, D))
+    mask = jnp.asarray(~pad_mask.numpy())  # True = valid
+    out = jl.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x.transpose(0, 1).numpy()), pos_j, mask=mask,
+    )
+    # positions past each row's length are garbage on both sides (the
+    # reference does not zero padded frames inside the block) — compare
+    # valid frames only
+    valid = np.asarray(mask)[:, :, None]
+    np.testing.assert_allclose(
+        np.asarray(out) * valid, ref_out * valid, atol=5e-5
+    )
+
+    # torch pos_emb table matches ours (ESPNet layout, positives first)
+    np.testing.assert_allclose(
+        np.asarray(pos_j), pos[:, 0, :].numpy(), atol=1e-6
+    )
+
+
+def test_unit_reduce_matches_reference():
+    """The unit reduce/duration round trip must match the REAL
+    repr_to_repr_unit_dataset._reduce_tgt (SURVEY.md §7: off-by-one here
+    silently destroys ASR-BLEU) — dedup tokens, durations, AND kept
+    indices, across edge cases."""
+    from reference_loader import load_repr_unit_dataset
+
+    from diffnorm_tpu.ops.unit_reduce import reduce_units, reduce_units_padded
+
+    m = load_repr_unit_dataset()
+    ds = m.ReprToReprUnitDataset.__new__(m.ReprToReprUnitDataset)
+
+    rng = np.random.default_rng(0)
+    cases = [
+        [5],
+        [3, 3, 3, 3],
+        [1, 2, 3, 4],
+        [7, 7, 2, 2, 2, 7, 1, 1],
+        list(rng.integers(0, 5, size=50)),
+        list(rng.integers(0, 2, size=31)),
+    ]
+    for toks in cases:
+        ref_dedup, ref_dur, ref_keep = ds._reduce_tgt(
+            torch.tensor(toks, dtype=torch.long)
+        )
+        dedup, dur, keep = reduce_units(np.asarray(toks))
+        np.testing.assert_array_equal(dedup, [int(t) for t in ref_dedup])
+        np.testing.assert_array_equal(dur, ref_dur)
+        np.testing.assert_array_equal(keep, ref_keep.numpy())
+
+        # jitted padded variant agrees with the reference too
+        pad = np.zeros(64, np.int32)
+        pad[: len(toks)] = toks
+        valid = np.arange(64) < len(toks)
+        out, keep_mask, count = reduce_units_padded(
+            jnp.asarray(pad), jnp.asarray(valid)
+        )
+        assert int(count) == len(ref_dedup)
+        np.testing.assert_array_equal(
+            np.asarray(out)[: int(count)], [int(t) for t in ref_dedup]
+        )
+        np.testing.assert_array_equal(
+            np.nonzero(np.asarray(keep_mask))[0], ref_keep.numpy()
+        )
+
+
+def test_hubert_extract_features_matches_reference():
+    """The REAL fairseq HubertModel (wav2vec2 conv extractor + transformer
+    encoder + genuine fairseq MultiheadAttention, loaded verbatim) run
+    through `extract_features(output_layer=N)` — the mHuBERT feature-dump
+    entry point (hubert_feature_reader.py:43-62) — must match the JAX
+    HubertEncoder after checkpoint conversion, including the intermediate
+    output-layer semantics."""
+    import types
+
+    from reference_loader import load_hubert
+
+    from diffnorm_tpu.models.hubert import HubertEncoder
+    from diffnorm_tpu.utils.convert_weights import convert_hubert_checkpoint
+
+    hub = load_hubert()
+    cfg = hub.HubertConfig()
+    cfg.encoder_layers = 2
+    cfg.label_rate = 50
+    task_cfg = types.SimpleNamespace(sample_rate=16000, normalize=False,
+                                     data="")
+    torch.manual_seed(0)
+    model = hub.HubertModel(cfg, task_cfg, [None])
+    model.eval()
+
+    wav_np = (np.random.default_rng(0).normal(size=(2, 3200)) * 0.1).astype(
+        np.float32)
+    wav = torch.from_numpy(wav_np)
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "hubert.pt")
+        torch.save({"model": model.state_dict()}, path)
+        variables = convert_hubert_checkpoint(path, layers=2)
+
+    enc = HubertEncoder(layers=2)
+    for output_layer in (1, 2):  # intermediate AND final layer
+        with torch.no_grad():
+            ref_feat, _ = model.extract_features(
+                wav, output_layer=output_layer)
+        out = enc.apply(variables, jnp.asarray(wav_np),
+                        output_layer=output_layer)
+        assert out.shape == tuple(ref_feat.shape)
+        np.testing.assert_allclose(
+            np.asarray(out), ref_feat.numpy(), atol=1e-4
+        )

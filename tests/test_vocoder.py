@@ -170,7 +170,10 @@ def test_hifigan_converted_weights_match_torch_functional():
                           padding=1)
             h = h + ht
         x = h / 1.0  # single kernel size -> mean over 1
-    x = lrelu(x)
+    # the reference uses torch's DEFAULT leaky_relu slope (0.01) before
+    # conv_post (hifigan.py:166) — round 1 mis-read this as 0.1 here AND in
+    # the port; the real-reference parity test caught it
+    x = torch.nn.functional.leaky_relu(x, 0.01)
     x = F.conv1d(x, torch.from_numpy(sd["conv_post.weight"]),
                  torch.from_numpy(sd["conv_post.bias"]), padding=3)
     expected = torch.tanh(x).numpy()[0, 0]

@@ -39,7 +39,7 @@ from diffnorm_tpu.data.manifest import (
 )
 from diffnorm_tpu.models.diffusion import ddim_sample
 from diffnorm_tpu.ops.unit_reduce import reduce_units
-from diffnorm_tpu.registry import TASKS, _import_all
+from diffnorm_tpu.registry import TASKS, _import_all, import_user_module
 from diffnorm_tpu.train.checkpoint import load_checkpoint_params
 
 logger = logging.getLogger("diffnorm_tpu.diff_norm")
@@ -51,6 +51,7 @@ def main(cfg: Optional[Config] = None) -> int:
     _import_all()
     if cfg is None:
         cfg = parse_args()
+    import_user_module(cfg.get("user_dir"))
     if cfg.get("cpu"):
         jax.config.update("jax_platforms", "cpu")
     from diffnorm_tpu.utils.compile_cache import enable_compile_cache

@@ -16,7 +16,7 @@ import numpy as np
 
 from diffnorm_tpu.cli.args import parse_args
 from diffnorm_tpu.config import Config
-from diffnorm_tpu.registry import TASKS, _import_all
+from diffnorm_tpu.registry import TASKS, _import_all, import_user_module
 from diffnorm_tpu.train.checkpoint import (
     load_checkpoint_params,
     restored_to_variables,
@@ -30,6 +30,7 @@ def main(cfg: Optional[Config] = None) -> int:
     _import_all()
     if cfg is None:
         cfg = parse_args()
+    import_user_module(cfg.get("user_dir"))
     if cfg.get("cpu"):
         jax.config.update("jax_platforms", "cpu")
     from diffnorm_tpu.utils.compile_cache import enable_compile_cache

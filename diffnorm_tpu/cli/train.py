@@ -29,7 +29,7 @@ from diffnorm_tpu.cli.args import parse_args
 from diffnorm_tpu.config import Config, make_trainer_config
 from diffnorm_tpu.data.iterators import EpochBatchIterator, GroupedIterator
 from diffnorm_tpu.parallel.mesh import init_distributed
-from diffnorm_tpu.registry import TASKS, _import_all
+from diffnorm_tpu.registry import TASKS, _import_all, import_user_module
 from diffnorm_tpu.train import metrics as metrics_mod
 from diffnorm_tpu.train.checkpoint import CheckpointManager
 from diffnorm_tpu.train.trainer import Trainer
@@ -61,6 +61,7 @@ def main(cfg: Optional[Config] = None) -> int:
     _import_all()
     if cfg is None:
         cfg = parse_args()
+    import_user_module(cfg.get("user_dir"))
     if cfg.get("cpu"):  # force host CPU (the image pins jax to the TPU tunnel)
         jax.config.update("jax_platforms", "cpu")
     from diffnorm_tpu.utils.compile_cache import enable_compile_cache

@@ -109,3 +109,36 @@ def _import_all():
         "diffnorm_tpu.train.lr_schedules",
     ):
         importlib.import_module(mod)
+
+
+_user_modules: set = set()
+
+
+def import_user_module(module_path) -> None:
+    """Import a user extension package/module so its register_* decorators
+    run — the `--user-dir` plugin mechanism (reference fairseq/utils.py:
+    464-507; the reference's own research/TranSpeech code plugs into
+    fairseq exactly this way). No-op on None; idempotent per path."""
+    if not module_path:
+        return
+    import importlib
+    import os
+    import sys
+
+    module_path = os.path.abspath(str(module_path))
+    if not os.path.exists(module_path):
+        raise FileNotFoundError(f"--user-dir not found: {module_path}")
+    if module_path in _user_modules:
+        return
+    _user_modules.add(module_path)
+    parent, name = os.path.split(module_path)
+    if name.endswith(".py"):  # single-file module
+        name = name[:-3]
+    if name in sys.modules:
+        return
+    sys.path.insert(0, parent)
+    try:
+        importlib.import_module(name)
+    finally:
+        if sys.path and sys.path[0] == parent:
+            sys.path.pop(0)

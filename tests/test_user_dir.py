@@ -1,0 +1,61 @@
+"""--user-dir plugin mechanism (registry.import_user_module).
+
+The reference's own research code plugs into fairseq via --user-dir
+(fairseq/utils.py:464-507, `fairseq-train --user-dir research ...`); these
+tests pin the equivalent here: an external package can register
+tasks/models/criterions with the stock decorators and be driven through the
+real CLI by name.
+"""
+
+import textwrap
+
+import pytest
+
+from diffnorm_tpu.config import Config
+from diffnorm_tpu.registry import TASKS, import_user_module
+
+
+def _write_plugin(tmp_path):
+    pkg = tmp_path / "my_plugin"
+    pkg.mkdir(exist_ok=True)
+    (pkg / "__init__.py").write_text(textwrap.dedent("""
+        from diffnorm_tpu.registry import register_task
+        from diffnorm_tpu.tasks.dummy import DummyVAETask
+
+
+        @register_task("user_dummy_vae")
+        class UserDummyVAETask(DummyVAETask):
+            pass
+    """))
+    return pkg
+
+
+def test_import_user_module_registers(tmp_path):
+    pkg = _write_plugin(tmp_path)
+    import_user_module(str(pkg))
+    assert "user_dummy_vae" in TASKS
+    # idempotent
+    import_user_module(str(pkg))
+
+
+def test_missing_user_dir_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        import_user_module(str(tmp_path / "nope"))
+
+
+@pytest.mark.slow
+def test_train_cli_with_user_dir(tmp_path):
+    """The train CLI resolves a task registered only by the user dir."""
+    from diffnorm_tpu.cli import train
+
+    pkg = _write_plugin(tmp_path)
+    rc = train.main(Config(
+        user_dir=str(pkg), task="user_dummy_vae",
+        arch="speech_vae_decoder", criterion="speech_vae_decoder_loss",
+        feature_dim=8, latent_dim=2, chan_mults=[2], vae_decoder_depth=1,
+        vae_decoder_dim_head=4, vae_decoder_heads=2, target_code_size=8,
+        batch_size=2, tokens_per_sample=8, dataset_size=2,
+        lr=1e-3, warmup_updates=1, max_updates=1, log_interval=1,
+        save_dir=str(tmp_path / "ckpt"), cpu=True,
+    ))
+    assert rc == 0

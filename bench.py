@@ -251,6 +251,62 @@ def main_train():
     }))
 
 
+def main_nar_train():
+    """NAR S2UT translator train-step throughput (stage-3 workload,
+    scripts/s2ut/train.sh: full-size nar_s2ut_conformer, 400k updates at
+    40k max-tokens — the costliest recipe). fwd+bwd+adam per step, bf16
+    compute, f32 params. Run with `python bench.py --nar-train`;
+    BENCH_BATCH / BENCH_SEQ (source fbank frames) override shapes."""
+    import os
+
+    from diffnorm_tpu.config import Config, make_trainer_config
+    from diffnorm_tpu.registry import TASKS, _import_all
+    from diffnorm_tpu.train.trainer import Trainer
+
+    _import_all()
+    b = int(os.environ.get("BENCH_BATCH", 32))
+    seq = int(os.environ.get("BENCH_SEQ", 480))  # 4.8 s utterances
+    cfg = Config(
+        arch="nar_s2ut_conformer", criterion="nar_speech_to_unit",
+        target_code_size=1000, label_smoothing=0.2, dtype="bfloat16",
+        lr=5e-4, warmup_updates=10,
+    )
+    if int(os.environ.get("BENCH_REMAT", "0")):
+        cfg.encoder_remat = True
+    task = TASKS.get("dummy_nar").setup_task(cfg)
+    model = task.build_model()
+    crit = task.build_criterion()
+    trainer = Trainer(make_trainer_config(cfg), task, model, crit)
+    batch = task.dummy_batch(b, seq)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    rng = jax.random.PRNGKey(1)
+    from diffnorm_tpu.parallel.mesh import shard_batch
+
+    batch = shard_batch(batch, trainer.mesh)
+    for i in range(2):  # compile + warm
+        state, m = trainer.train_step(state, [batch], jax.random.fold_in(rng, i))
+    tiny = jax.jit(lambda x: jnp.sum(x))
+    _ = float(tiny(jnp.ones((8,))))
+    t0 = time.perf_counter()
+    _ = float(tiny(jnp.ones((8,))))
+    latency = time.perf_counter() - t0
+
+    n = 8
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, m = trainer.train_step(state, [batch],
+                                      jax.random.fold_in(rng, 100 + i))
+    _ = float(m["loss"])  # sync
+    wall = max(time.perf_counter() - t0 - latency, 1e-9)
+    ups = n / wall
+    print(json.dumps({
+        "metric": "nar_s2ut_train_step_throughput",
+        "value": round(ups * b * seq, 1),
+        "unit": f"src_frames/s (B{b}xT{seq} fwd+bwd+adam, bf16, 1 chip)",
+        "vs_baseline": round(ups, 3),
+    }))
+
+
 def main_vocoder():
     """Vocoder metric: code-HiFi-GAN unit->waveform synthesis RTF on one
     chip (the serving-path wall-clock dominator after the NAR translator).
@@ -482,7 +538,9 @@ def main_gan_train():
 if __name__ == "__main__":
     import sys
 
-    if "--nar" in sys.argv:
+    if "--nar-train" in sys.argv:
+        main_nar_train()
+    elif "--nar" in sys.argv:
         main_nar()
     elif "--train" in sys.argv:
         main_train()

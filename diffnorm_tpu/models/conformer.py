@@ -93,6 +93,7 @@ class RelPosSelfAttention(nn.Module):
     heads: int
     dropout: float = 0.0
     quant: bool = False  # int8 W8A8 projections (inference only)
+    sp_axis: Optional[str] = None  # sequence-parallel mesh axis (shard_map)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -125,6 +126,23 @@ class RelPosSelfAttention(nn.Module):
         bias_v = self.param(
             "pos_bias_v", nn.initializers.xavier_uniform(), (h, d), jnp.float32
         ).astype(q.dtype)
+
+        if self.sp_axis is not None:
+            # sequence-parallel: x/mask are local time-shards inside a
+            # shard_map, pos_emb is the GLOBAL table; attention runs as an
+            # online-softmax K/V ring (parallel/sequence.py)
+            from diffnorm_tpu.parallel.sequence import ring_rel_pos_attention
+
+            assert deterministic or self.dropout == 0.0, (
+                "attention dropout is not supported under sequence parallelism"
+            )
+            out = ring_rel_pos_attention(
+                q + bias_u[None, :, None, :], q + bias_v[None, :, None, :],
+                k, v, p, mask=mask, axis=self.sp_axis,
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(b, t, self.dim)
+            return QDense(self.dim, quant=self.quant, dtype=self.dtype,
+                          name="linear_out")(out)
 
         ac = jnp.einsum(
             "bhtd,bhsd->bhts", q + bias_u[None, :, None, :], k,
@@ -177,10 +195,11 @@ class ConvModule(nn.Module):
     dim: int
     kernel_size: int = 31
     dropout: float = 0.0
+    sp_axis: Optional[str] = None  # sequence-parallel mesh axis (shard_map)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, conv_keep=None):
         x = nn.LayerNorm(dtype=self.dtype, name="layer_norm")(x)
         x = nn.Conv(
             2 * self.dim, kernel_size=(1,), use_bias=False, dtype=self.dtype,
@@ -189,10 +208,25 @@ class ConvModule(nn.Module):
         a, b = jnp.split(x, 2, axis=-1)
         x = a * nn.sigmoid(b)  # GLU
         pad = (self.kernel_size - 1) // 2
+        if conv_keep is not None:
+            # zero SP-introduced pad frames so the depthwise conv at the last
+            # real frame sees the same zeros the unsharded conv's edge
+            # padding provides (batch-pad frames inside T' keep their values
+            # — reference semantics)
+            x = x * conv_keep[:, :, None].astype(x.dtype)
+        if self.sp_axis is not None:
+            # time-sharded: fetch k//2 edge frames from ring neighbors so
+            # the depthwise conv sees the same neighborhood as unsharded
+            from diffnorm_tpu.parallel.sequence import halo_pad
+
+            x = halo_pad(x, pad, pad, axis=self.sp_axis)
+            conv_padding = "VALID"
+        else:
+            conv_padding = [(pad, pad)]
         x = nn.Conv(
             self.dim,
             kernel_size=(self.kernel_size,),
-            padding=[(pad, pad)],
+            padding=conv_padding,
             feature_group_count=self.dim,
             use_bias=False,
             dtype=self.dtype,
@@ -200,6 +234,7 @@ class ConvModule(nn.Module):
         )(x)
         x = nn.BatchNorm(
             use_running_average=deterministic, momentum=0.9, epsilon=1e-5,
+            axis_name=self.sp_axis,  # cross-shard batch stats when training
             dtype=self.dtype, name="batch_norm",
         )(x)
         x = nn.silu(x)
@@ -217,10 +252,12 @@ class ConformerLayer(nn.Module):
     dropout: float
     depthwise_kernel_size: int = 31
     quant: bool = False
+    sp_axis: Optional[str] = None  # sequence-parallel mesh axis (shard_map)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, pos_emb, mask=None, deterministic: bool = True):
+    def __call__(self, x, pos_emb, mask=None, deterministic: bool = True,
+                 conv_keep=None):
         x = x + 0.5 * ConformerFFN(
             self.dim, self.ffn_dim, self.dropout, self.quant, self.dtype,
             name="ffn1",
@@ -228,15 +265,17 @@ class ConformerLayer(nn.Module):
         res = x
         h = nn.LayerNorm(dtype=self.dtype, name="self_attn_layer_norm")(x)
         h = RelPosSelfAttention(
-            self.dim, self.heads, self.dropout, self.quant, self.dtype,
+            self.dim, self.heads, self.dropout, self.quant,
+            sp_axis=self.sp_axis, dtype=self.dtype,
             name="self_attn",
         )(h, pos_emb, mask=mask, deterministic=deterministic)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         x = res + h
         x = x + ConvModule(
-            self.dim, self.depthwise_kernel_size, self.dropout, self.dtype,
+            self.dim, self.depthwise_kernel_size, self.dropout,
+            sp_axis=self.sp_axis, dtype=self.dtype,
             name="conv_module",
-        )(x, deterministic)
+        )(x, deterministic, conv_keep)
         x = x + 0.5 * ConformerFFN(
             self.dim, self.ffn_dim, self.dropout, self.quant, self.dtype,
             name="ffn2",
@@ -264,40 +303,66 @@ class ConformerEncoder(nn.Module):
     # long-utterance training batches (max_source_positions up to 6000)
     remat: bool = False
     quant: bool = False  # int8 W8A8 inference matmuls
+    # sequence-parallel mesh axis: set (via .copy(sp_axis=...)) when
+    # run_layers executes inside a shard_map with time-sharded activations
+    # (parallel/sequence.py conformer_encode_sp)
+    sp_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, src, src_lengths, deterministic: bool = True):
-        x, out_lengths = Conv1dSubsampler(
+    def setup(self):
+        self.subsample = Conv1dSubsampler(
             mid_channels=self.conv_channels,
             out_channels=self.dim,
             kernel_sizes=tuple(self.conv_kernel_sizes),
             dtype=self.dtype,
             name="subsample",
-        )(src, src_lengths)
-        mask = jnp.arange(x.shape[1])[None, :] < out_lengths[:, None]
-
-        scale = 1.0 if self.no_scale_embedding else math.sqrt(self.dim)
-        x = x * scale
-        pos_table = jnp.asarray(
-            rel_positional_encoding(x.shape[1], self.dim), dtype=self.dtype
         )
-        x = nn.Dense(self.dim, dtype=self.dtype, name="linear")(x)
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        self.linear = nn.Dense(self.dim, dtype=self.dtype, name="linear")
+        self.input_dropout = nn.Dropout(self.dropout)
         layer_cls = ConformerLayer
         if self.remat:
             layer_cls = nn.remat(
                 ConformerLayer, static_argnums=(4,)  # deterministic
             )
-        for i in range(self.layers):
-            x = layer_cls(
+        self.conformer_layers = [
+            layer_cls(
                 dim=self.dim,
                 ffn_dim=self.ffn_dim,
                 heads=self.heads,
                 dropout=self.dropout,
                 depthwise_kernel_size=self.depthwise_kernel_size,
                 quant=self.quant,
+                sp_axis=self.sp_axis,
                 dtype=self.dtype,
                 name=f"layer_{i}",
-            )(x, pos_table, mask, deterministic)
+            )
+            for i in range(self.layers)
+        ]
+
+    def embed(self, src, src_lengths, deterministic: bool = True):
+        """Subsample + scale + input projection (replicated under SP).
+        Returns (x [B, T', C], mask [B, T'], pos_table [2T'-1, C])."""
+        x, out_lengths = self.subsample(src, src_lengths)
+        mask = jnp.arange(x.shape[1])[None, :] < out_lengths[:, None]
+        scale = 1.0 if self.no_scale_embedding else math.sqrt(self.dim)
+        x = x * scale
+        pos_table = jnp.asarray(
+            rel_positional_encoding(x.shape[1], self.dim), dtype=self.dtype
+        )
+        x = self.linear(x)
+        x = self.input_dropout(x, deterministic=deterministic)
+        return x, mask, pos_table
+
+    def run_layers(self, x, pos_table, mask, deterministic: bool = True,
+                   conv_keep=None):
+        """The conformer layer stack. Under SP, x/mask are local
+        time-shards, pos_table is the global table, and conv_keep marks
+        real (non-SP-pad) frames for the depthwise conv."""
+        for layer in self.conformer_layers:
+            x = layer(x, pos_table, mask, deterministic, conv_keep)
+        return x
+
+    def __call__(self, src, src_lengths, deterministic: bool = True):
+        x, mask, pos_table = self.embed(src, src_lengths, deterministic)
+        x = self.run_layers(x, pos_table, mask, deterministic)
         return x, mask

@@ -321,3 +321,30 @@ def test_ar_reranked_beam_selection(built):
         length_beam=beam,
     )
     assert not np.array_equal(tokens_rr, np.asarray(tokens_ms))
+
+
+def test_conformer_encoder_remat_grads():
+    """--encoder-remat (jax.checkpoint per conformer layer) must stay
+    differentiable through the setup-style encoder."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffnorm_tpu.models.conformer import ConformerEncoder
+
+    enc = ConformerEncoder(dim=16, ffn_dim=32, layers=2, heads=4,
+                           dropout=0.0, depthwise_kernel_size=7,
+                           conv_channels=16, remat=True)
+    src = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 32, 80)), jnp.float32)
+    lens = jnp.asarray([32, 20])
+    v = enc.init(jax.random.PRNGKey(0), src, lens)
+
+    def loss(v):
+        out, _ = enc.apply(v, src, lens)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(v)
+    total = jax.tree_util.tree_reduce(
+        lambda a, b: a + jnp.sum(jnp.abs(b)), g, 0.0)
+    assert np.isfinite(float(total)) and float(total) > 0

@@ -124,3 +124,53 @@ def test_ring_under_jit_with_data_axis():
     np.testing.assert_allclose(
         np.asarray(out) * m, np.asarray(ref) * m, atol=2e-6
     )
+
+
+def test_conformer_encoder_sp_matches_unsharded():
+    """Full sequence-parallel conformer encode (ring rel-pos attention +
+    halo-exchanged depthwise conv) matches the unsharded encoder."""
+    _needs8()
+    from diffnorm_tpu.models.conformer import ConformerEncoder
+    from diffnorm_tpu.parallel.sequence import conformer_encode_sp
+
+    enc = ConformerEncoder(dim=16, ffn_dim=32, layers=2, heads=4,
+                           dropout=0.0, depthwise_kernel_size=7,
+                           conv_channels=16)
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.normal(size=(2, 64, 80)), jnp.float32)
+    lens = jnp.asarray([64, 41])
+    v = enc.init(jax.random.PRNGKey(0), src, lens)
+
+    ref, ref_mask = enc.apply(v, src, lens)
+
+    mesh = make_seq_mesh(4)
+    out, mask = conformer_encode_sp(enc, v, src, lens, mesh)
+    np.testing.assert_array_equal(np.asarray(mask), np.asarray(ref_mask))
+    m = np.asarray(ref_mask)[:, :, None]
+    np.testing.assert_allclose(
+        np.asarray(out) * m, np.asarray(ref) * m, atol=5e-5
+    )
+
+
+def test_conformer_encoder_sp_ragged_pad():
+    """T' not divisible by the seq axis: the driver pads and crops."""
+    _needs8()
+    from diffnorm_tpu.models.conformer import ConformerEncoder
+    from diffnorm_tpu.parallel.sequence import conformer_encode_sp
+
+    enc = ConformerEncoder(dim=16, ffn_dim=32, layers=1, heads=2,
+                           dropout=0.0, depthwise_kernel_size=3,
+                           conv_channels=16)
+    rng = np.random.default_rng(1)
+    src = jnp.asarray(rng.normal(size=(2, 44, 80)), jnp.float32)  # T'=11
+    lens = jnp.asarray([44, 30])
+    v = enc.init(jax.random.PRNGKey(0), src, lens)
+    ref, ref_mask = enc.apply(v, src, lens)
+
+    mesh = make_seq_mesh(4)  # 11 % 4 != 0 -> pad to 12
+    out, mask = conformer_encode_sp(enc, v, src, lens, mesh)
+    assert out.shape == ref.shape
+    m = np.asarray(ref_mask)[:, :, None]
+    np.testing.assert_allclose(
+        np.asarray(out) * m, np.asarray(ref) * m, atol=5e-5
+    )

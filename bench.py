@@ -251,6 +251,60 @@ def main_train():
     }))
 
 
+def main_prepare():
+    """Preprocessing-graph throughput (BASELINE.json config 1): full
+    mHuBERT-base forward (conv extractor + 11 transformer layers) fused
+    with K=1000 k-means matmul-argmin in ONE jitted program — the
+    feature-dump + quantize stage (scripts/prepare). bf16 compute, one
+    chip. Run with `python bench.py --prepare`."""
+    import os
+
+    from diffnorm_tpu.models.hubert import HubertEncoder
+    from diffnorm_tpu.models.kmeans import kmeans_predict
+
+    b = int(os.environ.get("BENCH_BATCH", 8))
+    secs = int(os.environ.get("BENCH_SECS", 10))
+    REPEATS = int(os.environ.get("BENCH_REPEATS", 4))
+    t = 16000 * secs
+    model = HubertEncoder(dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.normal(size=(b, t)) * 0.1, jnp.float32)
+    variables = jax.jit(
+        lambda w: model.init(jax.random.PRNGKey(0), w, output_layer=11)
+    )(wav[:1])
+    cent = jnp.asarray(rng.normal(size=(1000, 768)), jnp.float32)
+
+    @jax.jit
+    def run_many(v, w, c):
+        def body(carry, i):
+            feats = model.apply(
+                v, w + (i * 1e-6), output_layer=11).astype(jnp.float32)
+            units = kmeans_predict(feats.reshape(-1, feats.shape[-1]), c)
+            return carry + jnp.sum(units), ()
+
+        total, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32),
+                                jnp.arange(REPEATS))
+        return total
+
+    _ = int(run_many(variables, wav, cent))  # compile + run
+    tiny = jax.jit(lambda x: jnp.sum(x))
+    _ = float(tiny(jnp.ones((8,))))
+    t0 = time.perf_counter()
+    _ = float(tiny(jnp.ones((8,))))
+    latency = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _ = int(run_many(variables, wav, cent))
+    wall = max(time.perf_counter() - t0 - latency, 1e-9)
+    rtf = REPEATS * b * secs / wall
+    print(json.dumps({
+        "metric": "hubert_kmeans_prepare_rtf",
+        "value": round(rtf, 1),
+        "unit": f"audio_s/wall_s (B{b}x{secs}s, mHuBERT layer-11 + K=1000 "
+                "fused, bf16, 1 chip)",
+        "vs_baseline": round(rtf / 5.0, 2),
+    }))
+
+
 def main_nar_train():
     """NAR S2UT translator train-step throughput (stage-3 workload,
     scripts/s2ut/train.sh: full-size nar_s2ut_conformer, 400k updates at
@@ -538,7 +592,9 @@ def main_gan_train():
 if __name__ == "__main__":
     import sys
 
-    if "--nar-train" in sys.argv:
+    if "--prepare" in sys.argv:
+        main_prepare()
+    elif "--nar-train" in sys.argv:
         main_nar_train()
     elif "--nar" in sys.argv:
         main_nar()

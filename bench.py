@@ -205,6 +205,8 @@ def main_train():
     from diffnorm_tpu.train.trainer import Trainer
 
     _import_all()
+    if os.environ.get("BENCH_PRNG", "rbg") == "rbg":
+        jax.config.update("jax_default_prng_impl", "rbg")
     b = int(os.environ.get("BENCH_BATCH", 16))
     seq = int(os.environ.get("BENCH_SEQ", 256))
     cfg = Config(
@@ -320,6 +322,12 @@ def main_nar_train():
     _import_all()
     b = int(os.environ.get("BENCH_BATCH", 32))
     seq = int(os.environ.get("BENCH_SEQ", 480))  # 4.8 s utterances
+    # default rbg: dropout-mask generation through the TPU's hardware RNG.
+    # An xplane profile showed threefry mask fusions are 61% of the step's
+    # device time at B96; rbg is +37% step throughput (PERFORMANCE.md).
+    # BENCH_PRNG=threefry restores the software PRNG.
+    if os.environ.get("BENCH_PRNG", "rbg") == "rbg":
+        jax.config.update("jax_default_prng_impl", "rbg")
     cfg = Config(
         arch="nar_s2ut_conformer", criterion="nar_speech_to_unit",
         target_code_size=1000, label_smoothing=0.2, dtype="bfloat16",

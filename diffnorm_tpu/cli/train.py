@@ -64,6 +64,14 @@ def main(cfg: Optional[Config] = None) -> int:
     import_user_module(cfg.get("user_dir"))
     if cfg.get("cpu"):  # force host CPU (the image pins jax to the TPU tunnel)
         jax.config.update("jax_platforms", "cpu")
+    if cfg.get("prng_impl"):
+        # --prng-impl rbg: hardware RNG for dropout masks. Profiling showed
+        # threefry mask generation is ~60% of the NAR train step's device
+        # time (PERFORMANCE.md "NAR train step: RNG dominates"); rbg trades
+        # cross-version reproducibility for ~2x step throughput. The
+        # reference trains with unseeded torch RNG, so rbg matches its
+        # reproducibility story.
+        jax.config.update("jax_default_prng_impl", cfg.prng_impl)
     from diffnorm_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()

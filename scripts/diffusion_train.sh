@@ -24,4 +24,4 @@ python -m diffnorm_tpu.cli.train $data_dir \
   --adam-betas "(0.9,0.98)" --clip-norm 2.0 \
   --max-update 2000000 --max-tokens 12000 --max-target-positions 2048 \
   --validate-interval 5 --save-interval 5 \
-  --seed 42 --log-interval 50 --dtype bfloat16
+  --seed 42 --prng-impl rbg --log-interval 50 --dtype bfloat16

@@ -22,4 +22,4 @@ python -m diffnorm_tpu.cli.train $data_dir \
   --lr 5e-4 --lr-scheduler inverse_sqrt --warmup-init-lr 1e-7 --warmup-updates 10000 \
   --adam-betas "(0.9,0.98)" --clip-norm 10.0 \
   --max-update 400000 --max-tokens 40000 --max-target-positions 1024 \
-  --seed 42 --validate-interval 5 --save-interval 5 --dtype bfloat16
+  --seed 42 --prng-impl rbg --validate-interval 5 --save-interval 5 --dtype bfloat16

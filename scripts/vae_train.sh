@@ -21,4 +21,4 @@ python -m diffnorm_tpu.cli.train $data_dir \
   --lr 5e-4 --lr-scheduler inverse_sqrt --warmup-init-lr 1e-7 --warmup-updates 10000 \
   --adam-betas "(0.9,0.98)" --clip-norm 2.0 \
   --max-update 200000 --max-tokens 15000 --max-target-positions 2048 \
-  --seed 42 --log-interval 50 --dtype bfloat16
+  --seed 42 --prng-impl rbg --log-interval 50 --dtype bfloat16

@@ -68,7 +68,11 @@ class Trainer:
         ema_decay = task.cfg.get("ema_decay", 0.0)
         self.ema = EMA(ema_decay) if ema_decay else None
         self._jit_grad = jax.jit(self._grad_step)
-        self._jit_apply = jax.jit(self._apply_step, donate_argnums=(0,))
+        # donate the state AND the accumulated grads: both are dead after
+        # the update, and aliasing them lets XLA run the adam update fully
+        # in place (an xplane profile showed ~11% of the post-rbg step in
+        # copies — PERFORMANCE.md "NAR train step: RNG dominates")
+        self._jit_apply = jax.jit(self._apply_step, donate_argnums=(0, 1))
         self._jit_valid = jax.jit(self._valid_step)
         # microbatch grad accumulation as ONE compiled call (a host-side
         # tree_map of jnp.add is one dispatch per param leaf); the

@@ -30,9 +30,11 @@ def main(cfg: Optional[Config] = None) -> int:
     _import_all()
     if cfg is None:
         cfg = parse_args()
-    import_user_module(cfg.get("user_dir"))
     if cfg.get("cpu"):
         jax.config.update("jax_platforms", "cpu")
+    # AFTER the platform pin: a user module that touches jax at import time
+    # would otherwise initialize the TPU backend and make --cpu a no-op
+    import_user_module(cfg.get("user_dir"))
     from diffnorm_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()

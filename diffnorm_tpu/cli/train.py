@@ -61,9 +61,11 @@ def main(cfg: Optional[Config] = None) -> int:
     _import_all()
     if cfg is None:
         cfg = parse_args()
-    import_user_module(cfg.get("user_dir"))
     if cfg.get("cpu"):  # force host CPU (the image pins jax to the TPU tunnel)
         jax.config.update("jax_platforms", "cpu")
+    # AFTER the platform pin: a user module that touches jax at import time
+    # would otherwise initialize the TPU backend and make --cpu a no-op
+    import_user_module(cfg.get("user_dir"))
     if cfg.get("prng_impl"):
         # --prng-impl rbg: hardware RNG for dropout masks. Profiling showed
         # threefry mask generation is ~60% of the NAR train step's device

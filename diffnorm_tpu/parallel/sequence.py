@@ -215,14 +215,10 @@ def ring_rel_pos_attention(q_u, q_v, k, v, pos, mask=None, axis: str = "seq"):
 
 
 def _rel_shift(x):
-    """[B, H, T, 2T-1] -> [B, H, T, T]: out[i, j] = x[i, j - i + T - 1]
-    (same math as models/conformer.py rel_shift, restated locally to avoid
-    an import cycle)."""
-    b, h, t, _ = x.shape
-    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))
-    x = x.reshape(b, h, 2 * t, t)[:, :, 1:, :]
-    x = x.reshape(b, h, t, 2 * t - 1)
-    return x[..., :t]
+    """[B, H, T, 2T-1] -> [B, H, T, T]: out[i, j] = x[i, j - i + T - 1]."""
+    from diffnorm_tpu.models.conformer import rel_shift
+
+    return rel_shift(x)
 
 
 def halo_pad(x, left: int, right: int, axis: str = "seq"):
@@ -269,46 +265,68 @@ def conformer_encode_sp(encoder, variables, src, src_lengths, mesh,
     pad_t = (-t) % n
     conv_keep = None
     if pad_t:
+        from diffnorm_tpu.models.conformer import rel_positional_encoding
+
         x = jnp.pad(x, ((0, 0), (0, pad_t), (0, 0)))
         mask = jnp.pad(mask, ((0, 0), (0, pad_t)))
+        # re-derive the table at the padded length (values depend only on
+        # (length, dim) — no device round trip)
         pos_table = jnp.asarray(
-            _extend_pos_table(np.asarray(pos_table), t + pad_t),
+            rel_positional_encoding(t + pad_t, pos_table.shape[-1]),
             dtype=pos_table.dtype)
         # mark SP-introduced pad frames (beyond the true T') so the
         # depthwise conv zeroes them like the unsharded edge padding
         conv_keep = jnp.broadcast_to(
             jnp.arange(t + pad_t)[None, :] < t, mask.shape)
-    enc_sp = encoder.copy(sp_axis=axis)
-
-    def body(xs, ms, ck=None):
-        return enc_sp.apply(variables, xs, pos_table, ms, deterministic,
-                            ck, method="run_layers")
-
+    fn = _sp_layers_fn(encoder, mesh, axis, deterministic,
+                       conv_keep is not None)
     if conv_keep is None:
-        fn = shard_map(
-            body, mesh=mesh,
-            in_specs=(P(None, axis, None), P(None, axis)),
-            out_specs=P(None, axis, None),
-        )
-        out = jax.jit(fn)(x, mask)
+        out = fn(variables, x, pos_table, mask)
     else:
-        fn = shard_map(
-            body, mesh=mesh,
-            in_specs=(P(None, axis, None), P(None, axis), P(None, axis)),
-            out_specs=P(None, axis, None),
-        )
-        out = jax.jit(fn)(x, mask, conv_keep)
+        out = fn(variables, x, pos_table, mask, conv_keep)
     if pad_t:
         out, mask = out[:, :t], mask[:, :t]
     return out, mask
 
 
-def _extend_pos_table(table: np.ndarray, t_new: int) -> np.ndarray:
-    """Re-derive the [2*t_new - 1, dim] ESPNet rel-pos table (the embed
-    method built it for the unpadded length)."""
-    from diffnorm_tpu.models.conformer import rel_positional_encoding
+_sp_fn_cache: dict = {}
 
-    return rel_positional_encoding(t_new, table.shape[-1])
+
+def _sp_layers_fn(encoder, mesh: Mesh, axis: str, deterministic: bool,
+                  with_keep: bool):
+    """Cached jitted shard_map of the SP layer stack: jit caches by callable
+    identity, so building a fresh closure per conformer_encode_sp call would
+    recompile every batch (minutes through the TPU tunnel)."""
+    key = (encoder, mesh, axis, deterministic, with_keep)
+    fn = _sp_fn_cache.get(key)
+    if fn is not None:
+        return fn
+    enc_sp = encoder.copy(sp_axis=axis)
+
+    if with_keep:
+        def body(variables, xs, pos_table, ms, ck):
+            return enc_sp.apply(variables, xs, pos_table, ms, deterministic,
+                                ck, method="run_layers")
+
+        mapped = shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(None, axis, None), P(), P(None, axis),
+                      P(None, axis)),
+            out_specs=P(None, axis, None),
+        )
+    else:
+        def body(variables, xs, pos_table, ms):
+            return enc_sp.apply(variables, xs, pos_table, ms, deterministic,
+                                method="run_layers")
+
+        mapped = shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(None, axis, None), P(), P(None, axis)),
+            out_specs=P(None, axis, None),
+        )
+    fn = jax.jit(mapped)
+    _sp_fn_cache[key] = fn
+    return fn
 
 
 def make_seq_mesh(n: int, devices=None) -> Mesh:

@@ -135,7 +135,13 @@ def import_user_module(module_path) -> None:
     if name.endswith(".py"):  # single-file module
         name = name[:-3]
     if name in sys.modules:
-        return
+        # silently skipping would mean the plugin's register_* decorators
+        # never run (reference fairseq/utils.py:490-507 raises here too)
+        raise FileExistsError(
+            f"--user-dir module name '{name}' collides with an "
+            f"already-imported module ({sys.modules[name]}); rename the "
+            "user directory"
+        )
     sys.path.insert(0, parent)
     try:
         importlib.import_module(name)

@@ -15,15 +15,15 @@ from diffnorm_tpu.config import Config
 from diffnorm_tpu.registry import TASKS, import_user_module
 
 
-def _write_plugin(tmp_path):
-    pkg = tmp_path / "my_plugin"
+def _write_plugin(tmp_path, name, task_name):
+    pkg = tmp_path / name
     pkg.mkdir(exist_ok=True)
-    (pkg / "__init__.py").write_text(textwrap.dedent("""
+    (pkg / "__init__.py").write_text(textwrap.dedent(f"""
         from diffnorm_tpu.registry import register_task
         from diffnorm_tpu.tasks.dummy import DummyVAETask
 
 
-        @register_task("user_dummy_vae")
+        @register_task({task_name!r})
         class UserDummyVAETask(DummyVAETask):
             pass
     """))
@@ -31,10 +31,10 @@ def _write_plugin(tmp_path):
 
 
 def test_import_user_module_registers(tmp_path):
-    pkg = _write_plugin(tmp_path)
+    pkg = _write_plugin(tmp_path, "my_plugin_a", "user_dummy_vae_a")
     import_user_module(str(pkg))
-    assert "user_dummy_vae" in TASKS
-    # idempotent
+    assert "user_dummy_vae_a" in TASKS
+    # idempotent for the same path
     import_user_module(str(pkg))
 
 
@@ -43,14 +43,25 @@ def test_missing_user_dir_raises(tmp_path):
         import_user_module(str(tmp_path / "nope"))
 
 
+def test_user_dir_name_collision_raises(tmp_path):
+    """A plugin whose basename collides with an already-imported module
+    must fail loudly (reference fairseq/utils.py:490-507), not silently
+    skip registration."""
+    pkg = tmp_path / "json"  # stdlib collision
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    with pytest.raises(FileExistsError):
+        import_user_module(str(pkg))
+
+
 @pytest.mark.slow
 def test_train_cli_with_user_dir(tmp_path):
     """The train CLI resolves a task registered only by the user dir."""
     from diffnorm_tpu.cli import train
 
-    pkg = _write_plugin(tmp_path)
+    pkg = _write_plugin(tmp_path, "my_plugin_b", "user_dummy_vae_b")
     rc = train.main(Config(
-        user_dir=str(pkg), task="user_dummy_vae",
+        user_dir=str(pkg), task="user_dummy_vae_b",
         arch="speech_vae_decoder", criterion="speech_vae_decoder_loss",
         feature_dim=8, latent_dim=2, chan_mults=[2], vae_decoder_depth=1,
         vae_decoder_dim_head=4, vae_decoder_heads=2, target_code_size=8,

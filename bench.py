@@ -253,6 +253,59 @@ def main_train():
     }))
 
 
+def main_vae_train():
+    """Speech-VAE train-step throughput (stage-1 workload,
+    scripts/vae/train.sh: full-size speech_vae_decoder at latent 128,
+    lr 5e-4, 200k updates). fwd+bwd+adam, bf16 compute. Run with
+    `python bench.py --vae-train`."""
+    import os
+
+    from diffnorm_tpu.config import Config, make_trainer_config
+    from diffnorm_tpu.registry import TASKS, _import_all
+    from diffnorm_tpu.train.trainer import Trainer
+
+    _import_all()
+    if os.environ.get("BENCH_PRNG", "rbg") == "rbg":
+        jax.config.update("jax_default_prng_impl", "rbg")
+    b = int(os.environ.get("BENCH_BATCH", 16))
+    seq = int(os.environ.get("BENCH_SEQ", 256))
+    cfg = Config(
+        task="dummy_vae", arch="speech_vae_decoder",
+        criterion="speech_vae_decoder_loss", feature_dim=768, latent_dim=128,
+        target_code_size=1000, dtype="bfloat16", lr=5e-4, warmup_updates=10,
+    )
+    task = TASKS.get("dummy_vae").setup_task(cfg)
+    trainer = Trainer(make_trainer_config(cfg), task, task.build_model(),
+                      task.build_criterion())
+    batch = task.dummy_batch(b, seq)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    rng = jax.random.PRNGKey(1)
+    from diffnorm_tpu.parallel.mesh import shard_batch
+
+    batch = shard_batch(batch, trainer.mesh)
+    for i in range(2):
+        state, m = trainer.train_step(state, [batch], jax.random.fold_in(rng, i))
+    tiny = jax.jit(lambda x: jnp.sum(x))
+    _ = float(tiny(jnp.ones((8,))))
+    t0 = time.perf_counter()
+    _ = float(tiny(jnp.ones((8,))))
+    latency = time.perf_counter() - t0
+    n = 8
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, m = trainer.train_step(state, [batch],
+                                      jax.random.fold_in(rng, 100 + i))
+    _ = float(m["loss"])
+    wall = max(time.perf_counter() - t0 - latency, 1e-9)
+    ups = n / wall
+    print(json.dumps({
+        "metric": "vae_train_step_throughput",
+        "value": round(ups * b * seq, 1),
+        "unit": f"unit_tokens/s (B{b}xT{seq} fwd+bwd+adam, bf16, 1 chip)",
+        "vs_baseline": round(ups, 3),
+    }))
+
+
 def main_prepare():
     """Preprocessing-graph throughput (BASELINE.json config 1): full
     mHuBERT-base forward (conv extractor + 11 transformer layers) fused
@@ -600,7 +653,9 @@ def main_gan_train():
 if __name__ == "__main__":
     import sys
 
-    if "--prepare" in sys.argv:
+    if "--vae-train" in sys.argv:
+        main_vae_train()
+    elif "--prepare" in sys.argv:
         main_prepare()
     elif "--nar-train" in sys.argv:
         main_nar_train()

@@ -34,7 +34,8 @@ def main(argv=None) -> int:
                         format="%(asctime)s | %(levelname)s | %(message)s")
     p = argparse.ArgumentParser()
     p.add_argument("--type", required=True,
-                   choices=["vae", "diffusion", "nar", "hifigan", "hubert"])
+                   choices=["vae", "diffusion", "nar", "hifigan", "hubert",
+                            "gan_discriminators"])
     p.add_argument("--input", required=True, help="torch checkpoint path")
     p.add_argument("--output", required=True,
                    help="orbax checkpoint directory to create")
@@ -58,6 +59,16 @@ def main(argv=None) -> int:
         with open(args.vocoder_cfg) as f:
             cfg = json.load(f)
         variables = cw.convert_hifigan_checkpoint(args.input, cfg)
+    elif args.type == "gan_discriminators":
+        # hifigan fine-tune `do_*` checkpoint layout:
+        # {"mpd": state_dict, "msd": state_dict, ...} — resumes a vocoder
+        # fine-tune with the reference's trained discriminators
+        # (research/TranSpeech/hifigan/models.py:128-249)
+        import torch
+
+        ckpt = torch.load(args.input, map_location="cpu",
+                          weights_only=False)
+        variables = cw.convert_gan_discriminators(ckpt["mpd"], ckpt["msd"])
     else:
         variables = cw.convert_hubert_checkpoint(args.input,
                                                  layers=args.hubert_layers)

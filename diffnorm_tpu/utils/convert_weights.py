@@ -539,3 +539,70 @@ def convert_nar_state(sd: Dict) -> Dict:
 
 def convert_nar_checkpoint(path: str) -> Dict:
     return convert_nar_state(_load_torch_state(path))
+
+
+# -------------------------------------------- GAN discriminators (MPD/MSD)
+
+def _fold_spectral_norm(orig, u, v) -> np.ndarray:
+    """Effective eval-mode weight of torch spectral_norm: W / sigma with
+    sigma = u^T W_mat v (stored power-iteration vectors; torch
+    SpectralNorm.compute_weight with do_power_iteration=False)."""
+    orig, u, v = _t(orig), _t(u), _t(v)
+    w_mat = orig.reshape(orig.shape[0], -1)
+    sigma = float(u @ (w_mat @ v))
+    return orig / sigma
+
+
+def _disc_conv(sd: Dict, prefix: str) -> np.ndarray:
+    if f"{prefix}.weight_g" in sd:
+        return fold_weight_norm(sd[f"{prefix}.weight_g"],
+                                sd[f"{prefix}.weight_v"])
+    if f"{prefix}.weight_orig" in sd:
+        return _fold_spectral_norm(sd[f"{prefix}.weight_orig"],
+                                   sd[f"{prefix}.weight_u"],
+                                   sd[f"{prefix}.weight_v"])
+    return _t(sd[f"{prefix}.weight"])
+
+
+def convert_gan_discriminators(mpd_sd: Dict, msd_sd: Dict,
+                               periods=(2, 3, 5, 7, 11),
+                               scales: int = 3) -> Dict:
+    """TranSpeech hifigan MultiPeriod/MultiScale discriminator state dicts
+    (research/TranSpeech/hifigan/models.py:128-249; weight_norm folded,
+    spectral_norm on the first MSD scale folded at eval semantics) ->
+    {"mpd": ..., "msd": ...} variables for models/hifigan_disc.py.
+    Enables resuming a vocoder fine-tune from a torch `do_*` checkpoint."""
+    mpd: Dict = {}
+    for i, p in enumerate(periods):
+        d: Dict = {}
+        for j in range(5):
+            pre = f"discriminators.{i}.convs.{j}"
+            d[f"conv_{j}"] = {
+                # Conv2d [out, in, kh, kw] -> flax [kh, kw, in, out]
+                "kernel": _disc_conv(mpd_sd, pre).transpose(2, 3, 1, 0),
+                "bias": _t(mpd_sd[f"{pre}.bias"]),
+            }
+        pre = f"discriminators.{i}.conv_post"
+        d["conv_post"] = {
+            "kernel": _disc_conv(mpd_sd, pre).transpose(2, 3, 1, 0),
+            "bias": _t(mpd_sd[f"{pre}.bias"]),
+        }
+        mpd[f"period_{p}"] = d
+
+    msd: Dict = {}
+    for s in range(scales):
+        d = {}
+        for j in range(7):
+            pre = f"discriminators.{s}.convs.{j}"
+            d[f"conv_{j}"] = {
+                # Conv1d [out, in, k] -> flax [k, in, out]
+                "kernel": _disc_conv(msd_sd, pre).transpose(2, 1, 0),
+                "bias": _t(msd_sd[f"{pre}.bias"]),
+            }
+        pre = f"discriminators.{s}.conv_post"
+        d["conv_post"] = {
+            "kernel": _disc_conv(msd_sd, pre).transpose(2, 1, 0),
+            "bias": _t(msd_sd[f"{pre}.bias"]),
+        }
+        msd[f"scale_{s}"] = d
+    return {"mpd": {"params": mpd}, "msd": {"params": msd}}

@@ -626,3 +626,32 @@ def load_hubert():
         _cache["hubert"] = _file_module(
             "ref_hubert", f"{REF}/fairseq/models/hubert/hubert.py")
     return _cache["hubert"]
+
+
+def load_ts_hifigan():
+    """Exec the real research/TranSpeech/hifigan/models.py verbatim (the
+    vocoder fine-tune GAN: Generator + MultiPeriod/MultiScale
+    discriminators + feature/adversarial losses). Its utils import pulls
+    matplotlib, so the two 3-line helpers it actually uses (get_padding,
+    init_weights — restated from hifigan/utils.py) are stubbed."""
+    if "ts_hifigan" not in _cache:
+        install_fairseq_stubs()
+
+        for name in ("research", "research.TranSpeech",
+                     "research.TranSpeech.hifigan"):
+            _stub(name)
+
+        def get_padding(kernel_size, dilation=1):
+            return (kernel_size * dilation - dilation) // 2
+
+        def init_weights(m, mean=0.0, std=0.01):
+            if m.__class__.__name__.find("Conv") != -1:
+                m.weight.data.normal_(mean, std)
+
+        _stub("research.TranSpeech.hifigan.utils",
+              get_padding=get_padding, init_weights=init_weights)
+        _cache["ts_hifigan"] = _file_module(
+            "ref_ts_hifigan_models",
+            f"{REF}/research/TranSpeech/hifigan/models.py",
+        )
+    return _cache["ts_hifigan"]

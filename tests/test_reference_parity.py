@@ -674,3 +674,124 @@ def test_hubert_extract_features_matches_reference():
         np.testing.assert_allclose(
             np.asarray(out), ref_feat.numpy(), atol=1e-4
         )
+
+
+def test_gan_discriminators_match_reference():
+    """The REAL TranSpeech MPD/MSD discriminators (hifigan/models.py:
+    128-249, loaded verbatim) must match models/hifigan_disc.py after
+    state-dict conversion — scores AND every feature map, including the
+    spectral-norm fold on the first MSD scale and the reflect padding in
+    the period reshape. Also pins the GAN losses against the real
+    feature_loss/discriminator_loss/generator_loss."""
+    from reference_loader import load_ts_hifigan
+
+    from diffnorm_tpu.models.hifigan_disc import (
+        MultiPeriodDiscriminator,
+        MultiScaleDiscriminator,
+        discriminator_loss,
+        feature_matching_loss,
+        generator_adv_loss,
+    )
+    from diffnorm_tpu.utils.convert_weights import convert_gan_discriminators
+
+    m = load_ts_hifigan()
+    torch.manual_seed(0)
+    mpd_t = m.MultiPeriodDiscriminator()
+    msd_t = m.MultiScaleDiscriminator()
+    # tame the default conv init so deep-stack activations stay O(1) and
+    # absolute tolerances are meaningful (weight_norm g shrinks with v's
+    # norm; spectral norm is scale-invariant so its layer keeps unit gain)
+    with torch.no_grad():
+        for mod in list(mpd_t.modules()) + list(msd_t.modules()):
+            for name in ("weight_v", "weight_orig", "weight_g"):
+                t = getattr(mod, name, None)
+                if t is not None and name != "weight_g":
+                    t.mul_(0.2)
+            if hasattr(mod, "weight_g"):
+                mod.weight_g.data.mul_(0.2)
+    mpd_t.eval()
+    msd_t.eval()
+
+    rng = np.random.default_rng(0)
+    wav_r = (rng.normal(size=(2, 1, 1000)) * 0.1).astype(np.float32)
+    wav_g = (rng.normal(size=(2, 1, 1000)) * 0.1).astype(np.float32)
+    yr, yg = torch.from_numpy(wav_r), torch.from_numpy(wav_g)
+    with torch.no_grad():
+        # one eval forward fixes the spectral-norm effective weights the
+        # converter folds (stored u/v, no power iteration)
+        r_rs, r_gs, r_fr, r_fg = mpd_t(yr, yg)
+        s_rs, s_gs, s_fr, s_fg = msd_t(yr, yg)
+
+    variables = convert_gan_discriminators(
+        mpd_t.state_dict(), msd_t.state_dict())
+
+    def _close(a, b, tol=2e-4):
+        # scale-aware: deep random-init conv stacks reach O(1e3) magnitudes
+        # where f32 accumulation noise is absolute, not relative
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        assert np.abs(a - b).max() <= tol * (np.abs(b).max() + 1.0), (
+            np.abs(a - b).max(), np.abs(b).max())
+
+    mpd_j = MultiPeriodDiscriminator()
+    msd_j = MultiScaleDiscriminator()
+    jr = jnp.asarray(wav_r[:, 0]), jnp.asarray(wav_g[:, 0])
+    outs_p = mpd_j.apply(variables["mpd"], *jr)
+    outs_s = msd_j.apply(variables["msd"], *jr)
+
+    # scores + feature maps, each period/scale
+    for i, ((rs_j, fr_j), (gs_j, fg_j)) in enumerate(outs_p):
+        _close(rs_j, r_rs[i].numpy())
+        _close(gs_j, r_gs[i].numpy())
+        assert len(fr_j) == len(r_fr[i])
+        for fj, ft in zip(fr_j, r_fr[i]):
+            # ours: [B, T/p, p, C]; torch: [B, C, T/p, p]
+            _close(np.asarray(fj).transpose(0, 3, 1, 2), ft.numpy())
+    for i, ((rs_j, fr_j), (gs_j, fg_j)) in enumerate(outs_s):
+        _close(rs_j, s_rs[i].numpy())
+        assert len(fr_j) == len(s_fr[i])
+        for fj, ft in zip(fr_j, s_fr[i]):
+            # ours: [B, T, C]; torch: [B, C, T]
+            _close(np.asarray(fj).transpose(0, 2, 1), ft.numpy())
+
+    # losses on identical inputs match the real loss functions
+    ref_d, _, _ = m.discriminator_loss(r_rs, r_gs)
+    jax_d = discriminator_loss(outs_p)
+    np.testing.assert_allclose(float(jax_d), float(ref_d), rtol=1e-5)
+    ref_g, _ = m.generator_loss(r_gs)
+    jax_g = generator_adv_loss(outs_p)
+    np.testing.assert_allclose(float(jax_g), float(ref_g), rtol=1e-5)
+    ref_fm = m.feature_loss(r_fr, r_fg)
+    # the reference folds a x2 into feature_loss (models.py:257); here the
+    # factor lives in GanTrainer.fm_weight (default 2.0) instead
+    jax_fm = 2.0 * feature_matching_loss(outs_p)
+    np.testing.assert_allclose(float(jax_fm), float(ref_fm), rtol=1e-4)
+
+
+def test_convert_checkpoint_cli_gan_discriminators(tmp_path):
+    """--type gan_discriminators converts a reference-layout `do_*`
+    checkpoint (mpd+msd state dicts) into orbax variables."""
+    from reference_loader import load_ts_hifigan
+
+    from diffnorm_tpu.cli import convert_checkpoint
+
+    m = load_ts_hifigan()
+    torch.manual_seed(1)
+    mpd_t, msd_t = m.MultiPeriodDiscriminator(), m.MultiScaleDiscriminator()
+    for d in (mpd_t, msd_t):
+        d.eval()
+        with torch.no_grad():  # fix spectral-norm u/v
+            d(torch.zeros(1, 1, 64), torch.zeros(1, 1, 64))
+    path = str(tmp_path / "do_00000000")
+    torch.save({"mpd": mpd_t.state_dict(), "msd": msd_t.state_dict(),
+                "steps": 0, "epoch": 0}, path)
+    out = str(tmp_path / "disc_orbax")
+    rc = convert_checkpoint.main([
+        "--type", "gan_discriminators", "--input", path, "--output", out,
+    ])
+    assert rc == 0
+
+    import orbax.checkpoint as ocp
+
+    restored = ocp.StandardCheckpointer().restore(out)
+    assert "period_2" in restored["mpd"]["params"]
+    assert "scale_0" in restored["msd"]["params"]

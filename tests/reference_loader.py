@@ -655,3 +655,93 @@ def load_ts_hifigan():
             f"{REF}/research/TranSpeech/hifigan/models.py",
         )
     return _cache["ts_hifigan"]
+
+
+def load_feature_transforms():
+    """Exec the real utterance_cmvn.py + global_cmvn.py verbatim (only the
+    registry base-class import is stubbed)."""
+    if "feat_transforms" not in _cache:
+        install_fairseq_stubs()
+
+        class _Base:
+            pass
+
+        _stub("fairseq.data.audio")
+        _stub("fairseq.data.audio.feature_transforms",
+              AudioFeatureTransform=_Base,
+              register_audio_feature_transform=_identity_decorator)
+        ucmvn = _file_module(
+            "ref_utterance_cmvn",
+            f"{REF}/fairseq/data/audio/feature_transforms/utterance_cmvn.py")
+        gcmvn = _file_module(
+            "ref_global_cmvn",
+            f"{REF}/fairseq/data/audio/feature_transforms/global_cmvn.py")
+        _cache["feat_transforms"] = types.SimpleNamespace(
+            UtteranceCMVN=ucmvn.UtteranceCMVN, GlobalCMVN=gcmvn.GlobalCMVN)
+    return _cache["feat_transforms"]
+
+
+def load_inverse_sqrt_scheduler():
+    """Exec the real inverse_square_root_schedule.py verbatim (the recipe
+    LR scheduler used by all four training stages)."""
+    if "inv_sqrt" not in _cache:
+        install_fairseq_stubs()
+
+        class _SchedBase:
+            def __init__(self, cfg, optimizer):
+                self.cfg = cfg
+                self.optimizer = optimizer
+
+        _stub("omegaconf", II=lambda s: s, MISSING="???")
+        _stub("fairseq.dataclass", FairseqDataclass=object,
+              ChoiceEnum=lambda c: c)
+        _stub("fairseq.optim")
+        _stub("fairseq.optim.lr_scheduler",
+              FairseqLRScheduler=_SchedBase,
+              register_lr_scheduler=_identity_decorator)
+        _cache["inv_sqrt"] = _file_module(
+            "ref_inverse_sqrt",
+            f"{REF}/fairseq/optim/lr_scheduler/inverse_square_root_schedule.py")
+    return _cache["inv_sqrt"]
+
+
+def load_dictionary():
+    """Exec the real fairseq/data/dictionary.py verbatim (with the real
+    tokenizer.py and file_chunker_utils.py; PathManager shimmed to plain
+    open)."""
+    if "dictionary" not in _cache:
+        install_fairseq_stubs()
+        import os
+        import torch
+
+        tok = _file_module("fairseq.tokenizer", f"{REF}/fairseq/tokenizer.py")
+        fcu = _file_module(
+            "fairseq.file_chunker_utils", f"{REF}/fairseq/file_chunker_utils.py")
+
+        _builtin_open = open
+
+        class _PathManager:
+            @staticmethod
+            def get_local_path(path, **kw):
+                return path
+
+            @staticmethod
+            def open(path, mode="r", **kw):
+                kw.pop("encoding", None)
+                return _builtin_open(path, mode)
+
+            @staticmethod
+            def mkdirs(path):
+                if path:
+                    os.makedirs(path, exist_ok=True)
+
+        _stub("fairseq.file_io", PathManager=_PathManager)
+        du = _stub("fairseq.data.data_utils")
+        fd = _stub("fairseq.data")
+        fd.data_utils = du
+        u = sys.modules["fairseq.utils"]
+        if not hasattr(u, "item"):
+            u.item = lambda x: x.item() if hasattr(x, "item") else x
+        _cache["dictionary"] = _file_module(
+            "ref_dictionary", f"{REF}/fairseq/data/dictionary.py")
+    return _cache["dictionary"]

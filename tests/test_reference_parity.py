@@ -795,3 +795,143 @@ def test_convert_checkpoint_cli_gan_discriminators(tmp_path):
     restored = ocp.StandardCheckpointer().restore(out)
     assert "period_2" in restored["mpd"]["params"]
     assert "scale_0" in restored["msd"]["params"]
+
+
+def test_cmvn_transforms_match_reference():
+    """utterance/global CMVN vs the REAL feature_transforms files."""
+    from reference_loader import load_feature_transforms
+
+    from diffnorm_tpu.data.audio import GlobalCMVN, UtteranceCMVN
+
+    ref = load_feature_transforms()
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(37, 80)).astype(np.float32) * 3 + 1.5
+
+    for nm, nv in [(True, True), (True, False), (False, True)]:
+        got = UtteranceCMVN(norm_means=nm, norm_vars=nv)(x.copy())
+        want = ref.UtteranceCMVN(norm_means=nm, norm_vars=nv)(x.copy())
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    import tempfile, os
+    mean = rng.normal(size=(80,)).astype(np.float32)
+    std = rng.uniform(0.5, 2.0, size=(80,)).astype(np.float32)
+    with tempfile.TemporaryDirectory() as td:
+        npz = os.path.join(td, "stats.npz")
+        np.savez(npz, mean=mean, std=std)
+        g = GlobalCMVN(npz)
+    ref_g = ref.GlobalCMVN.__new__(ref.GlobalCMVN)
+    ref_g.mean, ref_g.std = mean, std
+    np.testing.assert_allclose(g(x.copy()), ref_g(x.copy()), atol=1e-5)
+
+
+def test_inverse_sqrt_schedule_matches_reference():
+    """Per-step LR parity with the REAL InverseSquareRootSchedule (the
+    scheduler every recipe stage uses)."""
+    import types as _types
+
+    from reference_loader import load_inverse_sqrt_scheduler
+
+    from diffnorm_tpu.train.lr_schedules import inverse_sqrt
+
+    mod = load_inverse_sqrt_scheduler()
+
+    class _Opt:
+        def __init__(self):
+            self.lr = None
+
+        def set_lr(self, lr):
+            self.lr = lr
+
+        def get_lr(self):
+            return self.lr
+
+    cfg = _types.SimpleNamespace(lr=[5e-4], warmup_updates=10,
+                                 warmup_init_lr=1e-7)
+    sched = mod.InverseSquareRootSchedule(cfg, _Opt())
+    ours = inverse_sqrt({"lr": 5e-4, "warmup_updates": 10,
+                         "warmup_init_lr": 1e-7})
+    for step in [1, 2, 5, 9, 10, 11, 50, 1000, 100000]:
+        want = sched.step_update(step)
+        got = float(ours(step))
+        np.testing.assert_allclose(got, want, rtol=1e-6), step
+
+
+def test_label_smoothed_nll_matches_reference():
+    """Our label_smoothed_nll_loss vs the REAL criterion's function
+    (fairseq/criterions/label_smoothed_cross_entropy.py), incl. pad
+    ignoring — this is the loss inside the VAE/diffusion/NAR criterions."""
+    import types as _types
+
+    from reference_loader import REF, _file_module, _stub, install_fairseq_stubs
+
+    from diffnorm_tpu.criterions.label_smoothing import label_smoothed_nll_loss
+
+    install_fairseq_stubs()
+    _stub("omegaconf", II=lambda s: s, MISSING="???")
+    _stub("fairseq.dataclass", FairseqDataclass=object,
+          ChoiceEnum=lambda c: c)
+    _stub("fairseq.criterions", FairseqCriterion=object,
+          register_criterion=lambda *a, **k: (lambda c: c))
+    import sys as _sys
+
+    _sys.modules["fairseq"].metrics = _types.SimpleNamespace(
+        log_scalar=lambda *a, **k: None, log_derived=lambda *a, **k: None)
+    _sys.modules["fairseq.utils"].item = (
+        lambda x: x.item() if hasattr(x, "item") else x)
+    ref = _file_module(
+        "ref_label_smoothed_ce",
+        f"{REF}/fairseq/criterions/label_smoothed_cross_entropy.py")
+
+    rng = np.random.default_rng(0)
+    B, T, V = 3, 7, 11
+    logits = rng.normal(size=(B, T, V)).astype(np.float32)
+    target = rng.integers(0, V, size=(B, T))
+    target[0, -2:] = 1  # pad positions
+
+    lp_t = torch.log_softmax(torch.from_numpy(logits), dim=-1)
+    ref_loss, ref_nll = ref.label_smoothed_nll_loss(
+        lp_t.view(-1, V), torch.from_numpy(target).view(-1), 0.1,
+        ignore_index=1, reduce=True)
+
+    lp_j = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+    loss, nll = label_smoothed_nll_loss(
+        lp_j.reshape(-1, V), jnp.asarray(target).reshape(-1), 0.1,
+        ignore_index=1)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    np.testing.assert_allclose(float(nll), float(ref_nll), rtol=1e-5)
+
+
+def test_dictionary_matches_reference(tmp_path):
+    """The REAL fairseq Dictionary vs ours: special indices (bos0 pad1
+    eos2 unk3), +4 unit offset, encode_line round trip, and the saved
+    dict.txt format — SURVEY §7 warns an off-by-one here silently destroys
+    ASR-BLEU."""
+    from reference_loader import load_dictionary
+
+    from diffnorm_tpu.data.dictionary import Dictionary
+
+    refmod = load_dictionary()
+    K = 20
+    ref_d = refmod.Dictionary()
+    ours = Dictionary()
+    for i in range(K):
+        ref_d.add_symbol(str(i))
+        ours.add_symbol(str(i))
+
+    assert (ref_d.bos(), ref_d.pad(), ref_d.eos(), ref_d.unk()) == (
+        ours.bos_index, ours.pad_index, ours.eos_index, ours.unk_index)
+    for i in range(K):
+        assert ref_d.index(str(i)) == ours.index(str(i)) == i + 4
+
+    line = "3 1 4 1 5 9 2 6"
+    ref_ids = ref_d.encode_line(line, append_eos=True,
+                                add_if_not_exist=False).tolist()
+    our_ids = list(ours.encode_line(line, append_eos=True))
+    assert ref_ids == our_ids
+
+    # dict.txt round trip through BOTH implementations
+    path = str(tmp_path / "dict.txt")
+    ref_d.save(path)
+    reloaded = Dictionary.load(path)
+    assert len(reloaded) == len(ref_d)
+    assert reloaded.index("9") == ref_d.index("9")

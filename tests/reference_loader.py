@@ -745,3 +745,23 @@ def load_dictionary():
         _cache["dictionary"] = _file_module(
             "ref_dictionary", f"{REF}/fairseq/data/dictionary.py")
     return _cache["dictionary"]
+
+
+def load_libnat():
+    """COMPILE the real fairseq/clib/libnat/edit_dist.cpp (the C++ library
+    behind the Levenshtein-transformer targets) with torch's cpp_extension
+    and return the genuine module."""
+    if "libnat" not in _cache:
+        import os
+
+        from torch.utils import cpp_extension
+
+        build = "/tmp/libnat_build"
+        os.makedirs(build, exist_ok=True)
+        _cache["libnat"] = cpp_extension.load(
+            name="libnat",
+            sources=[f"{REF}/fairseq/clib/libnat/edit_dist.cpp"],
+            build_directory=build,
+            verbose=False,
+        )
+    return _cache["libnat"]

@@ -935,3 +935,69 @@ def test_dictionary_matches_reference(tmp_path):
     reloaded = Dictionary.load(path)
     assert len(reloaded) == len(ref_d)
     assert reloaded.index("9") == ref_d.index("9")
+
+
+@pytest.mark.slow
+def test_levenshtein_targets_vs_compiled_libnat():
+    """Compile the REAL libnat C++ (fairseq/clib/libnat/edit_dist.cpp) and
+    cross-check our csrc edit-path supervision against it. Optimal edit
+    alignments are not unique, so exact label equality is not required —
+    what must hold is that both label sets are OPTIMAL (same deletion and
+    insertion totals as the genuine article) and that each reconstructs
+    the target exactly when applied to the canvas."""
+    from reference_loader import load_libnat
+
+    from diffnorm_tpu.models.levenshtein import PAD, edit_path_targets
+
+    libnat = load_libnat()
+
+    def _reconstruct_ours(p, t, del_tgt, ins_tgt):
+        kept = [tok for tok, d in zip(p, del_tgt) if not d]
+        out, ti = [], 0
+        for i, tok in enumerate(kept):
+            n = int(ins_tgt[i])
+            out += list(t[ti:ti + n])
+            ti += n
+            assert tok == t[ti], (p, t, del_tgt, ins_tgt)
+            out.append(tok)
+            ti += 1
+        out += list(t[ti:ti + int(ins_tgt[len(kept)])])
+        return out
+
+    def _reconstruct_ref(p, t, full):
+        # full[:-1]: per-slot chunks (insertions before in-token i when the
+        # chunk doesn't start with PAD); full[-1]: deletion labels
+        dels = full[-1]
+        chunks = full[:-1]
+        out, ti = [], 0
+        for i, tok in enumerate(p):
+            c = chunks[i]
+            n = len(c) if (len(c) and c[0] != PAD) else 0
+            out += list(t[ti:ti + n])
+            ti += n
+            if not dels[i]:
+                assert tok == t[ti], (p, t, full)
+                out.append(tok)
+                ti += 1
+        out += list(t[ti:])
+        return out
+
+    rng = np.random.default_rng(0)
+    for _ in range(40):
+        pn, tn = int(rng.integers(2, 10)), int(rng.integers(2, 10))
+        p = [0] + list(map(int, rng.integers(4, 9, pn))) + [2]
+        t = [0] + list(map(int, rng.integers(4, 9, tn))) + [2]
+        del_tgt, ins_tgt = edit_path_targets(
+            np.asarray([p], np.int32), np.asarray([t], np.int32))
+        full = libnat.suggested_ed2_path([p], [t], PAD)[0]
+
+        ref_dels = sum(full[-1])
+        our_dels = int(del_tgt[0].sum())
+        assert our_dels == ref_dels, (p, t)
+        ref_ins = sum(
+            len(c) for c in full[:-1] if len(c) and c[0] != PAD)
+        our_ins = int(ins_tgt[0].sum())
+        assert our_ins == ref_ins, (p, t)
+
+        assert _reconstruct_ours(p, t, del_tgt[0], ins_tgt[0]) == t
+        assert _reconstruct_ref(p, t, full) == t

@@ -765,3 +765,28 @@ def load_libnat():
             verbose=False,
         )
     return _cache["libnat"]
+
+
+def load_libbleu():
+    """COMPILE the real fairseq/clib/libbleu/libbleu.cpp (the BLEU counter
+    behind fairseq-score / scorers) into a plain shared library and return
+    (ctypes CDLL, BleuStat ctypes.Structure) exactly as
+    fairseq/scoring/bleu.py:17-99 consumes it."""
+    if "libbleu" not in _cache:
+        import ctypes
+        import subprocess
+
+        so = "/tmp/libbleu_ref.so"
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-o", so,
+             f"{REF}/fairseq/clib/libbleu/libbleu.cpp"],
+            check=True,
+        )
+
+        class BleuStat(ctypes.Structure):
+            _fields_ = [(n, ctypes.c_size_t) for n in
+                        ("reflen", "predlen", "match1", "count1", "match2",
+                         "count2", "match3", "count3", "match4", "count4")]
+
+        _cache["libbleu"] = (ctypes.cdll.LoadLibrary(so), BleuStat)
+    return _cache["libbleu"]

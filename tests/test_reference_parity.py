@@ -1001,3 +1001,48 @@ def test_levenshtein_targets_vs_compiled_libnat():
 
         assert _reconstruct_ours(p, t, del_tgt[0], ins_tgt[0]) == t
         assert _reconstruct_ref(p, t, full) == t
+
+
+def test_bleu_counters_match_compiled_libbleu():
+    """Compile the REAL libbleu.cpp and compare our csrc BLEU counters
+    n-gram by n-gram on random corpora (the reference's Scorer semantics:
+    trim pad/eos, clipped 1-4gram matches, brevity penalty)."""
+    import ctypes
+
+    from reference_loader import load_libbleu
+
+    from diffnorm_tpu.eval.bleu import BleuAccumulator
+
+    C, BleuStat = load_libbleu()
+    rng = np.random.default_rng(0)
+
+    acc = BleuAccumulator()
+    stat = BleuStat()
+    C.bleu_zero_init(ctypes.byref(stat))
+
+    for _ in range(25):
+        rn, hn = int(rng.integers(1, 20)), int(rng.integers(1, 20))
+        ref = [str(x) for x in rng.integers(0, 12, rn)]
+        hyp = [str(x) for x in rng.integers(0, 12, hn)]
+        acc.add(ref, hyp)
+        # feed the genuine counter the same id sequences (shared vocab map;
+        # pad/eos sentinels that never appear in the ids)
+        r = np.asarray(acc._ids(ref), np.int32)
+        h = np.asarray(acc._ids(hyp), np.int32)
+        C.bleu_add(ctypes.byref(stat), len(r),
+                   r.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                   len(h), h.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                   -1, -2)
+
+    reflen, predlen, match, total = acc._counts()
+    assert (reflen, predlen) == (stat.reflen, stat.predlen)
+    assert match == [stat.match1, stat.match2, stat.match3, stat.match4]
+    assert total == [stat.count1, stat.count2, stat.count3, stat.count4]
+
+    # final corpus BLEU from the genuine counts equals our score()
+    import math
+
+    log_p = sum(math.log(m / t) for m, t in zip(match, total)) / 4.0
+    bp = 1.0 if predlen >= reflen else math.exp(1 - reflen / predlen)
+    ref_bleu = 100.0 * bp * math.exp(log_p)
+    np.testing.assert_allclose(acc.score(), ref_bleu, rtol=1e-9)

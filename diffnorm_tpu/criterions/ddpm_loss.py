@@ -30,19 +30,11 @@ class DDPMDiscreteLoss:
         self.eps = 0.1
         self.recon_mse_weight = 50.0
 
-    def __call__(self, model, variables, batch, rng, train: bool = True):
-        feature = batch["reduce_target"]
-        units = batch["reduce_target_unit"]
-        lengths = batch["reduce_target_lengths"]
-        mask = lengths_to_mask(lengths, feature.shape[1])
-
-        r_model, r_drop = jax.random.split(rng)
-        out = model.apply(
-            variables, feature, mask, r_model,
-            deterministic=not train,
-            rngs={"dropout": r_drop},
-        )
-
+    def assemble(self, out, feature, units, mask, timesteps: int,
+                 multitask: bool):
+        """Assemble the DiffNorm multitask loss from a training-forward
+        output dict (reference latent_module.py:1563-1613). Split out of
+        __call__ so parity tests can drive it on a noise-injected forward."""
         # --- min-SNR weighted noise MSE -----------------------------------
         diff = out["pred_noise"].astype(jnp.float32) - out["true_noise"].astype(
             jnp.float32
@@ -70,8 +62,7 @@ class DDPMDiscreteLoss:
         smooth_loss = ce_sum / ntokens
         recon_loss = self.recon_mse_weight * recon_mse + smooth_loss
 
-        timesteps = model.module.timesteps
-        if model.module.multitask:
+        if multitask:
             loss = noise_mse + recon_loss / timesteps
         else:
             loss = noise_mse
@@ -86,6 +77,24 @@ class DDPMDiscreteLoss:
             "nsentences": feature.shape[0],
             "sample_size": feature.shape[0],
         }
+        return loss, metrics
+
+    def __call__(self, model, variables, batch, rng, train: bool = True):
+        feature = batch["reduce_target"]
+        units = batch["reduce_target_unit"]
+        lengths = batch["reduce_target_lengths"]
+        mask = lengths_to_mask(lengths, feature.shape[1])
+
+        r_model, r_drop = jax.random.split(rng)
+        out = model.apply(
+            variables, feature, mask, r_model,
+            deterministic=not train,
+            rngs={"dropout": r_drop},
+        )
+        loss, metrics = self.assemble(
+            out, feature, units, mask, model.module.timesteps,
+            model.module.multitask,
+        )
         return loss, metrics, {}
 
 

@@ -411,27 +411,37 @@ class LatentDiffusionModule(nn.Module):
         return sinusoidal_positions(mask, self.denoiser.dim)
 
     def __call__(self, feature, mask, rng, deterministic: bool = True,
-                 prompt=None, prompt_mask=None):
+                 prompt=None, prompt_mask=None, times=None, enc_noise=None,
+                 x1_noise=None, q_noise=None):
         """Training forward: q-sample + denoiser prediction.
 
         Returns a dict with everything the criterion needs to assemble the
         DiffNorm multitask loss (reference forward :1514-1613): pred/true
         noise, the recovered x_1_hat decoded through the frozen VAE, and the
         min-SNR loss weights.
+
+        times/enc_noise/x1_noise/q_noise override the in-forward random
+        draws (t ~ Unif(1, T), the VAE posterior sample, the beta_0 jitter
+        and the q-sample noise) so parity tests can share a noise stream
+        with the real reference forward (tests/test_reference_parity.py).
         """
         b = feature.shape[0]
         r_t, r_enc, r_x1, r_q = jax.random.split(rng, 4)
-        times = jax.random.randint(r_t, (b,), 1, self.timesteps)
+        if times is None:
+            times = jax.random.randint(r_t, (b,), 1, self.timesteps)
 
         # frozen-VAE encode (t ~ no_grad; params frozen by the optimizer mask)
-        z = jax.lax.stop_gradient(self.encode(feature, r_enc))
+        z = jax.lax.stop_gradient(self.encode(feature, r_enc, noise=enc_noise))
 
         beta0 = float(self.schedule.betas[0])
-        x1 = z + jax.random.normal(r_x1, z.shape, z.dtype) * beta0
+        if x1_noise is None:
+            x1_noise = jax.random.normal(r_x1, z.shape, z.dtype)
+        x1 = z + x1_noise * beta0
 
         sac = extract(self.schedule.sqrt_alphas_cumprod, times, z.ndim)
         s1mac = extract(self.schedule.sqrt_one_minus_alphas_cumprod, times, z.ndim)
-        true_noise = jax.random.normal(r_q, z.shape, z.dtype)
+        true_noise = (jax.random.normal(r_q, z.shape, z.dtype)
+                      if q_noise is None else q_noise)
         x_t = sac * x1 + s1mac * true_noise
 
         pred_noise = self.denoise(

@@ -245,6 +245,89 @@ def test_ddim_sample_units_match_reference(vae_pair):
     )
 
 
+@pytest.mark.slow
+def test_diffusion_training_forward_matches_reference(vae_pair):
+    """The diffusion TRAINING forward + loss assembly
+    (latent_module.py:1514-1613): t ~ Unif(1,T), frozen-VAE encode, beta_0
+    jitter, q-sample, min-SNR-5 noise MSE, and the multitask recon
+    (50*MSE + label-smoothed NLL)/T — with shared weights, shared times and
+    a shared injected noise stream, every entry of the reference loss_dict
+    must match our DDPMDiscreteLoss assembly."""
+    lm, ref_vae, vae_module, _, feat = vae_pair
+    hid = 64
+    torch.manual_seed(2)
+    holder = types.SimpleNamespace(encoder=ref_vae)
+    ldm = lm.LatentDiscreteModel(holder, hid, LATENT, timesteps=200)
+    ldm.model = lm.Model(hid, LATENT, depth=2, wavenet_layers=2,
+                         wavenet_stacks=1)
+    ldm.eval()
+    sd = {k: v.detach() for k, v in ldm.state_dict().items()}
+    variables = {"params": convert_diffusion_state(sd)}
+
+    module = LatentDiffusionModule(
+        dim=hid, latent_dim=LATENT, feature_dim=DIM, timesteps=200,
+        denoiser_depth=2, wavenet_layers=2, wavenet_stacks=1,
+    )
+
+    mask = _mask_np()
+    rng = np.random.default_rng(4)
+    units = rng.integers(4, 1004, size=(B, T)).astype(np.int64)
+    units[~mask] = 0  # data path pads units with 0 (ignore_index=0)
+    times = np.array([17, 123], np.int64)
+
+    noises = []
+    real_randn, real_randn_like = torch.randn, torch.randn_like
+    real_randint = torch.randint
+
+    def fake_randn(*shape, **kw):
+        if len(shape) == 1 and isinstance(shape[0], (tuple, torch.Size)):
+            shape = tuple(shape[0])
+        a = rng.normal(size=shape).astype(np.float32)
+        noises.append(a)
+        return torch.from_numpy(a)
+
+    try:
+        torch.randn = fake_randn
+        torch.randn_like = lambda x: fake_randn(*x.shape)
+        torch.randint = lambda *a, **k: torch.from_numpy(times)
+        with torch.no_grad():
+            loss_dict = ldm(
+                torch.from_numpy(feat), torch.from_numpy(units),
+                tgt_mask=torch.from_numpy(mask),
+            )
+    finally:
+        torch.randn, torch.randn_like = real_randn, real_randn_like
+        torch.randint = real_randint
+
+    # draw order in the reference forward: posterior sample [B, C, T],
+    # then the beta_0 jitter and the q-sample noise (both [B, T, C])
+    assert len(noises) == 3
+    out = module.apply(
+        variables, jnp.asarray(feat), jnp.asarray(mask), jax.random.PRNGKey(0),
+        deterministic=True,
+        times=jnp.asarray(times),
+        enc_noise=jnp.asarray(noises[0].transpose(0, 2, 1)),
+        x1_noise=jnp.asarray(noises[1]),
+        q_noise=jnp.asarray(noises[2]),
+    )
+
+    from diffnorm_tpu.criterions.ddpm_loss import DDPMDiscreteLoss
+
+    loss, metrics = DDPMDiscreteLoss().assemble(
+        out, jnp.asarray(feat), jnp.asarray(units), jnp.asarray(mask),
+        timesteps=200, multitask=True,
+    )
+    for ours_key, ref_key in [
+        ("loss", "total_loss"), ("nll_loss", "nll_loss"),
+        ("recon_mse_loss", "recon_mse_loss"), ("noise_loss", "noise_loss"),
+        ("acc", "acc"),
+    ]:
+        np.testing.assert_allclose(
+            float(metrics[ours_key]), float(loss_dict[ref_key]),
+            rtol=2e-3, atol=1e-5, err_msg=ours_key,
+        )
+
+
 def test_skeptical_unmasking_matches_reference():
     """our skeptical_mask vs the real _skeptical_unmasking
     (cmlm_transformer.py:19-25) on random scores."""

@@ -325,6 +325,9 @@ def main(cfg: Optional[Config] = None) -> int:
             logger.info("reranking beam=%d with AR model from %s",
                         beam, rerank_path)
         retain_history = bool(cfg.get("retain_iter_history"))
+        # reference --iter-decode-force-max-iter (dataclass/configs.py:976):
+        # disable the adaptive early exit and always run max_iter+1 fills
+        adaptive = not bool(cfg.get("iter_decode_force_max_iter"))
 
         def _decode(v, src, lengths):
             return mask_predict_decode_chunked(
@@ -334,6 +337,7 @@ def main(cfg: Optional[Config] = None) -> int:
                 max_len=min(max_len, 256), cond_scale=cond_scale,
                 length_beam=beam, n_frames_per_step=n_frames,
                 reranker=reranker, retain_history=retain_history,
+                adaptive=adaptive,
             )
 
     decode = jax.jit(_decode)

@@ -87,16 +87,21 @@ def ar_rerank_scores(ar_model, ar_variables, src, src_lengths, cand_tokens):
     return jnp.sum(tok_lp * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
 
 
-def init_canvas(length_tgt, max_len: int):
+def init_canvas(length_tgt, max_len: int, place_eos: bool = True):
     """[B] lengths -> (tokens [B, max_len] unk/eos/pad, scores zeros).
 
-    EOS sits unmasked at position len-1 (reference initialize_output_tokens
-    parity): training never masks eos, so an all-unk canvas would ask the
-    model for a prediction it was never trained to make."""
+    With place_eos (our default) EOS sits unmasked at position len-1: our
+    training masking never touches eos (tasks/nar_s2ut_task.py), so an
+    all-unk canvas would ask the model for a prediction it was never
+    trained to make. place_eos=False reproduces the reference research
+    initialize_output_tokens (nar_transformer.py:844-885) exactly — it
+    comments OUT the fairseq-core bos/eos placement and starts all-unk
+    (used by the full-loop parity test against the real generator)."""
     length_tgt = jnp.maximum(length_tgt, 2)
     pos = jnp.arange(max_len)[None, :]
     tokens = jnp.where(pos < length_tgt[:, None], UNK, PAD).astype(jnp.int32)
-    tokens = jnp.where(pos == (length_tgt - 1)[:, None], EOS, tokens)
+    if place_eos:
+        tokens = jnp.where(pos == (length_tgt - 1)[:, None], EOS, tokens)
     return tokens, jnp.zeros(tokens.shape, jnp.float32)
 
 
@@ -113,6 +118,8 @@ def mask_predict_decode(
     n_frames_per_step: int = 1,
     reranker=None,
     retain_history: bool = False,
+    place_eos: bool = True,
+    adaptive: bool = True,
 ):
     """Returns (tokens [B', T], scores [B', T], n_steps), plus a history
     array [max_iter+1, B', T] as a 4th element when retain_history=True.
@@ -166,12 +173,17 @@ def mask_predict_decode(
     use_cg = cond_scale != 1.0
 
     if length_beam > 1:
+        # the reference clamps lengths to >= 2 in initialize_output_tokens
+        # BEFORE regenerate_length_beam offsets them (nar_transformer.py
+        # :858,:898) — clamping only after offsetting would shift every
+        # beam of a <2-length prediction
+        length_tgt = jnp.maximum(length_tgt, 2)
         offsets = jnp.arange(length_beam) - length_beam // 2
         length_tgt = (length_tgt[:, None] + offsets[None, :]).reshape(-1)
         encs = [jnp.repeat(e, length_beam, axis=0) for e in encs]
         enc_mask = jnp.repeat(enc_mask, length_beam, axis=0)
 
-    tokens, scores = init_canvas(length_tgt, max_len)
+    tokens, scores = init_canvas(length_tgt, max_len, place_eos=place_eos)
 
     null_pairs = [None] * n_models
     if use_cg:
@@ -220,10 +232,16 @@ def mask_predict_decode(
             tokens, scores, new_tokens, new_scores, step, max_step
         )
 
-        # adaptive loop-detection on the FILLED canvas (the reference
-        # returns output_tokens after fill, before re-masking — freezing
-        # the re-masked canvas would leave unk placeholders in the output)
+        # adaptive loop-detection on the FILLED canvas. Documented deviation:
+        # the reference is_a_loop compares consecutive RE-MASKED canvases
+        # (iterative_refinement_generator.py:167-176, forward_decoder output)
+        # and can finalize canvases still holding <unk> placeholders; we
+        # compare filled canvases so frozen rows always return real units.
+        # adaptive=False (reference --iter-decode-force-max-iter) makes both
+        # loops exactly step-equivalent (tests/test_generator_loop_parity.py).
         now_done = jnp.all(filled_tokens == prev_tokens, axis=1)
+        if not adaptive:
+            now_done = jnp.zeros_like(now_done)
         result = jnp.where(done[:, None], res_tokens, filled_tokens)
         res_sc = jnp.where(done[:, None], res_scores, filled_scores)
 

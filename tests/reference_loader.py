@@ -265,6 +265,32 @@ def load_nar_transformer():
     return _cache["nar"]
 
 
+def load_iterative_refinement_generator():
+    """Exec the real research/TranSpeech/iterative_refinement_generator.py
+    verbatim (the mask-predict decode LOOP: adaptive early-exit,
+    per-sentence finalization, length-beam aggregation, AR reranking). Its
+    only imports are numpy/torch/`fairseq.utils` (stubbed new_arange)."""
+    if "iter_gen" not in _cache:
+        install_fairseq_stubs()
+        _cache["iter_gen"] = _file_module(
+            "ref_iterative_refinement_generator",
+            f"{REF}/research/TranSpeech/iterative_refinement_generator.py",
+        )
+    return _cache["iter_gen"]
+
+
+def load_sedd_graph_noise():
+    """Exec the real score_entropy/{graph,noise}.py verbatim (the SEDD
+    absorbing/uniform rate matrices, score-entropy objective, staggered
+    score, transition rows, and the geometric/loglinear noise schedules).
+    They import only torch/numpy/torch.cuda.amp — no stubs needed."""
+    if "sedd_graph" not in _cache:
+        base = f"{REF}/fairseq/models/text_to_speech/score_entropy"
+        _cache["sedd_graph"] = _file_module("ref_sedd_graph", f"{base}/graph.py")
+        _cache["sedd_noise"] = _file_module("ref_sedd_noise", f"{base}/noise.py")
+    return _cache["sedd_graph"], _cache["sedd_noise"]
+
+
 def load_tacotron2_criterion():
     """Exec the real fairseq/criterions/tacotron2_loss.py (the TTS loss:
     masked L1+MSE over both feature heads + eos BCEWithLogits pos_weight)."""

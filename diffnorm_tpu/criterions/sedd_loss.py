@@ -1,7 +1,7 @@
 """Score-entropy loss for SEDD (reference:
 fairseq/tasks/score_entropy_diffusion_task.py + score_model.py loss path):
 dsigma-weighted denoising score entropy summed over masked positions,
-normalized by valid token count."""
+mean over the batch (score_model.py :1203-1207)."""
 
 from __future__ import annotations
 
@@ -28,9 +28,12 @@ class SEDDLoss:
             variables, tokens, valid, r_model,
             deterministic=not train, rngs=rngs,
         )
+        # reference score_model.py :1203-1207: weighted_loss = dsigma * loss,
+        # zeroed at non-noiseable positions (already zeroed inside the
+        # model), summed over positions, MEAN over the batch
         per_seq = jnp.sum(out["loss_per_pos"], axis=1)
         ntokens = jnp.maximum(jnp.sum(valid), 1)
-        loss = jnp.sum(out["weight"] * per_seq) / ntokens
+        loss = jnp.mean(out["weight"] * per_seq)
         metrics = {
             "loss": loss,
             "n_masked": jnp.mean(out["n_masked"].astype(jnp.float32)),

@@ -75,6 +75,27 @@ def test_sedd_sampling_resolves_masks(built):
     assert (tokens >= 0).all() and (tokens < mask_id).all()
 
 
+def test_sedd_refine_touches_only_masked(built):
+    from diffnorm_tpu.models.sedd import sedd_refine
+
+    task, model, crit, batch, variables = built
+    rng = np.random.default_rng(0)
+    toks = rng.integers(4, 16, size=(2, 8)).astype(np.int32)
+    unk_at = np.zeros((2, 8), bool)
+    unk_at[0, [1, 4, 5]] = True
+    unk_at[1, [0, 7]] = True
+    canvas = np.where(unk_at, 3, toks)
+    valid = jnp.ones((2, 8), bool)
+    out = np.asarray(sedd_refine(
+        model, variables, jnp.asarray(canvas), valid,
+        jax.random.PRNGKey(0), steps=4,
+    ))
+    mask_id = model.module.vocab_size
+    # untouched positions preserved; all placeholders resolved to data units
+    np.testing.assert_array_equal(out[~unk_at], canvas[~unk_at])
+    assert (out[unk_at] != 3).all() and (out[unk_at] < mask_id).all()
+
+
 def test_unit_lm_token_blocks():
     from diffnorm_tpu.data.unit_lm_dataset import UnitLMDataset
 

@@ -279,6 +279,30 @@ def load_iterative_refinement_generator():
     return _cache["iter_gen"]
 
 
+def load_iddpm():
+    """Exec the real diffusion/{diffusion_utils, gaussian_diffusion,
+    respace}.py verbatim as a package (the vendored improved-DDPM port:
+    beta schedules, q/p posteriors, learned-range sigmas, VLB terms with
+    the t==0 discretized-Gaussian decoder NLL, DDIM, respacing). Only
+    torch/numpy imports — no stubs."""
+    if "iddpm_gd" not in _cache:
+        base = f"{REF}/fairseq/models/text_to_speech/diffusion"
+        pkg = types.ModuleType("ref_diffusion")
+        pkg.__path__ = [base]
+        sys.modules["ref_diffusion"] = pkg
+        _file_module("ref_diffusion.diffusion_utils",
+                     f"{base}/diffusion_utils.py", package="ref_diffusion")
+        _cache["iddpm_gd"] = _file_module(
+            "ref_diffusion.gaussian_diffusion",
+            f"{base}/gaussian_diffusion.py", package="ref_diffusion",
+        )
+        _cache["iddpm_respace"] = _file_module(
+            "ref_diffusion.respace", f"{base}/respace.py",
+            package="ref_diffusion",
+        )
+    return _cache["iddpm_gd"], _cache["iddpm_respace"]
+
+
 def load_sedd_graph_noise():
     """Exec the real score_entropy/{graph,noise}.py verbatim (the SEDD
     absorbing/uniform rate matrices, score-entropy objective, staggered

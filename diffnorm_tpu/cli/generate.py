@@ -273,6 +273,7 @@ def main(cfg: Optional[Config] = None) -> int:
     elif is_ar:
         from diffnorm_tpu.generate.beam_search import ar_generate
 
+        beam = int(cfg.get("beam", 5))  # the summary line logs this
         sampling = bool(cfg.get("sampling"))
         prefix_size = int(cfg.get("prefix_size", 0))
         needs_target = prefix_size > 0
@@ -280,7 +281,7 @@ def main(cfg: Optional[Config] = None) -> int:
 
         def _decode(v, src, lengths, target=None, rng=None):
             seqs, scores = ar_generate(
-                model, v, src, lengths, beam_size=cfg.get("beam", 5),
+                model, v, src, lengths, beam_size=beam,
                 max_len=min(max_len, 256),
                 len_penalty=cfg.get("lenpen", 1.0),
                 min_len=int(cfg.get("min_len", 1)),

@@ -1,11 +1,16 @@
 """Jitted beam-search sequence generator for the AR unit decoder.
 
-Capability parity with fairseq/sequence_generator.py (beam search, length
-penalty, min/max length, ngram-repeat blocking — the CUDA op
-fairseq/clib/cuda/ngram_repeat_block* becomes a vectorized jnp mask inside
-the jitted loop) redesigned as one lax.while_loop over decode steps with a
-flax "cache" pytree threaded through the carry and gather-reordered on beam
-selection.
+EXACT semantic parity with fairseq/sequence_generator.py (2*beam candidate
+selection via search.BeamSearch, eos finalization that frees the beam slot
+for the next-best continuation, cands_to_ignore, length-normalized scores,
+min/max length, unk penalty, prefix forcing, ngram-repeat blocking — the
+CUDA op fairseq/clib/cuda/ngram_repeat_block* becomes a vectorized jnp
+mask) redesigned as one lax.while_loop over decode steps with a flax
+"cache" pytree threaded through the carry and gather-reordered on beam
+selection; finalized hypotheses accumulate in static [B, K, L] buffers
+instead of fairseq's dynamic per-sentence lists/batch shrinking.
+Hypothesis-for-hypothesis parity vs the verbatim-loaded reference loop:
+tests/test_beam_reference_parity.py.
 
 Layout: sequences are [B*K, L]; beams of a sentence are contiguous.
 """
@@ -74,41 +79,65 @@ def beam_search(
     no_repeat_ngram: int = 0,
     unk_penalty: float = 0.0,
     prefix_tokens=None,
+    normalize_scores: bool = True,
 ):
-    """Generic AR beam search.
+    """Generic AR beam search with EXACT fairseq semantics
+    (sequence_generator.py _generate :191-660 + search.BeamSearch.step):
+    2*K candidates per step, EOS candidates among the top K finalize and
+    LEAVE the beam (the next-best continuations take their slots), ignored
+    slots via the cands_to_ignore mask, min/max-length constraints with the
+    model's own EOS log-prob kept on the forced final step, and per-
+    sentence termination once K hypotheses are finalized. Verified
+    hypothesis-for-hypothesis against the verbatim-loaded reference
+    generator in tests/test_beam_reference_parity.py.
 
     decode_step(cache, tokens [N,1], positions [N]) -> (log_probs [N,V],
     new_cache) where N = batch*beam. Returns (seqs [B, K, L], scores [B, K])
-    sorted best-first.
+    sorted best-first; scores are normalized by length**len_penalty when
+    normalize_scores (fairseq finalize_hypos).
+
+    `max_len` counts the full emitted sequence INCLUDING its final EOS
+    (fairseq's max_len excludes it — internal F = max_len - 1).
 
     prefix_tokens: optional [B, P] int32 — force the first P target tokens
-    per sentence (fairseq sequence_generator._prefix_tokens: every
-    non-prefix continuation is masked to -inf, the forced token keeps its
-    model log-prob; PAD positions in the prefix are unconstrained).
+    per sentence (fairseq _prefix_tokens: every non-prefix continuation is
+    masked to -inf, the forced token keeps its model log-prob; PAD prefix
+    positions are unconstrained; the eos-in-prefix beam-replication edge
+    case is not supported).
     """
     n = batch_size * beam_size
-
-    seqs = jnp.full((n, max_len), PAD, jnp.int32)
-    prev = jnp.full((n, 1), EOS, jnp.int32)  # fairseq starts with eos
-    # only beam 0 of each sentence live at step 0
-    scores = jnp.tile(
-        jnp.asarray([0.0] + [NEG_INF] * (beam_size - 1), jnp.float32),
-        (batch_size,),
+    k, cand_size = beam_size, 2 * beam_size
+    assert cand_size <= vocab_size - 1, (
+        "fairseq takes min(2*beam, vocab-1) candidates; use a larger vocab"
     )
-    finished = jnp.zeros((n,), bool)
+    f_max = max_len - 1  # fairseq max_len excludes the final eos
+    neg_inf = -jnp.inf
+    b_idx = jnp.arange(batch_size)[:, None]
+
+    tokens = jnp.full((n, max_len), PAD, jnp.int32)
+    scores_buf = jnp.zeros((n, max_len), jnp.float32)  # cumulative per step
+    prev = jnp.full((n, 1), EOS, jnp.int32)  # fairseq starts with eos
+    ignore = jnp.zeros((batch_size, k), bool)  # cands_to_ignore
+    fin_tok = jnp.full((batch_size, k, max_len), PAD, jnp.int32)
+    fin_score = jnp.full((batch_size, k), neg_inf, jnp.float32)
+    fin_count = jnp.zeros((batch_size,), jnp.int32)
+    finished = jnp.zeros((batch_size,), bool)
 
     def cond(state):
-        step, _, _, _, _, finished = state
-        return (step < max_len) & ~jnp.all(finished)
+        return (state[0] <= f_max) & ~jnp.all(state[9])
 
     def body(state):
-        step, seqs, prev, scores, cache, finished = state
+        (step, tokens, scores_buf, prev, cache, ignore,
+         fin_tok, fin_score, fin_count, finished) = state
         lp, new_cache = decode_step(cache, prev, jnp.full((n,), step))
         lp = jax.nn.log_softmax(lp.astype(jnp.float32), axis=-1)
-        lp = lp.at[:, PAD].set(NEG_INF)
-        lp = lp.at[:, BOS].set(NEG_INF)
+        lp = jnp.nan_to_num(lp, nan=neg_inf, neginf=neg_inf)
+        lp = lp.at[:, PAD].set(neg_inf)  # never select pad
         lp = lp.at[:, UNK].add(-unk_penalty)
-        lp = jnp.where(step < min_len, lp.at[:, EOS].set(NEG_INF), lp)
+        # max-length: force eos, KEEPING the model's eos log-prob
+        is_eos_col = jnp.arange(vocab_size)[None, :] == EOS
+        lp = jnp.where((step >= f_max) & ~is_eos_col, neg_inf, lp)
+        prefix_active = jnp.zeros((), bool)
         if prefix_tokens is not None and prefix_tokens.shape[1] > 0:
             p_len = prefix_tokens.shape[1]
             forced = jax.lax.dynamic_index_in_dim(
@@ -116,48 +145,98 @@ def beam_search(
                 keepdims=False,
             )  # [B]
             forced = jnp.repeat(forced, beam_size, axis=0)  # [N]
-            use = (step < p_len) & (forced != PAD) & ~finished
+            use = (step < p_len) & (step < f_max) & (forced != PAD)
             keep = jnp.zeros((n, vocab_size), bool).at[
                 jnp.arange(n), forced].set(True)
-            lp = jnp.where(use[:, None] & ~keep, NEG_INF, lp)
+            lp = jnp.where(use[:, None] & ~keep, neg_inf, lp)
+            # fairseq applies min_len only when the prefix branch did not
+            # run this step (if/elif at sequence_generator.py :369-378)
+            prefix_active = (step < p_len) & (step < f_max)
+        lp = jnp.where(~prefix_active & (step < min_len),
+                       lp.at[:, EOS].set(neg_inf), lp)
         if no_repeat_ngram > 0:
-            lp = lp + ngram_blocking_mask(seqs, step, vocab_size,
-                                          no_repeat_ngram)
-        # finished rows: only extend with pad at zero cost
-        fin_row = jnp.full((vocab_size,), NEG_INF).at[PAD].set(0.0)
-        lp = jnp.where(finished[:, None], fin_row[None, :], lp)
+            # fairseq bans with exact -inf (a banned EOS must not finalize)
+            blk = ngram_blocking_mask(tokens, step, vocab_size,
+                                      no_repeat_ngram)
+            lp = jnp.where(blk < 0, neg_inf, lp)
 
-        cand = scores[:, None] + lp  # [N, V]
-        cand = cand.reshape(batch_size, beam_size * vocab_size)
-        top_scores, top_idx = jax.lax.top_k(cand, beam_size)  # [B, K]
-        beam_idx = top_idx // vocab_size  # source beam within sentence
-        token_idx = (top_idx % vocab_size).astype(jnp.int32)
+        # --- search.BeamSearch.step: cumulative scores, top 2K candidates
+        cum_prev = jnp.where(
+            step > 0,
+            jax.lax.dynamic_index_in_dim(
+                scores_buf, jnp.maximum(step - 1, 0), axis=1, keepdims=False
+            ),
+            0.0,
+        )  # [N]
+        cand = (lp + cum_prev[:, None]).reshape(batch_size, k, vocab_size)
+        # step 0: all beams identical — use only beam 0 (fairseq slices)
+        beam0_only = jnp.where(jnp.arange(k)[None, :, None] == 0, 0.0,
+                               neg_inf)
+        cand = jnp.where(step == 0, cand + beam0_only, cand)
+        cand_scores, cand_idx = jax.lax.top_k(
+            cand.reshape(batch_size, -1), cand_size
+        )  # [B, 2K]
+        cand_beams = cand_idx // vocab_size
+        cand_toks = (cand_idx % vocab_size).astype(jnp.int32)
+        cand_bbsz = cand_beams + b_idx * beam_size  # rows into [N]
 
-        flat_src = (
-            jnp.arange(batch_size)[:, None] * beam_size + beam_idx
-        ).reshape(-1)
-        new_seqs = seqs[flat_src].at[:, step].set(token_idx.reshape(-1))
-        new_scores = top_scores.reshape(-1)
-        new_prev = token_idx.reshape(-1, 1)
-        new_finished = finished[flat_src] | (new_prev[:, 0] == EOS)
+        # --- finalize eos candidates among the top K slots
+        eos_mask = (cand_toks == EOS) & jnp.isfinite(cand_scores)  # [B, 2K]
+        top_slots = jnp.arange(cand_size)[None, :] < k
+        eos_mask = eos_mask & (
+            ~jnp.pad(ignore, ((0, 0), (0, k))) | ~top_slots
+        )
+        fin_this = eos_mask & top_slots & ~finished[:, None]  # [B, 2K]
+        rank = fin_count[:, None] + jnp.cumsum(fin_this, axis=1) - 1
+        write = fin_this & (rank < k)
+        tgt = jnp.where(write, rank, k)  # k = dropped (out of range)
+        # hypothesis rows: tokens of the SOURCE beam + eos at `step`
+        hyp_tok = tokens[cand_bbsz.reshape(-1)].at[:, step].set(EOS)
+        hyp_tok = hyp_tok.reshape(batch_size, cand_size, max_len)
+        if normalize_scores:
+            norm = (step + 1).astype(jnp.float32) ** len_penalty
+            hyp_score = cand_scores / norm
+        else:
+            hyp_score = cand_scores
+        fin_tok = fin_tok.at[b_idx, tgt].set(
+            hyp_tok, mode="drop"
+        )
+        fin_score = fin_score.at[b_idx, tgt].set(hyp_score, mode="drop")
+        fin_count = fin_count + jnp.sum(write, axis=1)
+        finished = finished | (fin_count >= k) | (step >= f_max)
+
+        # --- pick the K lowest of (eos? 2K : 0) + slot: non-eos first,
+        # in candidate order (fairseq active_mask / active_hypos)
+        active_mask = (eos_mask.astype(jnp.int32) * cand_size
+                       + jnp.arange(cand_size)[None, :])
+        neg_top, active_hypos = jax.lax.top_k(-active_mask, k)  # [B, K]
+        new_ignore = (-neg_top) >= cand_size
+        active_bbsz = jnp.take_along_axis(cand_bbsz, active_hypos, axis=1)
+        active_scores = jnp.take_along_axis(cand_scores, active_hypos, axis=1)
+        active_toks = jnp.take_along_axis(cand_toks, active_hypos, axis=1)
+
+        flat_src = active_bbsz.reshape(-1)
+        new_tokens = tokens[flat_src].at[:, step].set(active_toks.reshape(-1))
+        new_scores_buf = scores_buf[flat_src].at[:, step].set(
+            jnp.nan_to_num(active_scores.reshape(-1), nan=NEG_INF,
+                           neginf=NEG_INF)
+        )
+        new_prev = active_toks.reshape(-1, 1)
         new_cache = jax.tree_util.tree_map(
             lambda c: c[flat_src] if (hasattr(c, "ndim") and c.ndim > 0 and
                                       c.shape[0] == n) else c,
             new_cache,
         )
-        return (step + 1, new_seqs, new_prev, new_scores, new_cache,
-                new_finished)
+        return (step + 1, new_tokens, new_scores_buf, new_prev, new_cache,
+                new_ignore, fin_tok, fin_score, fin_count, finished)
 
-    state = (jnp.zeros((), jnp.int32), seqs, prev, scores, init_cache, finished)
-    step, seqs, _, scores, _, finished = jax.lax.while_loop(cond, body, state)
+    state = (jnp.zeros((), jnp.int32), tokens, scores_buf, prev, init_cache,
+             ignore, fin_tok, fin_score, fin_count, finished)
+    state = jax.lax.while_loop(cond, body, state)
+    fin_tok, fin_score = state[6], state[7]
 
-    lengths = jnp.sum((seqs != PAD), axis=1)
-    norm = scores / jnp.maximum(lengths.astype(jnp.float32), 1.0) ** len_penalty
-    seqs = seqs.reshape(batch_size, beam_size, max_len)
-    norm = norm.reshape(batch_size, beam_size)
-    order = jnp.argsort(-norm, axis=1)
-    b_idx = jnp.arange(batch_size)[:, None]
-    return seqs[b_idx, order], norm[b_idx, order]
+    order = jnp.argsort(-fin_score, axis=1)
+    return fin_tok[b_idx, order], fin_score[b_idx, order]
 
 
 def sample_generate(

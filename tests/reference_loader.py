@@ -279,6 +279,42 @@ def load_iterative_refinement_generator():
     return _cache["iter_gen"]
 
 
+def load_sequence_generator():
+    """Exec the real fairseq/sequence_generator.py verbatim, together with
+    the real fairseq/search.py, fairseq/ngram_repeat_block.py and
+    fairseq/token_generation_constraints.py it drives (the full AR beam
+    decode LOOP: 2*beam candidate selection, eos finalization, length
+    normalization, min/max-len constraints, ngram blocking, prefix
+    forcing). Stubs: FairseqIncrementalDecoder as a marker base class
+    (toy decoders stay non-incremental) and the unused
+    utils.move_to_cuda/data_utils.collate_tokens surface."""
+    if "seq_gen" not in _cache:
+        install_fairseq_stubs()
+
+        class _IncrementalDecoderStub:
+            pass
+
+        sys.modules["fairseq.models"].FairseqIncrementalDecoder = (
+            _IncrementalDecoderStub
+        )
+        _stub("fairseq.data")
+        _stub("fairseq.data.data_utils")
+        _file_module(
+            "fairseq.token_generation_constraints",
+            f"{REF}/fairseq/token_generation_constraints.py",
+        )
+        sys.modules["fairseq"].search = _file_module(
+            "fairseq.search", f"{REF}/fairseq/search.py"
+        )
+        _file_module(
+            "fairseq.ngram_repeat_block", f"{REF}/fairseq/ngram_repeat_block.py"
+        )
+        _cache["seq_gen"] = _file_module(
+            "ref_sequence_generator", f"{REF}/fairseq/sequence_generator.py"
+        )
+    return _cache["seq_gen"]
+
+
 def load_iddpm():
     """Exec the real diffusion/{diffusion_utils, gaussian_diffusion,
     respace}.py verbatim as a package (the vendored improved-DDPM port:

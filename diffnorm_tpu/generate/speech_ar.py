@@ -8,6 +8,14 @@ per-row eos freeze (XLA-static shapes), followed by one full-sequence
 postnet pass and global-CMVN denormalization. The Tacotron prenet's
 always-on dropout (the source of AR-TTS sampling variation) is driven by
 the passed rng.
+
+Known deviation (loop parity pinned in tests/test_speechgen_loop_parity.py
+against the verbatim reference): the reference breaks out of the rollout
+once every row has fired and applies the postnet to only the collected
+prefix, while this scan always collects max_iter frames. With the
+convolutional postnet the last kernel//2 frames of the LONGEST row see
+real future frames here but zero padding there — a boundary-numerics
+difference on up to 2 frames; everything else is exact.
 """
 
 from __future__ import annotations

@@ -351,6 +351,29 @@ def load_sedd_graph_noise():
     return _cache["sedd_graph"], _cache["sedd_noise"]
 
 
+def load_speech_generator():
+    """Exec the real fairseq/speech_generator.py verbatim (the AR
+    spectrogram generation LOOP: incremental decode with per-sentence eos
+    cutoff, post-loop postnet residual, gcmvn denormalization,
+    n_frames_per_step repeat_interleave). Its only import beyond
+    numpy/torch is S2TDataConfig, used for the gcmvn stats path — stubbed
+    as a passthrough namespace."""
+    if "speech_gen" not in _cache:
+        install_fairseq_stubs()
+
+        class _S2TDataConfigStub:
+            pass
+
+        _stub("fairseq.data")
+        _stub("fairseq.data.audio")
+        _stub("fairseq.data.audio.speech_to_text_dataset",
+              S2TDataConfig=_S2TDataConfigStub)
+        _cache["speech_gen"] = _file_module(
+            "ref_speech_generator", f"{REF}/fairseq/speech_generator.py"
+        )
+    return _cache["speech_gen"]
+
+
 def load_tacotron2_criterion():
     """Exec the real fairseq/criterions/tacotron2_loss.py (the TTS loss:
     masked L1+MSE over both feature heads + eos BCEWithLogits pos_weight)."""

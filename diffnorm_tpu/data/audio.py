@@ -149,19 +149,31 @@ class UtteranceCMVN:
 
 
 class SpecAugment:
-    """SpecAugment (freq/time masking + optional time warp skipped)
-    (feature_transforms/specaugment.py). Applied on [T, F] host-side."""
+    """SpecAugment freq/time masking (feature_transforms/specaugment.py).
+    Applied on [T, F] host-side. Draw semantics mirror the reference
+    exactly (exclusive-high widths, offsets drawn even for zero-width
+    masks, early returns) so a shared RNG stream produces identical
+    outputs — pinned by tests/test_reference_parity.py. Time WARP is not
+    implemented (needs cv2, absent from this image; the DiffNorm recipes
+    run with time_warp_W=0)."""
 
     def __init__(
         self,
         time_warp_w: int = 0,
-        freq_mask_n: int = 1,
-        freq_mask_f: int = 27,
-        time_mask_n: int = 1,
-        time_mask_t: int = 100,
-        time_mask_p: float = 1.0,
+        freq_mask_n: int = 0,
+        freq_mask_f: int = 0,
+        time_mask_n: int = 0,
+        time_mask_t: int = 0,
+        time_mask_p: float = 0.0,
         mask_value: Optional[float] = None,
     ):
+        if time_warp_w > 0:
+            raise NotImplementedError(
+                "SpecAugment time warp (time_warp_W > 0) is not supported")
+        if freq_mask_n > 0:
+            assert freq_mask_f > 0, "freq_mask_F must be > 0 with freq masking"
+        if time_mask_n > 0:
+            assert time_mask_t > 0, "time_mask_T must be > 0 with time masking"
         self.freq_mask_n = freq_mask_n
         self.freq_mask_f = freq_mask_f
         self.time_mask_n = time_mask_n
@@ -171,19 +183,23 @@ class SpecAugment:
 
     def __call__(self, x: np.ndarray, rng: Optional[np.random.Generator] = None):
         rng = rng or np.random.default_rng()
-        x = x.copy()
         t, f = x.shape
+        if t == 0 or f < self.freq_mask_f:
+            return x
+        x = x.copy()
         mask_value = x.mean() if self.mask_value is None else self.mask_value
         for _ in range(self.freq_mask_n):
-            w = int(rng.integers(0, self.freq_mask_f + 1))
-            if 0 < w < f:
-                f0 = int(rng.integers(0, f - w))
+            w = int(rng.integers(0, self.freq_mask_f))
+            f0 = int(rng.integers(0, f - w))
+            if w != 0:
                 x[:, f0:f0 + w] = mask_value
-        max_t = min(self.time_mask_t, int(self.time_mask_p * t))
+        max_t = min(self.time_mask_t, math.floor(t * self.time_mask_p))
+        if max_t < 1:
+            return x
         for _ in range(self.time_mask_n):
-            w = int(rng.integers(0, max_t + 1)) if max_t > 0 else 0
-            if 0 < w < t:
-                t0 = int(rng.integers(0, t - w))
+            w = int(rng.integers(0, max_t))
+            t0 = int(rng.integers(0, t - w))
+            if w != 0:
                 x[t0:t0 + w, :] = mask_value
         return x
 
@@ -280,19 +296,25 @@ def build_feature_transforms(cfg: dict, is_train: bool, rng=None) -> List:
             out.append(UtteranceCMVN(
                 c.get("norm_means", True), c.get("norm_vars", True)))
         elif name == "specaugment":
+            # Defaults mirror the reference's from_config_dict (all zero —
+            # a bare `specaugment:` block is a no-op there too).
             c = cfg.get("specaugment", {})
             out.append(SpecAugment(
-                time_warp_w=c.get("time_wrap_W", 0),
-                freq_mask_n=c.get("freq_mask_N", 1),
-                freq_mask_f=c.get("freq_mask_F", 27),
-                time_mask_n=c.get("time_mask_N", 1),
-                time_mask_t=c.get("time_mask_T", 100),
-                time_mask_p=c.get("time_mask_p", 1.0),
+                time_warp_w=c.get("time_warp_W", 0),
+                freq_mask_n=c.get("freq_mask_N", 0),
+                freq_mask_f=c.get("freq_mask_F", 0),
+                time_mask_n=c.get("time_mask_N", 0),
+                time_mask_t=c.get("time_mask_T", 0),
+                time_mask_p=c.get("time_mask_p", 0.0),
+                mask_value=c.get("mask_value"),
             ))
         elif name == "global_cmvn":
             out.append(GlobalCMVN(cfg["global_cmvn"]["stats_npz_path"]))
         elif name == "delta_deltas":
-            out.append(DeltaDeltas())
+            # Reference win_length (torchaudio compute_deltas, default 5)
+            # is the full tap count; ours is the half-window n_max.
+            wl = (cfg.get("delta_deltas") or {}).get("win_length", 5)
+            out.append(DeltaDeltas(win=(wl - 1) // 2))
         else:
             raise ValueError(f"unknown feature transform: {name}")
     return out

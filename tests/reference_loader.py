@@ -785,8 +785,12 @@ def load_feature_transforms():
         gcmvn = _file_module(
             "ref_global_cmvn",
             f"{REF}/fairseq/data/audio/feature_transforms/global_cmvn.py")
+        specaug = _file_module(
+            "ref_specaugment",
+            f"{REF}/fairseq/data/audio/feature_transforms/specaugment.py")
         _cache["feat_transforms"] = types.SimpleNamespace(
-            UtteranceCMVN=ucmvn.UtteranceCMVN, GlobalCMVN=gcmvn.GlobalCMVN)
+            UtteranceCMVN=ucmvn.UtteranceCMVN, GlobalCMVN=gcmvn.GlobalCMVN,
+            SpecAugmentTransform=specaug.SpecAugmentTransform)
     return _cache["feat_transforms"]
 
 

@@ -907,6 +907,56 @@ def test_cmvn_transforms_match_reference():
     np.testing.assert_allclose(g(x.copy()), ref_g(x.copy()), atol=1e-5)
 
 
+class _LegacyRng:
+    """Adapter exposing Generator.integers() over the legacy MT19937
+    np.random.RandomState stream, so our transform consumes draws
+    identically to the reference's global np.random.randint calls."""
+
+    def __init__(self, seed):
+        self._rs = np.random.RandomState(seed)
+
+    def integers(self, low, high):
+        return self._rs.randint(low, high)
+
+
+def test_specaugment_matches_reference():
+    """SpecAugment freq/time masking vs the REAL specaugment.py, driven by
+    an identical RNG stream: mask-width/offset draw order, exclusive-high
+    bounds, zero-width no-ops, mean mask_value, and the num_freqs<F /
+    max_t<1 early returns (specaugment.py:80-131)."""
+    from reference_loader import load_feature_transforms
+
+    from diffnorm_tpu.data.audio import SpecAugment
+
+    ref = load_feature_transforms()
+
+    cases = [
+        # (shape, kwargs) — typical recipe config, small widths (hits w==0),
+        # explicit mask_value, time_mask_p<1, and both early returns.
+        ((57, 80), dict(freq_mask_n=2, freq_mask_f=27, time_mask_n=2,
+                        time_mask_t=100, time_mask_p=1.0)),
+        ((33, 80), dict(freq_mask_n=4, freq_mask_f=2, time_mask_n=4,
+                        time_mask_t=2, time_mask_p=1.0)),
+        ((41, 80), dict(freq_mask_n=1, freq_mask_f=13, time_mask_n=1,
+                        time_mask_t=50, time_mask_p=0.2, mask_value=7.5)),
+        ((29, 10), dict(freq_mask_n=1, freq_mask_f=27, time_mask_n=1,
+                        time_mask_t=10, time_mask_p=1.0)),   # F > num_freqs
+        ((30, 80), dict(freq_mask_n=2, freq_mask_f=9, time_mask_n=2,
+                        time_mask_t=8, time_mask_p=0.0)),    # max_t < 1
+    ]
+    for seed in range(5):
+        for shape, kw in cases:
+            x = np.random.default_rng(100 + seed).normal(
+                size=shape).astype(np.float32)
+            np.random.seed(seed)
+            want = ref.SpecAugmentTransform(
+                0, kw["freq_mask_n"], kw["freq_mask_f"], kw["time_mask_n"],
+                kw["time_mask_t"], kw["time_mask_p"],
+                kw.get("mask_value"))(x.copy())
+            got = SpecAugment(**kw)(x.copy(), rng=_LegacyRng(seed))
+            np.testing.assert_array_equal(got, want, err_msg=f"{shape} {kw}")
+
+
 def test_inverse_sqrt_schedule_matches_reference():
     """Per-step LR parity with the REAL InverseSquareRootSchedule (the
     scheduler every recipe stage uses)."""

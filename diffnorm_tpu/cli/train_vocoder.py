@@ -81,9 +81,18 @@ def main(cfg: Optional[Config] = None) -> int:
                 "var_pred_hidden_dim", 256),
             **common,
         )
+        data_cfg = None
+        if cfg.get("data_config"):
+            import yaml
+
+            with open(cfg["data_config"]) as f:
+                data_cfg = yaml.safe_load(f)
         dataset = CodeToSpeechDataset.from_files(
             cfg["units_file"], cfg["audio_dir"],
             crop_units=cfg.get("crop_units", 32),
+            # waveform_transforms / dataset_transforms blocks (noise /
+            # babble / sporadic augments + batch noisy-overlap)
+            data_cfg=data_cfg,
             # --dur-training: run-length duration labels so the duration
             # predictor actually trains (needed for --dur-prediction synth)
             dedup_dur=bool(cfg.get("dur_training")

@@ -237,50 +237,9 @@ class DeltaDeltas:
         return np.concatenate([x, d1, d2], axis=1).astype(np.float32)
 
 
-class NoisyOverlapAugment:
-    """Mix a random snippet of another utterance into the waveform at a
-    random SNR (reference fairseq/data/audio/waveform_transforms/
-    noisyoverlapaugment.py capability)."""
-
-    def __init__(self, rate: float = 0.25, snr_min: float = 5.0,
-                 snr_max: float = 15.0, mixing_noise_rate: float = 0.1):
-        self.rate = rate
-        self.snr_min, self.snr_max = snr_min, snr_max
-        self.mixing_noise_rate = mixing_noise_rate
-
-    def __call__(self, wav: np.ndarray, other: Optional[np.ndarray] = None,
-                 rng: Optional[np.random.Generator] = None) -> np.ndarray:
-        rng = rng or np.random.default_rng()
-        if other is None or rng.random() > self.rate:
-            return wav
-        n = min(len(wav), len(other))
-        start = int(rng.integers(0, max(len(other) - n, 1)))
-        noise = other[start:start + n]
-        snr = rng.uniform(self.snr_min, self.snr_max)
-        p_sig = np.mean(wav[:n] ** 2) + 1e-10
-        p_noise = np.mean(noise ** 2) + 1e-10
-        scale = np.sqrt(p_sig / (p_noise * 10 ** (snr / 10)))
-        out = wav.copy()
-        out[:n] = out[:n] + scale * noise
-        return out
-
-
-class ConcatAugment:
-    """Concatenate a second (waveform, target) pair onto the sample
-    (reference fairseq/data/audio/dataset_transforms/concataugment.py)."""
-
-    def __init__(self, rate: float = 0.25):
-        self.rate = rate
-
-    def __call__(self, wav, target, other_wav=None, other_target=None,
-                 rng: Optional[np.random.Generator] = None):
-        rng = rng or np.random.default_rng()
-        if other_wav is None or rng.random() > self.rate:
-            return wav, target
-        return (
-            np.concatenate([wav, other_wav]),
-            np.concatenate([target, other_target]),
-        )
+# NoiseAugment / BabbleAugment / SporadicNoiseAugment (waveform) and
+# ConcatAugment / NoisyOverlapAugment (dataset) live in
+# diffnorm_tpu/data/augment.py with exact reference draw semantics.
 
 
 def build_feature_transforms(cfg: dict, is_train: bool, rng=None) -> List:

@@ -42,7 +42,13 @@ class CodeToSpeechDataset:
         is_train: bool = True,
         seed: int = 1,
         dedup_dur: bool = False,
+        data_cfg: Optional[Dict] = None,
     ):
+        from diffnorm_tpu.data.augment import (
+            build_dataset_transforms,
+            build_waveform_transforms,
+        )
+
         self.names = names
         self.audio_paths = audio_paths
         self.units = units
@@ -54,6 +60,13 @@ class CodeToSpeechDataset:
         # emit run-length duration labels for dur-predictor fine-tuning
         # (reference hubert_to_speech.py:67-92: -100 marks masked slots)
         self.dedup_dur = dedup_dur
+        # noise/babble/sporadic waveform augments on the crop; batch-level
+        # noisy-overlap in the collater (reference wires these through
+        # S2TDataConfig.get_{waveform,dataset}_transforms)
+        self.waveform_transforms = build_waveform_transforms(
+            data_cfg or {}, is_train)
+        self.dataset_transforms = build_dataset_transforms(
+            data_cfg or {}, is_train)
 
     def __len__(self):
         return len(self.names)
@@ -86,8 +99,10 @@ class CodeToSpeechDataset:
         want = n * SAMPLES_PER_UNIT
         if len(seg) < want:
             seg = np.pad(seg, (0, want - len(seg)))
+        for t in self.waveform_transforms:
+            seg, _ = t(seg, 16000, rng=self._rng)
         item = {"index": index, "code": u.astype(np.int32),
-                "wav": seg.astype(np.float32)}
+                "wav": np.asarray(seg, np.float32)}
         if self.dedup_dur:
             # reduced units + run lengths of the crop window; the duration
             # predictor sees the reduced sequence (its synthesis-time input)
@@ -106,10 +121,16 @@ class CodeToSpeechDataset:
         return item
 
     def collater(self, samples: List[Dict]) -> Dict:
+        from diffnorm_tpu.data.augment import NoisyOverlapAugment, get_transform
+
+        wavs = [s["wav"] for s in samples]
+        noa = get_transform(self.dataset_transforms, NoisyOverlapAugment)
+        if noa is not None:
+            wavs = [np.asarray(w, np.float32) for w in noa(wavs, rng=self._rng)]
         batch = {
             "id": np.asarray([s["index"] for s in samples], np.int64),
             "code": np.stack([s["code"] for s in samples]),
-            "wav": np.stack([s["wav"] for s in samples]),
+            "wav": np.stack(wavs),
             "ntokens": len(samples) * self.crop_units,
             "nsentences": len(samples),
         }
@@ -128,6 +149,7 @@ class CodeToSpeechDataset:
         audio_suffix: str = ".wav",
         seed: int = 1,
         dedup_dur: bool = False,
+        data_cfg: Optional[Dict] = None,
     ) -> "CodeToSpeechDataset":
         units_map = read_units_file(units_file)
         names, paths, units = [], [], []
@@ -138,7 +160,8 @@ class CodeToSpeechDataset:
                 paths.append(p)
                 units.append(u)
         return cls(names, paths, units, crop_units=crop_units,
-                   is_train=is_train, seed=seed, dedup_dur=dedup_dur)
+                   is_train=is_train, seed=seed, dedup_dur=dedup_dur,
+                   data_cfg=data_cfg)
 
 
 class FeatureToSpeechDataset(CodeToSpeechDataset):

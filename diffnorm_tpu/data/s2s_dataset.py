@@ -50,6 +50,13 @@ class SpeechToUnitDataset:
         self.feature_transforms = build_feature_transforms(
             self.data_cfg, is_train=is_train
         )
+        from diffnorm_tpu.data.augment import build_dataset_transforms
+
+        # concataugment support (reference SpeechToTextDataset.__getitem__
+        # concatenates a partner sample's source and target)
+        self.dataset_transforms = build_dataset_transforms(
+            self.data_cfg, is_train=is_train
+        )
 
     def __len__(self):
         return len(self.ids)
@@ -69,8 +76,26 @@ class SpeechToUnitDataset:
         return np.lexsort((order, -self.src_n_frames))
 
     def __getitem__(self, index: int) -> Dict:
-        feat = get_features_or_waveform(self.src_audio_paths[index])
-        feat = np.asarray(feat, dtype=np.float32)
+        from diffnorm_tpu.data.augment import ConcatAugment, get_transform
+
+        concat = get_transform(self.dataset_transforms, ConcatAugment)
+        indices = [index]
+        if concat is not None:
+            indices = concat.find_indices(
+                index, self.src_n_frames, len(self), rng=self._rng)
+        feat = np.concatenate([
+            np.asarray(get_features_or_waveform(self.src_audio_paths[i]),
+                       dtype=np.float32)
+            for i in indices
+        ], axis=0)
+        if len(indices) == 1:
+            target = self.tgt_units[index]
+        else:
+            # stored sequences carry a trailing EOS; the reference joins the
+            # raw token texts before encoding, so strip the first's EOS
+            target = np.concatenate(
+                [self.tgt_units[indices[0]][:-1]]
+                + [self.tgt_units[i] for i in indices[1:]])
         from diffnorm_tpu.data.audio import SpecAugment
 
         for t in self.feature_transforms:
@@ -81,7 +106,7 @@ class SpeechToUnitDataset:
         return {
             "index": index,
             "source": feat,
-            "target": self.tgt_units[index],
+            "target": target,
         }
 
     def collater(self, samples: List[Dict]) -> Dict:

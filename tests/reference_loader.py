@@ -903,3 +903,56 @@ def load_libbleu():
 
         _cache["libbleu"] = (ctypes.cdll.LoadLibrary(so), BleuStat)
     return _cache["libbleu"]
+
+
+def load_augment_transforms():
+    """Exec the real noiseaugment.py + concataugment.py +
+    noisyoverlapaugment.py verbatim. Stubbed: the registry base classes /
+    decorators, rand_uniform (fairseq/data/audio/__init__.py:92, a
+    one-liner), and audio_utils.get_waveform — an IO shim that decodes wav
+    files through OUR read_audio so both sides see identical samples (the
+    logic under test is the mixing/tiling/draw math, not the decoder)."""
+    if "augment" not in _cache:
+        install_fairseq_stubs()
+        import numpy as np
+
+        class _Base:
+            pass
+
+        def rand_uniform(a, b):
+            return np.random.uniform() * (b - a) + a
+
+        def get_waveform(path, always_2d=False, output_sample_rate=None):
+            from diffnorm_tpu.data.audio import read_audio
+
+            wav, sr = read_audio(str(path))
+            wav = np.asarray(wav, np.float32)
+            if always_2d and wav.ndim == 1:
+                wav = wav[None, :]
+            return wav, (output_sample_rate or sr)
+
+        _stub("fairseq.data.audio", rand_uniform=rand_uniform)
+        _stub("fairseq.data.audio.audio_utils", get_waveform=get_waveform)
+        _stub("fairseq.data.audio.waveform_transforms",
+              AudioWaveformTransform=_Base,
+              register_audio_waveform_transform=_identity_decorator)
+        _stub("fairseq.data.audio.dataset_transforms",
+              AudioDatasetTransform=_Base,
+              register_audio_dataset_transform=_identity_decorator)
+        noise = _file_module(
+            "fairseq.data.audio.waveform_transforms.noiseaugment",
+            f"{REF}/fairseq/data/audio/waveform_transforms/noiseaugment.py")
+        concat = _file_module(
+            "ref_concataugment",
+            f"{REF}/fairseq/data/audio/dataset_transforms/concataugment.py")
+        noa = _file_module(
+            "ref_noisyoverlapaugment",
+            f"{REF}/fairseq/data/audio/dataset_transforms/noisyoverlapaugment.py")
+        _cache["augment"] = types.SimpleNamespace(
+            NoiseAugmentTransform=noise.NoiseAugmentTransform,
+            BabbleAugmentTransform=noise.BabbleAugmentTransform,
+            SporadicNoiseAugmentTransform=noise.SporadicNoiseAugmentTransform,
+            ConcatAugment=concat.ConcatAugment,
+            NoisyOverlapAugment=noa.NoisyOverlapAugment,
+        )
+    return _cache["augment"]

@@ -125,3 +125,53 @@ def test_dedup_dur_labels_and_training():
         jnp.asarray(batch["wav"][:1]))
     state, mets = trainer.train_step(state, batch)
     assert np.isfinite(mets["dur_mse"]) and np.isfinite(mets["loss_g"])
+
+
+def test_vocoder_dataset_augment_wiring(tmp_path):
+    """data_cfg waveform_transforms (noiseaugment on the crop) and
+    dataset_transforms (batch noisy-overlap in the collater) change the
+    waveform but not the codes, deterministically per seed."""
+    from tests.helpers import write_wav16
+
+    from diffnorm_tpu.data.code_dataset import CodeToSpeechDataset
+
+    rng = np.random.default_rng(3)
+    units = rng.integers(0, 8, size=16).astype(np.int32)
+    wav = rng.normal(size=len(units) * 320).astype(np.float32) * 0.1
+    write_wav16(tmp_path / "u0.wav", wav)
+    write_wav16(tmp_path / "u1.wav", wav[::-1])
+    (tmp_path / "noise").mkdir()
+    write_wav16(tmp_path / "noise" / "n.wav",
+                rng.normal(size=900).astype(np.float32) * 0.1)
+    with open(tmp_path / "u.units", "w") as f:
+        f.write("u0|" + " ".join(map(str, units)) + "\n")
+        f.write("u1|" + " ".join(map(str, units)) + "\n")
+    data_cfg = {
+        "waveform_transforms": {"_train": ["noiseaugment"]},
+        "noiseaugment": {"samples_path": str(tmp_path / "noise"),
+                         "rate": 1.0, "snr_min": 5, "snr_max": 10},
+        "dataset_transforms": {"_train": ["noisyoverlapaugment"]},
+        "noisyoverlapaugment": {"rate": 1.0, "mixing_noise_rate": 0.0},
+    }
+
+    def build(cfg, seed=7):
+        return CodeToSpeechDataset.from_files(
+            str(tmp_path / "u.units"), str(tmp_path), crop_units=8,
+            is_train=True, seed=seed, data_cfg=cfg)
+
+    plain = build(None)
+    aug = build(data_cfg)
+    b0 = plain.collater([plain[0], plain[1]])
+    b1 = aug.collater([aug[0], aug[1]])
+    np.testing.assert_array_equal(b0["code"], b1["code"])
+    assert not np.allclose(b0["wav"], b1["wav"])
+    assert b1["wav"].dtype == np.float32
+    # deterministic under the seeded pipeline rng
+    d2 = build(data_cfg)
+    b2 = d2.collater([d2[0], d2[1]])
+    np.testing.assert_array_equal(b1["wav"], b2["wav"])
+    # eval split ignores the _train blocks
+    ev = CodeToSpeechDataset.from_files(
+        str(tmp_path / "u.units"), str(tmp_path), crop_units=8,
+        is_train=False, data_cfg=data_cfg)
+    assert not ev.waveform_transforms and not ev.dataset_transforms

@@ -89,3 +89,29 @@ def test_conformer_shapes_over_batch(data_dir):
     np.testing.assert_array_equal(np.asarray(mask).sum(1), exp_lens)
     # 4x temporal downsample
     assert abs(out.shape[1] - batch["src_tokens"].shape[1] / 4) <= 2
+
+def test_concataugment_wiring(data_dir):
+    """dataset_transforms: concataugment concatenates a partner's features
+    and units (minus the first EOS), reference SpeechToTextDataset
+    __getitem__ wiring."""
+    d = Dictionary.unit_dictionary(10)
+    cfg = yaml.safe_load((data_dir / "config.yaml").read_text())
+    cfg["transforms"] = {}
+    cfg["dataset_transforms"] = {"_train": ["concataugment"]}
+    cfg["concataugment"] = {"rate": 1.0, "max_tokens": 3000, "attempts": 5}
+    (data_dir / "config.yaml").write_text(yaml.safe_dump(cfg))
+
+    ds = SpeechToUnitDataset.from_tsv(
+        root=str(data_dir), split="train", tgt_dict=d, is_train=True)
+    base = SpeechToUnitDataset.from_tsv(
+        root=str(data_dir), split="train", tgt_dict=d, is_train=False)
+    item = ds[0]
+    single = base[0]
+    # concatenated with some partner j != 0
+    assert item["source"].shape[0] > single["source"].shape[0]
+    assert len(item["target"]) > len(single["target"])
+    # exactly one EOS, at the end (first sample's EOS stripped)
+    assert item["target"][-1] == EOS
+    assert (item["target"][:-1] != EOS).all()
+    partner_frames = item["source"].shape[0] - single["source"].shape[0]
+    assert partner_frames in [base[j]["source"].shape[0] for j in range(1, 4)]

@@ -84,24 +84,29 @@ def test_watchdog_fires(caplog):
 
 
 def test_noisy_overlap_and_concat_augment():
-    from diffnorm_tpu.data.audio import ConcatAugment, NoisyOverlapAugment
+    from diffnorm_tpu.data.augment import ConcatAugment, NoisyOverlapAugment
 
     rng = np.random.default_rng(0)
     wav = rng.normal(size=1000).astype(np.float32)
     other = rng.normal(size=800).astype(np.float32)
-    aug = NoisyOverlapAugment(rate=1.0, snr_min=10, snr_max=10)
-    out = aug(wav, other=other, rng=rng)
-    assert out.shape == wav.shape
-    assert not np.allclose(out[:800], wav[:800])
-    # SNR 10dB: added noise power ~ signal/10
-    noise = out - wav
-    snr = 10 * np.log10(np.mean(wav[:800] ** 2) / np.mean(noise[:800] ** 2))
+    # utterance-mixing branch at fixed 10 dB SNR
+    aug = NoisyOverlapAugment(rate=1.0, mixing_noise_rate=0.0,
+                              utterance_snr_min=10, utterance_snr_max=10)
+    out = aug([wav, other], rng=rng)
+    assert out[0].shape == wav.shape and out[1].shape == other.shape
+    changed = ~np.isclose(out[0], wav)
+    assert changed.any() and changed.sum() <= 500  # snippet <= L1/2
+    noise = out[0] - wav
+    snr = 10 * np.log10(np.mean(wav ** 2) / np.mean(noise[changed] ** 2))
     assert 8.0 < snr < 12.0
 
-    cat = ConcatAugment(rate=1.0)
-    w2, t2 = cat(wav, np.arange(5), other_wav=other,
-                 other_target=np.arange(3), rng=rng)
-    assert len(w2) == 1800 and len(t2) == 8
+    cat = ConcatAugment(rate=1.0, max_tokens=3000)
+    n_frames = [1000, 800, 2500]
+    idx = cat.find_indices(0, n_frames, 3, rng=rng)
+    assert idx[0] == 0 and len(idx) == 2 and idx[1] in (1, 2)
+    assert n_frames[idx[0]] + n_frames[idx[1]] < 3000
+    # base sample over max_tokens -> no concat
+    assert cat.find_indices(2, [1000, 800, 3500], 3, rng=rng) == [2]
 
 
 def test_progress_writer_json(capsys):

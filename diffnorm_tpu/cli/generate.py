@@ -224,6 +224,7 @@ def main(cfg: Optional[Config] = None) -> int:
             canvas = levenshtein_decode_jit(
                 model, v, src, lengths, max_iter=max_iter,
                 max_len=min(max_len, 256),
+                eos_penalty=float(cfg.get("iter_decode_eos_penalty", 0.0)),
             )
             b = canvas.shape[0]
             return canvas, jnp.zeros(canvas.shape, jnp.float32), \

@@ -254,7 +254,7 @@ def _left_pack(tokens, keep):
 
 def levenshtein_decode_jit(
     model, variables, src_tokens, src_lengths, max_iter: int = 10,
-    max_len: int = 200,
+    max_len: int = 200, eos_penalty: float = 0.0,
 ):
     """Fully jitted LevT decoding: one lax.scan over max_iter iterations of
     delete -> (re-score) insert placeholders -> (re-score) fill, all on a
@@ -314,6 +314,10 @@ def levenshtein_decode_jit(
 
         # -- insert placeholders --------------------------------------------
         _, _, ins_logits = score(packed)  # [B, L-1, MAX_INS] per slot j,j+1
+        if eos_penalty > 0.0:
+            # penalize the "insert nothing" class, discouraging early
+            # stopping (reference levenshtein_transformer.py:195-196)
+            ins_logits = ins_logits.at[..., 0].add(-eos_penalty)
         n_ins = jnp.argmax(ins_logits, -1).astype(jnp.int32)
         slot_ok = pvalid[:, :-1] & pvalid[:, 1:]  # both neighbours real
         n_ins = jnp.where(slot_ok, n_ins, 0)

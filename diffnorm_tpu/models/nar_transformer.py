@@ -424,6 +424,15 @@ def nar_s2ut_conformer_arch(cfg: Config):
     cfg.setdefault("decoder_attention_heads", 8)
     cfg.setdefault("dropout", 0.1)
     cfg.setdefault("depthwise_conv_kernel_size", 31)
+    # recipe flags (scripts/s2ut/train.sh passes --attn-type espnet
+    # --pos-enc-type rel_pos); only that combination is implemented here
+    attn = cfg.setdefault("attn_type", "espnet")
+    pos = cfg.setdefault("pos_enc_type", "rel_pos")
+    if attn != "espnet" or pos != "rel_pos":
+        raise ValueError(
+            f"unsupported --attn-type {attn} / --pos-enc-type {pos}: the "
+            "conformer encoder implements the ESPnet rel-pos attention the "
+            "DiffNorm recipes use")
 
 
 @register_architecture("nar_s2ut", "nar_s2ut_conformer_fisher")

@@ -118,3 +118,47 @@ def test_levenshtein_decode_jit(built):
     out2 = np.asarray(fn(variables, batch["src_tokens"],
                          batch["src_lengths"]))
     np.testing.assert_array_equal(out, out2)
+
+
+def test_levenshtein_eos_penalty():
+    """--iter-decode-eos-penalty penalizes the insert-nothing class
+    (reference levenshtein_transformer.py:195-196). With a stub scorer whose
+    argmax is 'insert 0' in every slot, penalty 0 leaves the canvas at
+    [BOS, EOS] while a penalty above the logit gap flips the argmax to
+    'insert 2' and grows it."""
+    import types
+
+    import jax.numpy as jnp
+
+    from diffnorm_tpu.models.levenshtein import levenshtein_decode_jit
+
+    L, V, MAX_INS = 16, 20, 4
+
+    class _Stub:
+        def apply(self, v, *args, method=None):
+            if method == "encode":
+                return None, None
+            tokens = args[0]
+            b = tokens.shape[0]
+            word = jnp.zeros((b, L, V)).at[..., 7].set(5.0)
+            dele = jnp.zeros((b, L, 2)).at[..., 0].set(5.0)  # keep all
+            ins = jnp.zeros((b, L - 1, MAX_INS))
+            ins = ins.at[..., 0].set(3.0).at[..., 2].set(1.0)
+            return word, dele, ins
+
+    model = types.SimpleNamespace(module=_Stub())
+    src = np.zeros((1, 4), np.int32)
+    lens = np.asarray([4], np.int32)
+
+    def run(pen):
+        out = np.asarray(levenshtein_decode_jit(
+            model, {}, src, lens, max_iter=1, max_len=L, eos_penalty=pen))
+        return out[0]
+
+    base = run(0.0)
+    assert (base != 1).sum() == 2  # just BOS, EOS — no insertions
+    pushed = run(10.0)
+    np.testing.assert_array_equal(pushed[:4], [0, 7, 7, 2])
+    assert (pushed[4:] == 1).all()
+    # sub-gap penalty leaves the argmax unchanged
+    np.testing.assert_array_equal(run(1.0), base)

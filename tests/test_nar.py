@@ -348,3 +348,19 @@ def test_conformer_encoder_remat_grads():
     total = jax.tree_util.tree_reduce(
         lambda a, b: a + jnp.sum(jnp.abs(b)), g, 0.0)
     assert np.isfinite(float(total)) and float(total) > 0
+
+
+def test_recipe_attn_pos_enc_flags():
+    """scripts/s2ut/train.sh passes --attn-type espnet --pos-enc-type
+    rel_pos; the arch accepts those and rejects unimplemented combos."""
+    import pytest as _pytest
+
+    from diffnorm_tpu.config import Config
+    from diffnorm_tpu.registry import ARCHITECTURES
+
+    _, arch = ARCHITECTURES.get("nar_s2ut_conformer")
+    cfg = Config(attn_type="espnet", pos_enc_type="rel_pos")
+    arch(cfg)
+    assert cfg["encoder_embed_dim"] == 512
+    with _pytest.raises(ValueError, match="attn-type"):
+        arch(Config(pos_enc_type="abs"))

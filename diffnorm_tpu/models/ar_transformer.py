@@ -102,15 +102,22 @@ class ARDecoderLayer(nn.Module):
     ffn_dim: int
     heads: int
     dropout: float
+    # --attention-dropout / --relu-dropout (fall back to dropout)
+    attention_dropout: Optional[float] = None
+    activation_dropout: Optional[float] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, self_mask, enc, enc_mask, deterministic=True,
                  decode=False, max_decode_len: int = 256):
+        attn_do = (self.dropout if self.attention_dropout is None
+                   else self.attention_dropout)
+        act_do = (self.dropout if self.activation_dropout is None
+                  else self.activation_dropout)
         res = x
         hmid = nn.LayerNorm(dtype=self.dtype, name="self_attn_layer_norm")(x)
         hmid = CachedMultiheadAttention(
-            self.dim, self.heads, causal=True, dropout=self.dropout,
+            self.dim, self.heads, causal=True, dropout=attn_do,
             dtype=self.dtype, name="self_attn",
         )(hmid, mask=self_mask, deterministic=deterministic, decode=decode,
           max_decode_len=max_decode_len)
@@ -119,7 +126,7 @@ class ARDecoderLayer(nn.Module):
         res = x
         hmid = nn.LayerNorm(dtype=self.dtype, name="encoder_attn_layer_norm")(x)
         hmid = CachedMultiheadAttention(
-            self.dim, self.heads, dropout=self.dropout, dtype=self.dtype,
+            self.dim, self.heads, dropout=attn_do, dtype=self.dtype,
             name="encoder_attn",
         )(hmid, context=enc, mask=enc_mask, deterministic=deterministic)
         x = res + nn.Dropout(self.dropout)(hmid, deterministic=deterministic)
@@ -128,7 +135,7 @@ class ARDecoderLayer(nn.Module):
         hmid = nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")(x)
         hmid = nn.Dense(self.ffn_dim, dtype=self.dtype, name="fc1")(hmid)
         hmid = nn.relu(hmid)
-        hmid = nn.Dropout(self.dropout)(hmid, deterministic=deterministic)
+        hmid = nn.Dropout(act_do)(hmid, deterministic=deterministic)
         hmid = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(hmid)
         hmid = nn.Dropout(self.dropout)(hmid, deterministic=deterministic)
         return res + hmid
@@ -146,6 +153,8 @@ class ARUnitDecoder(nn.Module):
     layers: int = 6
     heads: int = 8
     dropout: float = 0.1
+    attention_dropout: Optional[float] = None
+    activation_dropout: Optional[float] = None
     share_input_output_embed: bool = True
     n_frames_per_step: int = 1
     dtype: jnp.dtype = jnp.float32
@@ -193,7 +202,10 @@ class ARUnitDecoder(nn.Module):
         for i in range(self.layers):
             x = ARDecoderLayer(
                 dim=self.dim, ffn_dim=self.ffn_dim, heads=self.heads,
-                dropout=self.dropout, dtype=self.dtype, name=f"layer_{i}",
+                dropout=self.dropout,
+                attention_dropout=self.attention_dropout,
+                activation_dropout=self.activation_dropout,
+                dtype=self.dtype, name=f"layer_{i}",
             )(x, self_mask, enc, enc_mask, deterministic=deterministic,
               decode=decode, max_decode_len=max_decode_len)
         x = nn.LayerNorm(dtype=self.dtype, name="layer_norm")(x)
@@ -225,6 +237,8 @@ class ARS2UTModule(nn.Module):
     decoder_layers: int = 6
     decoder_heads: int = 8
     dropout: float = 0.1
+    attention_dropout: Optional[float] = None
+    activation_dropout: Optional[float] = None
     depthwise_kernel_size: int = 31
     n_frames_per_step: int = 1
     dtype: jnp.dtype = jnp.float32
@@ -234,6 +248,8 @@ class ARS2UTModule(nn.Module):
             dim=self.encoder_dim, ffn_dim=self.encoder_ffn_dim,
             layers=self.encoder_layers, heads=self.encoder_heads,
             dropout=self.dropout,
+            attention_dropout=self.attention_dropout,
+            activation_dropout=self.activation_dropout,
             depthwise_kernel_size=self.depthwise_kernel_size,
             dtype=self.dtype, name="encoder",
         )
@@ -241,6 +257,8 @@ class ARS2UTModule(nn.Module):
             vocab_size=self.vocab_size, dim=self.decoder_dim,
             ffn_dim=self.decoder_ffn_dim, layers=self.decoder_layers,
             heads=self.decoder_heads, dropout=self.dropout,
+            attention_dropout=self.attention_dropout,
+            activation_dropout=self.activation_dropout,
             n_frames_per_step=self.n_frames_per_step,
             dtype=self.dtype, name="decoder",
         )
@@ -283,6 +301,9 @@ class ARS2UTModel(ModelHolder):
             decoder_layers=cfg.get("decoder_layers", 6),
             decoder_heads=cfg.get("decoder_attention_heads", 8),
             dropout=cfg.get("dropout", 0.1),
+            attention_dropout=cfg.get("attention_dropout"),
+            activation_dropout=cfg.get(
+                "relu_dropout", cfg.get("activation_dropout")),
             depthwise_kernel_size=cfg.get("depthwise_conv_kernel_size", 31),
             n_frames_per_step=cfg.get("n_frames_per_step", 1),
             dtype=jnp.dtype(cfg.get("dtype", "float32")),

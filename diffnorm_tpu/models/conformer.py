@@ -175,17 +175,23 @@ class ConformerFFN(nn.Module):
     ffn_dim: int
     dropout: float
     quant: bool = False
+    # fairseq --activation-dropout/--relu-dropout: rate on the hidden
+    # activation; falls back to `dropout` when unset (conformer_layer.py
+    # FeedForwardModule activation_dropout)
+    activation_dropout: Optional[float] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         from diffnorm_tpu.models.layers import QDense
 
+        act_do = (self.dropout if self.activation_dropout is None
+                  else self.activation_dropout)
         x = nn.LayerNorm(dtype=self.dtype, name="layer_norm")(x)
         x = QDense(self.ffn_dim, quant=self.quant, dtype=self.dtype,
                    name="w_1")(x)
         x = nn.silu(x)
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dropout(act_do)(x, deterministic=deterministic)
         x = QDense(self.dim, quant=self.quant, dtype=self.dtype,
                    name="w_2")(x)
         return nn.Dropout(self.dropout)(x, deterministic=deterministic)
@@ -253,19 +259,27 @@ class ConformerLayer(nn.Module):
     depthwise_kernel_size: int = 31
     quant: bool = False
     sp_axis: Optional[str] = None  # sequence-parallel mesh axis (shard_map)
+    # fairseq --attention-dropout / --activation-dropout (aka --relu-dropout):
+    # separate rates on the attention probabilities and the FF hidden
+    # activation; both fall back to `dropout` when unset
+    attention_dropout: Optional[float] = None
+    activation_dropout: Optional[float] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, pos_emb, mask=None, deterministic: bool = True,
                  conv_keep=None):
+        attn_do = (self.dropout if self.attention_dropout is None
+                   else self.attention_dropout)
         x = x + 0.5 * ConformerFFN(
-            self.dim, self.ffn_dim, self.dropout, self.quant, self.dtype,
+            self.dim, self.ffn_dim, self.dropout, self.quant,
+            activation_dropout=self.activation_dropout, dtype=self.dtype,
             name="ffn1",
         )(x, deterministic)
         res = x
         h = nn.LayerNorm(dtype=self.dtype, name="self_attn_layer_norm")(x)
         h = RelPosSelfAttention(
-            self.dim, self.heads, self.dropout, self.quant,
+            self.dim, self.heads, attn_do, self.quant,
             sp_axis=self.sp_axis, dtype=self.dtype,
             name="self_attn",
         )(h, pos_emb, mask=mask, deterministic=deterministic)
@@ -277,7 +291,8 @@ class ConformerLayer(nn.Module):
             name="conv_module",
         )(x, deterministic, conv_keep)
         x = x + 0.5 * ConformerFFN(
-            self.dim, self.ffn_dim, self.dropout, self.quant, self.dtype,
+            self.dim, self.ffn_dim, self.dropout, self.quant,
+            activation_dropout=self.activation_dropout, dtype=self.dtype,
             name="ffn2",
         )(x, deterministic)
         return nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")(x)
@@ -307,6 +322,9 @@ class ConformerEncoder(nn.Module):
     # run_layers executes inside a shard_map with time-sharded activations
     # (parallel/sequence.py conformer_encode_sp)
     sp_axis: Optional[str] = None
+    # --attention-dropout / --activation-dropout (fall back to dropout)
+    attention_dropout: Optional[float] = None
+    activation_dropout: Optional[float] = None
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -333,6 +351,8 @@ class ConformerEncoder(nn.Module):
                 depthwise_kernel_size=self.depthwise_kernel_size,
                 quant=self.quant,
                 sp_axis=self.sp_axis,
+                attention_dropout=self.attention_dropout,
+                activation_dropout=self.activation_dropout,
                 dtype=self.dtype,
                 name=f"layer_{i}",
             )

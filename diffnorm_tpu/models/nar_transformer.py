@@ -81,6 +81,11 @@ class DecoderLayer(nn.Module):
     heads: int
     dropout: float
     quant: bool = False
+    # fairseq --attention-dropout / --relu-dropout (activation dropout):
+    # separate rates on attention probs / FF activation, defaulting to
+    # `dropout` when unset
+    attention_dropout: Optional[float] = None
+    activation_dropout: Optional[float] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -89,10 +94,14 @@ class DecoderLayer(nn.Module):
     ):
         from diffnorm_tpu.models.layers import QDense
 
+        attn_do = (self.dropout if self.attention_dropout is None
+                   else self.attention_dropout)
+        act_do = (self.dropout if self.activation_dropout is None
+                  else self.activation_dropout)
         res = x
         h = nn.LayerNorm(dtype=self.dtype, name="self_attn_layer_norm")(x)
         h = MultiheadAttention(
-            self.dim, self.heads, self.dropout, self.quant, self.dtype,
+            self.dim, self.heads, attn_do, self.quant, self.dtype,
             name="self_attn",
         )(h, mask=self_mask, deterministic=deterministic)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -101,7 +110,7 @@ class DecoderLayer(nn.Module):
         res = x
         h = nn.LayerNorm(dtype=self.dtype, name="encoder_attn_layer_norm")(x)
         h = MultiheadAttention(
-            self.dim, self.heads, self.dropout, self.quant, self.dtype,
+            self.dim, self.heads, attn_do, self.quant, self.dtype,
             name="encoder_attn",
         )(h, context=enc, mask=enc_mask, deterministic=deterministic)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -112,7 +121,7 @@ class DecoderLayer(nn.Module):
         h = QDense(self.ffn_dim, quant=self.quant, dtype=self.dtype,
                    name="fc1")(h)
         h = nn.relu(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dropout(act_do)(h, deterministic=deterministic)
         h = QDense(self.dim, quant=self.quant, dtype=self.dtype,
                    name="fc2")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -128,6 +137,8 @@ class NATUnitDecoder(nn.Module):
     layers: int = 6
     heads: int = 8
     dropout: float = 0.1
+    attention_dropout: Optional[float] = None
+    activation_dropout: Optional[float] = None
     max_lengths: int = 256  # length-classifier classes
     share_input_output_embed: bool = True
     # stacked units (reference TransformerUnitDecoder out_proj_n_frames,
@@ -174,6 +185,8 @@ class NATUnitDecoder(nn.Module):
                 ffn_dim=self.ffn_dim,
                 heads=self.heads,
                 dropout=self.dropout,
+                attention_dropout=self.attention_dropout,
+                activation_dropout=self.activation_dropout,
                 quant=self.quant,
                 dtype=self.dtype,
                 name=f"layer_{i}",
@@ -245,6 +258,8 @@ class NARS2UTModule(nn.Module):
     # with embed(y0), and train on the prompted context
     use_sp: bool = False
     encoder_remat: bool = False  # jax.checkpoint per conformer layer
+    attention_dropout: Optional[float] = None
+    activation_dropout: Optional[float] = None
     n_frames_per_step: int = 1
     conv_channels: int = 1024
     conv_kernel_sizes: tuple = (5, 5)
@@ -259,6 +274,8 @@ class NARS2UTModule(nn.Module):
             layers=self.encoder_layers,
             heads=self.encoder_heads,
             dropout=self.dropout,
+            attention_dropout=self.attention_dropout,
+            activation_dropout=self.activation_dropout,
             depthwise_kernel_size=self.depthwise_kernel_size,
             conv_channels=self.conv_channels,
             conv_kernel_sizes=tuple(self.conv_kernel_sizes),
@@ -274,6 +291,8 @@ class NARS2UTModule(nn.Module):
             layers=self.decoder_layers,
             heads=self.decoder_heads,
             dropout=self.dropout,
+            attention_dropout=self.attention_dropout,
+            activation_dropout=self.activation_dropout,
             n_frames_per_step=self.n_frames_per_step,
             share_input_output_embed=self.share_input_output_embed,
             quant=self.quant_int8,
@@ -389,6 +408,11 @@ class NARS2UTModel(ModelHolder):
             decoder_layers=cfg.get("decoder_layers", 6),
             decoder_heads=cfg.get("decoder_attention_heads", 8),
             dropout=cfg.get("dropout", 0.1),
+            # fairseq --attention-dropout / --relu-dropout (both default to
+            # --dropout when not given, as the recipes assume)
+            attention_dropout=cfg.get("attention_dropout"),
+            activation_dropout=cfg.get(
+                "relu_dropout", cfg.get("activation_dropout")),
             depthwise_kernel_size=cfg.get("depthwise_conv_kernel_size", 31),
             cg_prob=cfg.get("cg_prob", 0.0),
             ctc_vocab=cfg.get("multitask_ctc_vocab", 0),

@@ -72,7 +72,10 @@ class NARS2UTTask(Task):
             root=self.cfg.get("data"),
             split=split,
             tgt_dict=self.tgt_dict,
-            config_yaml=self.cfg.get("config_yaml", "config.yaml"),
+            # --dummy-config: the reference tasks' alias for loading the
+            # data YAML from an arbitrary path (speech_decoder_task.py:100-123)
+            config_yaml=self.cfg.get(
+                "config_yaml", self.cfg.get("dummy_config", "config.yaml")),
             is_train=split.startswith("train"),
         )
 

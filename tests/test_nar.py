@@ -364,3 +364,45 @@ def test_recipe_attn_pos_enc_flags():
     assert cfg["encoder_embed_dim"] == 512
     with _pytest.raises(ValueError, match="attn-type"):
         arch(Config(pos_enc_type="abs"))
+
+
+def test_separate_attention_and_activation_dropout():
+    """--attention-dropout/--relu-dropout are independent knobs (fairseq
+    TransformerConfig): with base dropout 0 but attention_dropout ~1 the
+    train-mode forward must be stochastic, and with all rates 0 it must
+    equal the deterministic forward."""
+    import jax.numpy as jnp
+
+    def forward(attn_do, relu_do, key):
+        cfg = tiny_cfg(dropout=0.0)
+        if attn_do is not None:
+            cfg["attention_dropout"] = attn_do
+        if relu_do is not None:
+            cfg["relu_dropout"] = relu_do
+        task = TASKS.get("dummy_nar").setup_task(cfg)
+        model = task.build_model()
+        batch = task.dummy_batch(2, 48)
+        variables = task.init_variables(model, jax.random.PRNGKey(0), batch)
+        out, _ = model.module.apply(
+            variables, jnp.asarray(batch["src_tokens"]),
+            jnp.asarray(batch["src_lengths"]),
+            jnp.asarray(batch["prev_target"]),
+            tgt_tokens=jnp.asarray(batch["target"]),
+            deterministic=False,
+            rngs={"dropout": key, "cg": jax.random.PRNGKey(9)},
+            mutable=["batch_stats"],
+        )
+        return np.asarray(out["logits"])
+
+    base = forward(None, None, jax.random.PRNGKey(1))
+    # all-zero rates: train == another train draw (no stochastic path)
+    np.testing.assert_allclose(
+        base, forward(None, None, jax.random.PRNGKey(2)), atol=1e-6)
+    # attention dropout alone makes it stochastic
+    a1 = forward(0.7, None, jax.random.PRNGKey(1))
+    a2 = forward(0.7, None, jax.random.PRNGKey(2))
+    assert not np.allclose(a1, a2, atol=1e-4)
+    # activation (relu) dropout alone makes it stochastic
+    r1 = forward(None, 0.7, jax.random.PRNGKey(1))
+    r2 = forward(None, 0.7, jax.random.PRNGKey(2))
+    assert not np.allclose(r1, r2, atol=1e-4)

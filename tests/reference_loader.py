@@ -956,3 +956,58 @@ def load_augment_transforms():
             NoisyOverlapAugment=noa.NoisyOverlapAugment,
         )
     return _cache["augment"]
+
+
+def load_s2t_conformer_encoder():
+    """Exec the real fairseq/models/speech_to_text/s2t_conformer.py
+    S2TConformerEncoder verbatim, composed from the REAL Conv1dSubsampler
+    (speech_to_text/modules/convolution.py), the REAL ConformerEncoderLayer
+    + RelPositionalEncoding (load_conformer_layer) and the REAL
+    PositionalEmbedding. Stubbed: registration decorators, checkpoint_utils
+    (unused by the encoder), the S2TTransformer base classes (only the model
+    wrapper needs them), and lengths_to_padding_mask (3-line helper)."""
+    if "s2t_conformer" not in _cache:
+        import torch
+
+        conf = load_conformer_layer()
+        m = sys.modules["fairseq.modules"]
+        m.RelPositionalEncoding = conf.RelPositionalEncoding
+        sys.modules["fairseq.modules.conformer_layer"] = conf
+        m.conformer_layer = conf
+
+        def lengths_to_padding_mask(lens):
+            bsz, max_lens = lens.size(0), int(torch.max(lens).item())
+            mask = torch.arange(max_lens).to(lens.device).view(1, max_lens)
+            return mask.expand(bsz, -1) >= lens.view(bsz, 1).expand(-1, max_lens)
+
+        _stub("fairseq.checkpoint_utils")
+        sys.modules["fairseq"].checkpoint_utils = sys.modules[
+            "fairseq.checkpoint_utils"]
+        _stub("fairseq.data")
+        _stub("fairseq.data.data_utils",
+              lengths_to_padding_mask=lengths_to_padding_mask)
+
+        models = sys.modules["fairseq.models"]
+        models.register_model = _identity_decorator
+        models.register_model_architecture = (
+            lambda *a, **k: (lambda fn: fn))
+
+        conv = _file_module(
+            "fairseq.models.speech_to_text.modules.convolution",
+            f"{REF}/fairseq/models/speech_to_text/modules/convolution.py")
+        _stub("fairseq.models.speech_to_text")
+        _stub("fairseq.models.speech_to_text.modules")
+        sys.modules["fairseq.models.speech_to_text.modules"].convolution = conv
+
+        class _S2TStub(torch.nn.Module):
+            def __init__(self, *a, **k):
+                super().__init__()
+
+        _stub("fairseq.models.speech_to_text.s2t_transformer",
+              S2TTransformerEncoder=_S2TStub, S2TTransformerModel=_S2TStub,
+              base_architecture=lambda args: None)
+
+        _cache["s2t_conformer"] = _file_module(
+            "ref_s2t_conformer",
+            f"{REF}/fairseq/models/speech_to_text/s2t_conformer.py")
+    return _cache["s2t_conformer"]

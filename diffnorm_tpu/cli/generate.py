@@ -381,6 +381,12 @@ def main(cfg: Optional[Config] = None) -> int:
     base_key = (jax.random.PRNGKey(int(cfg.get("seed", 1)))
                 if needs_rng else None)
 
+    # --post-process / --remove-bpe: detokenize the D- lines and score on
+    # the processed text (reference fairseq_cli/generate.py + data_utils
+    # .post_process; e.g. `--post-process subword_nmt` or `--remove-bpe "@@ "`)
+    pp_symbol = cfg.get("post_process") or cfg.get("remove_bpe")
+    from diffnorm_tpu.data.encoders import post_process as _pp
+
     for batch_i, batch in enumerate(read_ahead(itr, _upload_src, depth=2)):
         if "id" not in batch:
             batch["id"] = np.arange(n_sent, n_sent + len(batch["src_lengths"]))
@@ -410,16 +416,21 @@ def main(cfg: Optional[Config] = None) -> int:
             ref = strip_special(np.asarray(batch["target"][i]).reshape(-1),
                                 tgt_dict)
             score = float(scores[i][tokens[i] != PAD].mean()) if (tokens[i] != PAD).any() else 0.0
+            if pp_symbol:
+                hyp_d = _pp(hyp, pp_symbol)
+                ref = _pp(ref, pp_symbol)
+            else:
+                hyp_d = hyp
             print(f"T-{sid}\t{ref}", file=out_f)
             print(f"H-{sid}\t{score:.4f}\t{hyp}", file=out_f)
-            print(f"D-{sid}\t{score:.4f}\t{hyp}", file=out_f)
+            print(f"D-{sid}\t{score:.4f}\t{hyp_d}", file=out_f)
             if history is not None:
                 # reference E-{id}_{step} lines (fairseq_cli/generate.py
                 # retain_iter_history output)
                 for st in range(history.shape[0]):
                     h = strip_special(history[st, i], tgt_dict)
                     print(f"E-{sid}_{st}\t{h}", file=out_f)
-            bleu.add(ref.split(), hyp.split())
+            bleu.add(ref.split(), hyp_d.split())
             n_sent += 1
     wall = time.time() - t0
     logger.info(

@@ -51,6 +51,13 @@ def main(cfg: Optional[Config] = None) -> int:
 
     is_speech = cfg.get("task") not in ("cmlm_cg", "dummy_cmlm_cg")
     tgt_dict = task.target_dictionary
+    # raw-text pre/post processing (reference fairseq_cli/interactive.py
+    # encode_fn/decode_fn: tokenizer then BPE in, inverted out)
+    from diffnorm_tpu.data.encoders import (
+        build_bpe, build_tokenizer, decode_fn, encode_fn)
+
+    tokenizer = build_tokenizer(cfg)
+    bpe = build_bpe(cfg)
     max_iter = cfg.get("iter_decode_max_iter", 15)
     max_len = cfg.get("max_target_positions", 256)
 
@@ -91,6 +98,7 @@ def main(cfg: Optional[Config] = None) -> int:
             src = feat[None]
             src_lengths = np.asarray([feat.shape[0]], np.int32)
         else:
+            line = encode_fn(line, bpe=bpe, tokenizer=tokenizer)
             enc = task.src_dict.encode_line(line, append_eos=True)
             src = enc[None].astype(np.int32)
             src_lengths = np.asarray([len(enc)], np.int32)
@@ -98,6 +106,8 @@ def main(cfg: Optional[Config] = None) -> int:
         toks = [int(t) for t in np.asarray(tokens)[0] if int(t) not in (1, 2)]
         hyp = " ".join(tgt_dict[t] for t in toks)
         print(f"H-{i}\t{hyp}")
+        if bpe is not None or tokenizer is not None:
+            print(f"D-{i}\t{decode_fn(hyp, bpe=bpe, tokenizer=tokenizer)}")
         sys.stdout.flush()
     return 0
 

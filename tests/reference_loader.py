@@ -1011,3 +1011,51 @@ def load_s2t_conformer_encoder():
             "ref_s2t_conformer",
             f"{REF}/fairseq/models/speech_to_text/s2t_conformer.py")
     return _cache["s2t_conformer"]
+
+
+def load_encoders():
+    """Exec the real fairseq/data/encoders leaf modules verbatim:
+    byte_utils.py, characters.py, bytes.py, space_tokenizer.py, and the
+    vendored gpt2_bpe_utils.py (imports: re/json/functools + the registry
+    decorators, stubbed to identity)."""
+    if "encoders" not in _cache:
+        install_fairseq_stubs()
+        _stub("fairseq.data.encoders",
+              register_bpe=_identity_decorator,
+              register_tokenizer=_identity_decorator)
+        _stub("fairseq.dataclass", FairseqDataclass=object)
+        bu = _file_module("fairseq.data.encoders.byte_utils",
+                          f"{REF}/fairseq/data/encoders/byte_utils.py")
+        chars = _file_module("ref_enc_characters",
+                             f"{REF}/fairseq/data/encoders/characters.py")
+        byts = _file_module("ref_enc_bytes",
+                            f"{REF}/fairseq/data/encoders/bytes.py")
+        space = _file_module("ref_enc_space",
+                             f"{REF}/fairseq/data/encoders/space_tokenizer.py")
+        gpt2 = _file_module("ref_gpt2_bpe_utils",
+                            f"{REF}/fairseq/data/encoders/gpt2_bpe_utils.py")
+        _cache["encoders"] = types.SimpleNamespace(
+            byte_utils=bu, characters=chars, bytes=byts, space=space,
+            gpt2_utils=gpt2)
+    return _cache["encoders"]
+
+
+def load_post_process():
+    """Exec the real fairseq/data/data_utils.py verbatim and return its
+    post_process function (PathManager/utils shimmed; the compiled
+    data_utils_fast import lives inside batch_by_size, not at module
+    level, so the exec succeeds)."""
+    if "post_process" not in _cache:
+        install_fairseq_stubs()
+
+        class _PathManager:
+            @staticmethod
+            def ls(path):
+                import os
+
+                return os.listdir(path)
+
+        _stub("fairseq.file_io", PathManager=_PathManager)
+        du = _file_module("ref_data_utils", f"{REF}/fairseq/data/data_utils.py")
+        _cache["post_process"] = du.post_process
+    return _cache["post_process"]

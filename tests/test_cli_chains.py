@@ -151,6 +151,18 @@ def test_cmlm_interactive_chain(tmp_path, monkeypatch, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert out.count("H-") == 2
+    assert "D-" not in out  # no tokenizer/bpe -> no detok line
+
+    # same checkpoint with --tokenizer/--bpe: encode_fn processes stdin,
+    # decode_fn emits D- lines (reference fairseq_cli/interactive.py)
+    monkeypatch.setattr("sys.stdin", io.StringIO("5 7 9\n"))
+    rc = interactive.main(Config(path=ckpt, cpu=True,
+                                 iter_decode_max_iter=2,
+                                 max_target_positions=16,
+                                 tokenizer="space", bpe="characters", **cfg))
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("H-") == 1 and out.count("D-") == 1
 
 
 TTS_CFG = dict(

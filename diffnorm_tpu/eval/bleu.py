@@ -75,27 +75,29 @@ class BleuAccumulator:
             return reflen, predlen, match, total
         return self.reflen, self.predlen, self.match, self.total
 
-    def score(self) -> float:
+    def score(self, order: int = 4) -> float:
+        assert 1 <= order <= 4, "counters track ngrams up to order 4"
         reflen, predlen, match, total = self._counts()
         if predlen == 0:
             return 0.0
         log_p = 0.0
-        for m, t in zip(match, total):
+        for m, t in zip(match[:order], total[:order]):
             if t == 0 or m == 0:  # unsmoothed corpus BLEU
                 return 0.0
-            log_p += math.log(m / t) / 4.0
+            log_p += math.log(m / t) / order
         bp = 1.0 if predlen >= reflen else math.exp(1 - reflen / max(predlen, 1))
         return 100.0 * bp * math.exp(log_p)
 
-    def precisions(self) -> List[float]:
+    def precisions(self, order: int = 4) -> List[float]:
         _, _, match, total = self._counts()
-        return [100.0 * m / t if t else 0.0 for m, t in zip(match, total)]
+        return [100.0 * m / t if t else 0.0
+                for m, t in zip(match[:order], total[:order])]
 
-    def result_string(self) -> str:
+    def result_string(self, order: int = 4) -> str:
         reflen, predlen, match, total = self._counts()
-        p = "/".join(f"{x:.1f}" for x in self.precisions())
+        p = "/".join(f"{x:.1f}" for x in self.precisions(order))
         ratio = predlen / max(reflen, 1)
-        return (f"BLEU4 = {self.score():.2f}, {p} "
+        return (f"BLEU{order} = {self.score(order):.2f}, {p} "
                 f"(ratio={ratio:.3f}, hyp_len={predlen}, ref_len={reflen})")
 
 

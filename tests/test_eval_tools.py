@@ -101,6 +101,30 @@ def test_score_cli(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "BLEU4 = 100.00" in out
 
+    # --order / --sentence-bleu / --ignore-case (reference fairseq_cli/score.py)
+    main(["--sys", str(tmp_path / "hyp.txt"), "--ref",
+          str(tmp_path / "ref.txt"), "--order", "2"])
+    assert "BLEU2 = 100.00" in capsys.readouterr().out
+    main(["--sys", str(tmp_path / "hyp.txt"), "--ref",
+          str(tmp_path / "ref.txt"), "--sentence-bleu"])
+    out = capsys.readouterr().out
+    assert out.count("BLEU4 = 100.00") == 2 and out.startswith("0 ")
+    (tmp_path / "hyp_uc.txt").write_text("A b\n")
+    (tmp_path / "ref_lc.txt").write_text("a b\n")
+    main(["--sys", str(tmp_path / "hyp_uc.txt"), "--ref",
+          str(tmp_path / "ref_lc.txt"), "--ignore-case", "--order", "1"])
+    assert "BLEU1 = 100.00" in capsys.readouterr().out
+    # stdin hypotheses (--sys -)
+    import io, sys as _sys
+
+    old = _sys.stdin
+    try:
+        _sys.stdin = io.StringIO("5 6 7 8\n8 9 10 11\n")
+        main(["--ref", str(tmp_path / "ref.txt")])
+    finally:
+        _sys.stdin = old
+    assert "BLEU4 = 100.00" in capsys.readouterr().out
+
 
 def test_get_manifest_cli(tmp_path):
     import numpy as np

@@ -362,6 +362,13 @@ def main(cfg: Optional[Config] = None) -> int:
 
     from diffnorm_tpu.eval.bleu import BleuAccumulator
 
+    # --scoring sacrebleu (reference fairseq_cli/generate.py cfg.scoring /
+    # --sacrebleu): corpus sacrebleu over the post-processed text instead
+    # of the native token-level BLEU4 counters
+    use_sacrebleu = (cfg.get("scoring") == "sacrebleu"
+                     or bool(cfg.get("sacrebleu")))
+    sb_hyps: list = []
+    sb_refs: list = []
     bleu = BleuAccumulator()
     n_sent, t0, total_steps = 0, time.time(), 0
 
@@ -430,7 +437,11 @@ def main(cfg: Optional[Config] = None) -> int:
                 for st in range(history.shape[0]):
                     h = strip_special(history[st, i], tgt_dict)
                     print(f"E-{sid}_{st}\t{h}", file=out_f)
-            bleu.add(ref.split(), hyp_d.split())
+            if use_sacrebleu:
+                sb_hyps.append(hyp_d)
+                sb_refs.append(ref)
+            else:
+                bleu.add(ref.split(), hyp_d.split())
             n_sent += 1
     wall = time.time() - t0
     logger.info(
@@ -438,7 +449,13 @@ def main(cfg: Optional[Config] = None) -> int:
         n_sent, wall, n_sent / max(wall, 1e-6),
         total_steps / max(n_sent, 1),
     )
-    logger.info("Generate %s with beam=%d: %s", split, beam, bleu.result_string())
+    if use_sacrebleu:
+        import sacrebleu
+
+        score_str = str(sacrebleu.corpus_bleu(sb_hyps, [sb_refs]))
+    else:
+        score_str = bleu.result_string()
+    logger.info("Generate %s with beam=%d: %s", split, beam, score_str)
     if results_path:
         out_f.close()
     return 0

@@ -68,6 +68,9 @@ def test_ar_train_generate_chain(tmp_path):
     _generate(tmp_path, ckpt, "beam", beam=2, **AR_CFG)
     _generate(tmp_path, ckpt, "samp", beam=2, sampling=True,
               sampling_topk=3, temperature=0.9, **AR_CFG)
+    # --scoring sacrebleu computes corpus sacrebleu instead of the native
+    # counters (reference cfg.scoring); exercised on the same checkpoint
+    _generate(tmp_path, ckpt, "sb", beam=1, scoring="sacrebleu", **AR_CFG)
 
 
 def test_levenshtein_train_generate_chain(tmp_path):

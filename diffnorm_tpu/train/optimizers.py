@@ -27,15 +27,49 @@ def _betas(cfg):
     return tuple(betas)
 
 
+def scale_by_fairseq_adam(b1: float, b2: float, eps: float):
+    """Adam moment scaling with the reference's exact eps placement
+    (fairseq/optim/adam.py Adam.step): denom = sqrt(nu) + eps BEFORE the
+    bias corrections, update = (sqrt(bc2)/bc1) * mu / denom. optax's
+    scale_by_adam applies eps to the bias-CORRECTED sqrt(nu_hat) — an
+    O(eps) trajectory difference; this transform is trajectory-exact
+    (pinned vs the verbatim reference in tests/test_optim.py)."""
+
+    def init(params):
+        zeros = lambda p: jnp.zeros_like(p)  # noqa: E731
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree_util.tree_map(zeros, params),
+            nu=jax.tree_util.tree_map(zeros, params),
+        )
+
+    def update(grads, state, params=None):
+        del params
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1.0 - b1) * g, state.mu, grads)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1.0 - b2) * (g * g), state.nu, grads)
+        count = state.count + 1
+        t = count.astype(jnp.result_type(float))  # f64 under enable_x64
+        scale = jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
+        updates = jax.tree_util.tree_map(
+            lambda m, v: (scale * m / (jnp.sqrt(v) + eps)).astype(m.dtype),
+            mu, nu)
+        return updates, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 @register_optimizer("adam")
 def adam(cfg, lr_schedule):
+    """fairseq adam = AdamW-style decoupled weight decay (lr-scaled,
+    applied straight to the param) on top of the eps-before-correction
+    moment update above (reference fairseq/optim/adam.py)."""
     b1, b2 = _betas(cfg)
-    return optax.adamw(
-        learning_rate=lr_schedule,
-        b1=b1,
-        b2=b2,
-        eps=cfg.get("adam_eps", 1e-8),
-        weight_decay=cfg.get("weight_decay", 0.0),
+    return optax.chain(
+        scale_by_fairseq_adam(b1, b2, cfg.get("adam_eps", 1e-8)),
+        optax.add_decayed_weights(cfg.get("weight_decay", 0.0)),
+        optax.scale_by_learning_rate(lr_schedule),
     )
 
 

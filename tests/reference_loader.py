@@ -1059,3 +1059,27 @@ def load_post_process():
         du = _file_module("ref_data_utils", f"{REF}/fairseq/data/data_utils.py")
         _cache["post_process"] = du.post_process
     return _cache["post_process"]
+
+
+def load_fairseq_adam():
+    """Exec the real fairseq/optim/adam.py verbatim (torch Adam with
+    AdamW-style decoupled weight decay — the optimizer every DiffNorm
+    recipe trains with). Stubs: FairseqOptimizer/registry decorators,
+    fused-adam probe, omegaconf II."""
+    if "fairseq_adam" not in _cache:
+        install_fairseq_stubs()
+        _stub("fairseq.dataclass", FairseqDataclass=object)
+        _stub("fairseq.optim", FairseqOptimizer=object,
+              register_optimizer=_identity_decorator)
+        _stub("fairseq.optim.fused_adam",
+              get_fused_adam_class=lambda *a, **k: None)
+
+        class _OmegaConf:
+            @staticmethod
+            def is_config(x):
+                return False
+
+        _stub("omegaconf", II=lambda s: s, OmegaConf=_OmegaConf)
+        _cache["fairseq_adam"] = _file_module(
+            "ref_fairseq_adam", f"{REF}/fairseq/optim/adam.py")
+    return _cache["fairseq_adam"]

@@ -157,8 +157,11 @@ class TTSTransformerModule(nn.Module):
             "dec_pos_alpha", nn.initializers.ones, (1,)
         )
         self.dec_layers = [
+            # keyword dtype: ARDecoderLayer grew attention_dropout/
+            # activation_dropout fields ahead of dtype (a positional dtype
+            # would land in attention_dropout and crash the dropout check)
             ARDecoderLayer(self.dim, self.ffn_dim, self.heads, self.dropout,
-                           self.dtype, name=f"dec_layer_{i}")
+                           dtype=self.dtype, name=f"dec_layer_{i}")
             for i in range(self.decoder_layers)
         ]
         self.dec_norm = nn.LayerNorm(dtype=self.dtype, name="dec_norm")

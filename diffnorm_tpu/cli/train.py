@@ -132,6 +132,7 @@ def main(cfg: Optional[Config] = None) -> int:
         start_epoch = extra.get("epoch", 1)
         if epoch_itr is not None and "iterator" in extra:
             epoch_itr.load_state_dict(extra["iterator"])
+        trainer.load_lr_state_dict(extra.get("lr_scheduler"))
         logger.info("resumed from step %s (epoch %d)", extra.get("step"), start_epoch)
     elif cfg.get("restore_file"):
         # fairseq --restore-file: warm-start from another run's checkpoint
@@ -176,6 +177,8 @@ def main(cfg: Optional[Config] = None) -> int:
                 start_epoch = extra.get("epoch", 1)
                 if epoch_itr is not None and "iterator" in extra:
                     epoch_itr.load_state_dict(extra["iterator"])
+            if not cfg.get("reset_lr_scheduler"):
+                trainer.load_lr_state_dict(extra.get("lr_scheduler"))
             logger.info("restored %s at step %s", rf, extra.get("step"))
 
     np_rng = np.random.default_rng(tcfg.seed)
@@ -226,6 +229,9 @@ def main(cfg: Optional[Config] = None) -> int:
         extra = {"epoch": epoch}
         if epoch_itr is not None:
             extra["iterator"] = epoch_itr.state_dict()
+        lr_sd = trainer.lr_state_dict()
+        if lr_sd is not None:  # host-driven scheduler (manual/plateau) state
+            extra["lr_scheduler"] = lr_sd
         ckpt.save(step, state, metric_value=metric_value,
                   extra=extra)
         logger.info("saved checkpoint at step %d (metric=%s)", step, metric_value)
@@ -235,6 +241,7 @@ def main(cfg: Optional[Config] = None) -> int:
     for epoch in range(start_epoch, (tcfg.max_epochs or 10 ** 9) + 1):
         if done:
             break
+        trainer.lr_step_begin_epoch(epoch)  # --lr-scheduler manual epoch2lr
         if epoch_itr is not None:
             itr = epoch_itr.next_epoch_itr()
         else:
@@ -283,6 +290,8 @@ def main(cfg: Optional[Config] = None) -> int:
         metric_value = None
         if epoch % tcfg.validate_interval == 0 or done:
             metric_value = run_validation(state)
+        # reduce_lr_on_plateau consumes the epoch's validation metric here
+        trainer.lr_step_epoch(epoch, metric_value)
         if epoch % tcfg.save_interval == 0 or done:
             save(state, step, epoch + 1, metric_value)
         if metric_value is not None and tcfg.patience > 0:

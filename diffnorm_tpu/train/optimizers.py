@@ -73,6 +73,127 @@ def adam(cfg, lr_schedule):
     )
 
 
+def scale_by_fairseq_adamax(b1: float, b2: float, eps: float,
+                            bias_correction: bool = True):
+    """Adamax moment scaling with the reference's exact semantics
+    (fairseq/optim/adamax.py Adamax.step:107-172): exp_avg EMA, exp_inf
+    infinity-norm max WITHOUT eps inside the max (torch's stock adamax adds
+    eps to |g| before the max), eps added only in the denominator, and the
+    bias correction dividing the step size."""
+
+    def init(params):
+        zeros = lambda p: jnp.zeros_like(p)  # noqa: E731
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree_util.tree_map(zeros, params),
+            nu=jax.tree_util.tree_map(zeros, params),
+        )
+
+    def update(grads, state, params=None):
+        del params
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1.0 - b1) * g, state.mu, grads)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: jnp.maximum(b2 * v, jnp.abs(g)), state.nu, grads)
+        count = state.count + 1
+        if bias_correction:
+            bc = 1.0 - b1 ** count.astype(jnp.result_type(float))
+        else:
+            bc = 1.0
+        updates = jax.tree_util.tree_map(
+            lambda m, v: (m / ((v + eps) * bc)).astype(m.dtype), mu, nu)
+        return updates, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
+@register_optimizer("adamax")
+def adamax(cfg, lr_schedule):
+    """fairseq adamax (fairseq/optim/adamax.py): decoupled weight decay
+    scaled by the RAW lr (not the bias-corrected step size) on top of the
+    infinity-norm moment update above."""
+    betas = cfg.get("adamax_betas", (0.9, 0.999))
+    if isinstance(betas, str):
+        betas = tuple(float(x) for x in betas.strip("()[] ").split(","))
+    b1, b2 = betas
+    return optax.chain(
+        scale_by_fairseq_adamax(
+            b1, b2, cfg.get("adamax_eps", 1e-8),
+            bias_correction=not cfg.get("no_bias_correction", False)),
+        optax.add_decayed_weights(cfg.get("weight_decay", 0.0)),
+        optax.scale_by_learning_rate(lr_schedule),
+    )
+
+
+@register_optimizer("adadelta")
+def adadelta(cfg, lr_schedule):
+    """fairseq adadelta (fairseq/optim/adadelta.py delegates to
+    torch.optim.Adadelta): L2 weight decay folded into the gradient BEFORE
+    the accumulators (torch placement), rho/eps as torch."""
+    chain = []
+    wd = cfg.get("weight_decay", 0.0)
+    if wd:
+        chain.append(optax.add_decayed_weights(wd))  # L2-into-grad
+    chain.append(optax.scale_by_adadelta(
+        rho=cfg.get("adadelta_rho", 0.9), eps=cfg.get("adadelta_eps", 1e-6)))
+    chain.append(optax.scale_by_learning_rate(lr_schedule))
+    return optax.chain(*chain)
+
+
+@register_optimizer("lamb")
+def lamb(cfg, lr_schedule):
+    """--optimizer lamb (reference fairseq/optim/fused_lamb.py delegates to
+    apex FusedLAMB, CUDA-only — capability parity via optax.lamb; the
+    trust-ratio math is the published LAMB algorithm both implement)."""
+    betas = cfg.get("lamb_betas", (0.9, 0.999))
+    if isinstance(betas, str):
+        betas = tuple(float(x) for x in betas.strip("()[] ").split(","))
+    b1, b2 = betas
+    return optax.lamb(
+        learning_rate=lr_schedule, b1=b1, b2=b2,
+        eps=cfg.get("lamb_eps", 1e-8),
+        weight_decay=cfg.get("weight_decay", 0.0),
+    )
+
+
+@register_optimizer("nag")
+def nag(cfg, lr_schedule):
+    """fairseq NAG (fairseq/optim/nag.py NAG.step:62-108) — Nesterov
+    momentum with the lr-correction term lr/lr_old rescaling the momentum
+    buffer when the schedule changes the lr between steps:
+
+        p   <- p*(1 - lr*wd) + buf * momentum^2 * (lr/lr_old)
+                             - g * (1 + momentum) * lr
+        buf <- buf * momentum * (lr/lr_old) - g * lr
+
+    lr enters nonlinearly (inside the buffer), so this transform consumes
+    the schedule itself rather than composing with scale_by_learning_rate."""
+    momentum = float(cfg.get("momentum", 0.99))
+    wd = float(cfg.get("weight_decay", 0.0))
+
+    def init(params):
+        return {
+            "count": jnp.zeros([], jnp.int32),
+            "buf": jax.tree_util.tree_map(jnp.zeros_like, params),
+            "lr_old": jnp.asarray(lr_schedule(0), jnp.float32),
+        }
+
+    def update(grads, state, params=None):
+        lr = jnp.asarray(lr_schedule(state["count"]), jnp.float32)
+        lr_correct = jnp.where(state["lr_old"] > 0, lr / state["lr_old"], lr)
+        updates = jax.tree_util.tree_map(
+            lambda g, b, p: (-lr * wd * p + momentum ** 2 * lr_correct * b
+                             - (1.0 + momentum) * lr * g).astype(p.dtype),
+            grads, state["buf"], params)
+        buf = jax.tree_util.tree_map(
+            lambda b, g: momentum * lr_correct * b - lr * g,
+            state["buf"], grads)
+        return updates, {"count": state["count"] + 1, "buf": buf,
+                         "lr_old": lr}
+
+    return optax.GradientTransformation(init, update)
+
+
 @register_optimizer("adafactor")
 def adafactor(cfg, lr_schedule):
     return optax.adafactor(
@@ -103,23 +224,70 @@ def sgd(cfg, lr_schedule):
 @register_optimizer("composite")
 def composite(cfg, lr_schedule):
     """Per-parameter-group optimizers (fairseq/optim/composite.py parity):
-    cfg.composite_groups maps top-level param-tree keys to optimizer names."""
+    cfg.composite_groups maps top-level param-tree keys to an optimizer name
+    or to a dict of group overrides ({"optimizer": ..., "lr_scheduler": ...,
+    "lr": ..., ...}) — the reference's groups each carry their own optimizer
+    AND scheduler (paired with --lr-scheduler pass_through at the top)."""
+    from diffnorm_tpu.train.lr_schedules import build_lr_schedule
+
     groups = cfg.get("composite_groups", {})
     default_name = cfg.get("composite_default", "adam")
 
-    transforms = {
-        name: OPTIMIZERS.get(name)(cfg, lr_schedule)
-        for name in set(list(groups.values()) + [default_name])
-    }
+    def build_group(spec):
+        if isinstance(spec, str):
+            return spec, OPTIMIZERS.get(spec)(cfg, lr_schedule)
+        sub_cfg = dict(cfg)
+        sub_cfg.update(spec)
+        opt_name = spec.get("optimizer", default_name)
+        if "lr_scheduler" in spec:
+            sub_sched = build_lr_schedule(sub_cfg)
+            if getattr(sub_sched, "host_driven", False):
+                raise ValueError(
+                    "composite groups cannot use host-driven lr schedulers "
+                    "(manual / reduce_lr_on_plateau)")
+        else:
+            sub_sched = lr_schedule
+        label = "::".join(f"{k}={spec[k]}" for k in sorted(spec)) or opt_name
+        return label, OPTIMIZERS.get(opt_name)(sub_cfg, sub_sched)
+
+    transforms = {default_name: OPTIMIZERS.get(default_name)(cfg, lr_schedule)}
+    labels = {}
+    for key, spec in groups.items():
+        label, tx = build_group(spec)
+        transforms[label] = tx
+        labels[key] = label
 
     def label_fn(params):
-        return {k: groups.get(k, default_name) for k in params}
+        return {k: labels.get(k, default_name) for k in params}
 
     return optax.multi_transform(transforms, label_fn)
 
 
 def build_optimizer(cfg, lr_schedule, clip_norm: float = 0.0):
     name = cfg.get("optimizer", "adam")
+    if getattr(lr_schedule, "host_driven", False):
+        # manual / reduce_lr_on_plateau: lr is a host-side value the trainer
+        # threads into the jitted apply step as a traced scalar scaling the
+        # final updates. Build the optimizer at unit lr — exact whenever lr
+        # enters linearly at the end of the chain, which rules out nag
+        # (lr/lr_old inside the momentum buffer).
+        if name == "nag":
+            raise ValueError(
+                "nag's lr-corrected momentum needs the schedule inside the "
+                "optimizer; host-driven lr schedulers (manual, "
+                "reduce_lr_on_plateau) are not supported with --optimizer nag")
+        lr_schedule = lambda step: jnp.ones((), jnp.float32)  # noqa: E731
+    elif getattr(lr_schedule, "pass_through", False):
+        # --lr-scheduler pass_through: the optimizer owns the schedule
+        # (reference pass_through.py). adafactor falls back to its internal
+        # relative-step sizing; composite groups carry their own schedulers.
+        if name == "adafactor":
+            lr_schedule = None
+        elif name != "composite":
+            raise ValueError(
+                "--lr-scheduler pass_through needs an optimizer with its own "
+                "schedule (adafactor, or composite groups with per-group "
+                "lr_scheduler)")
     tx = OPTIMIZERS.get(name)(cfg, lr_schedule)
     chain = []
     if clip_norm and clip_norm > 0:

@@ -61,10 +61,18 @@ class Trainer:
         self.mesh = mesh or make_mesh(
             data=cfg.data_parallel, model=cfg.model_parallel
         )
-        self.lr_schedule = build_lr_schedule(task.cfg)
+        sched = build_lr_schedule(task.cfg)
+        # manual / reduce_lr_on_plateau: lr depends on host-side events; the
+        # jitted apply step receives it as a traced scalar (lr_value) instead
+        # of tracing the schedule, so epoch-boundary lr changes never retrace
+        self.host_lr_sched = sched if getattr(sched, "host_driven", False) else None
+        self.lr_schedule = (
+            (lambda step: jnp.ones((), jnp.float32))
+            if self.host_lr_sched is not None else sched
+        )
         from diffnorm_tpu.train.optimizers import EMA, build_optimizer
 
-        self.tx = build_optimizer(task.cfg, self.lr_schedule, cfg.clip_norm)
+        self.tx = build_optimizer(task.cfg, sched, cfg.clip_norm)
         ema_decay = task.cfg.get("ema_decay", 0.0)
         self.ema = EMA(ema_decay) if ema_decay else None
         self._jit_grad = jax.jit(self._grad_step)
@@ -170,9 +178,10 @@ class Trainer:
         grads = jax.tree_util.tree_map(lambda g: g * ss, grads)
         return grads, vec, mutated
 
-    def _apply_step(self, state: TrainState, grads, ss_total=None):
+    def _apply_step(self, state: TrainState, grads, ss_total=None,
+                    lr_value=None):
         model_state = state.model_state
-        lr = self.lr_schedule(state.step)
+        lr = self.lr_schedule(state.step) if lr_value is None else lr_value
         if ss_total is not None:
             # grad normalization by total sample size INSIDE the jit: a
             # host-side tree_map here costs one tiny XLA dispatch per param
@@ -181,6 +190,11 @@ class Trainer:
         gnorm = optax.global_norm(grads)
         ok = jnp.isfinite(gnorm)
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        if lr_value is not None:
+            # host-driven lr: optimizer ran at unit lr; scale the final
+            # updates (exact — lr enters linearly at the end of the chain)
+            updates = jax.tree_util.tree_map(
+                lambda u: (u * lr_value).astype(u.dtype), updates)
         new_params = optax.apply_updates(state.params, updates)
         # skip the update entirely on non-finite gradients
         new_params = jax.tree_util.tree_map(
@@ -240,8 +254,15 @@ class Trainer:
         if self._host_step is None:
             self._host_step = int(state.step)
         step_before = self._host_step
+        lr_value = None
+        if self.host_lr_sched is not None:
+            # fairseq convention: the lr used by update k is the scheduler's
+            # value after step_update(k) (warmup indexes by update count)
+            lr_value = jnp.asarray(
+                self.host_lr_sched.step_update(step_before), jnp.float32)
         new_state, gnorm, ok, lr = self._jit_apply(
-            state.replace(model_state=model_state), grads_acc, ss_total_dev
+            state.replace(model_state=model_state), grads_acc, ss_total_dev,
+            lr_value,
         )
         self._host_step = step_before + 1
         # ONE host pull for everything the logger needs (each device->host
@@ -271,6 +292,24 @@ class Trainer:
         out["lr"] = float(lr_h)
         metrics_mod.log_dict(out)
         return new_state, out
+
+    # ---- host-driven lr scheduler hooks (no-ops for pure schedules) ----
+    def lr_step_begin_epoch(self, epoch: int):
+        if self.host_lr_sched is not None:
+            return self.host_lr_sched.step_begin_epoch(epoch)
+
+    def lr_step_epoch(self, epoch: int, val_loss=None):
+        if self.host_lr_sched is not None:
+            return self.host_lr_sched.step_epoch(epoch, val_loss)
+
+    def lr_state_dict(self):
+        if self.host_lr_sched is not None:
+            return self.host_lr_sched.state_dict()
+        return None
+
+    def load_lr_state_dict(self, sd):
+        if self.host_lr_sched is not None and sd:
+            self.host_lr_sched.load_state_dict(sd)
 
     def valid_step(self, state: TrainState, batch, rng) -> Dict[str, float]:
         batch = shard_batch(batch, self.mesh)

@@ -1061,6 +1061,102 @@ def load_post_process():
     return _cache["post_process"]
 
 
+def load_ref_lr_schedulers():
+    """Exec the real step_lr_scheduler.py, triangular_lr_scheduler.py,
+    reduce_lr_on_plateau.py and manual_lr_scheduler.py VERBATIM. Stubbed:
+    the FairseqLRScheduler/LegacyFairseqLRScheduler bases (restated from
+    fairseq/optim/lr_scheduler/fairseq_lr_scheduler.py:12-59 minus the
+    FairseqOptimizer isinstance guard, so a fake optimizer with
+    set_lr/get_lr can drive them) and the registry decorator."""
+    if "lr_scheds" not in _cache:
+        install_fairseq_stubs()
+
+        class _FairseqLRScheduler:
+            def __init__(self, cfg, optimizer):
+                self.cfg = cfg
+                self.optimizer = optimizer
+                self.best = None
+
+            def state_dict(self):
+                return {"best": self.best}
+
+            def load_state_dict(self, sd):
+                self.best = sd["best"]
+
+            def step_begin_epoch(self, epoch):
+                pass
+
+            def step(self, epoch, val_loss=None):
+                if val_loss is not None:
+                    self.best = (val_loss if self.best is None
+                                 else min(self.best, val_loss))
+
+            def step_update(self, num_updates):
+                return self.optimizer.get_lr()
+
+        class _LegacyFairseqLRScheduler(_FairseqLRScheduler):
+            def __init__(self, args, optimizer):
+                self.args = args
+                self.cfg = args
+                self.optimizer = optimizer
+                self.best = None
+
+        _stub("omegaconf", II=lambda s: s, MISSING="???")
+        _stub("fairseq.dataclass", FairseqDataclass=object,
+              ChoiceEnum=lambda c: c)
+        _stub("fairseq.optim")
+        _stub("fairseq.optim.lr_scheduler",
+              FairseqLRScheduler=_FairseqLRScheduler,
+              LegacyFairseqLRScheduler=_LegacyFairseqLRScheduler,
+              register_lr_scheduler=_identity_decorator)
+        base = f"{REF}/fairseq/optim/lr_scheduler"
+        step = _file_module("ref_step_lr", f"{base}/step_lr_scheduler.py")
+        tri = _file_module("ref_triangular_lr",
+                           f"{base}/triangular_lr_scheduler.py")
+        plateau = _file_module("ref_plateau_lr",
+                               f"{base}/reduce_lr_on_plateau.py")
+        manual = _file_module("ref_manual_lr", f"{base}/manual_lr_scheduler.py",
+                              package="fairseq.optim.lr_scheduler")
+        _cache["lr_scheds"] = types.SimpleNamespace(
+            StepLRSchedule=step.StepLRSchedule,
+            TriangularLRSchedule=tri.TriangularLRSchedule,
+            ReduceLROnPlateauLRSchedule=plateau.ReduceLROnPlateauLRSchedule,
+            ManualSchedule=manual.ManualSchedule,
+        )
+    return _cache["lr_scheds"]
+
+
+def load_fairseq_adamax():
+    """Exec the real fairseq/optim/adamax.py VERBATIM (the custom Adamax
+    with the weight-decay fix) and return its torch Adamax class."""
+    if "fairseq_adamax" not in _cache:
+        install_fairseq_stubs()
+        _stub("fairseq.optim", FairseqOptimizer=object,
+              LegacyFairseqOptimizer=object,
+              register_optimizer=_identity_decorator)
+        _cache["fairseq_adamax"] = _file_module(
+            "ref_fairseq_adamax", f"{REF}/fairseq/optim/adamax.py",
+            package="fairseq.optim")
+    return _cache["fairseq_adamax"]
+
+
+def load_fairseq_nag():
+    """Exec the real fairseq/optim/nag.py VERBATIM (lr-corrected Nesterov
+    momentum) and return its torch NAG class."""
+    if "fairseq_nag" not in _cache:
+        install_fairseq_stubs()
+        _stub("fairseq.dataclass", FairseqDataclass=object,
+              ChoiceEnum=lambda c: c)
+        _stub("omegaconf", II=lambda s: s, DictConfig=object)
+        _stub("fairseq.optim", FairseqOptimizer=object,
+              LegacyFairseqOptimizer=object,
+              register_optimizer=_identity_decorator)
+        _cache["fairseq_nag"] = _file_module(
+            "ref_fairseq_nag", f"{REF}/fairseq/optim/nag.py",
+            package="fairseq.optim")
+    return _cache["fairseq_nag"]
+
+
 def load_fairseq_adam():
     """Exec the real fairseq/optim/adam.py verbatim (torch Adam with
     AdamW-style decoupled weight decay — the optimizer every DiffNorm

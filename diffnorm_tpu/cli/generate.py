@@ -124,6 +124,7 @@ def _tts_generate(cfg, task, model, split) -> int:
         itr = EpochBatchIterator(
             dataset, max_tokens=cfg.get("max_tokens"),
             max_sentences=cfg.get("batch_size"), shuffle=False,
+            num_workers=int(cfg.get("num_workers", 0) or 0),
         ).next_epoch_itr(shuffle=False)
     else:
         itr = iter(dataset)

@@ -103,6 +103,7 @@ def main(cfg: Optional[Config] = None) -> int:
             required_batch_size_multiple=cfg.get("required_batch_size_multiple", 1),
             seed=tcfg.seed,
             shuffle=True,
+            num_workers=int(cfg.get("num_workers", 0) or 0),
         )
         example_batch = task.prepare_batch(
             dataset.collater([dataset[0]]), np.random.default_rng(tcfg.seed)

@@ -103,6 +103,9 @@ def main(cfg: Optional[Config] = None) -> int:
     itr = EpochBatchIterator(
         dataset, max_sentences=cfg.get("batch_size", 16),
         seed=cfg.get("seed", 1),
+        # --num-workers: parallel host audio decode + segment crop (the
+        # heaviest host-side collation in the framework)
+        num_workers=int(cfg.get("num_workers", 0) or 0),
     )
 
     example = dataset.collater([dataset[0]])

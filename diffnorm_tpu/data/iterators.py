@@ -92,6 +92,37 @@ class _Prefetcher:
         return item
 
 
+def pool_map_ordered(fn, items, workers: int, depth: int):
+    """Yield fn(item) in order with up to `depth` jobs in flight across
+    `workers` threads — the fairseq --num-workers DataLoader analog.
+
+    Worker threads do HOST work only (dataset reads + numpy collation;
+    np.load/soundfile/fbank release the GIL) — jax calls must stay on the
+    main thread (a worker-thread device_put racing a main-thread compile
+    deadlocks, see CLAUDE.md). Results come back in submission order, so
+    batch order — and therefore checkpoint-resume offsets — match the
+    sequential path exactly."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from collections import deque
+
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        futs, it = deque(), iter(items)
+        try:
+            for _ in range(max(depth, 1)):
+                futs.append(ex.submit(fn, next(it)))
+        except StopIteration:
+            it = None
+        while futs:
+            out = futs.popleft().result()
+            if it is not None:
+                try:
+                    futs.append(ex.submit(fn, next(it)))
+                except StopIteration:
+                    it = None
+            yield out
+
+
 def read_ahead(iterable, prep: Callable[[Any], Any], depth: int = 2):
     """Yield `prep(item)` in order, keeping up to `depth` prepped items in
     flight ahead of the consumer.
@@ -135,6 +166,7 @@ class EpochBatchIterator:
         seed: int = 1,
         shuffle: bool = True,
         num_prefetch: int = 4,
+        num_workers: int = 0,
     ):
         from diffnorm_tpu.data.batching import batch_by_size
 
@@ -145,6 +177,7 @@ class EpochBatchIterator:
         self.seed = seed
         self.shuffle = shuffle
         self.num_prefetch = num_prefetch
+        self.num_workers = num_workers
         self.epoch = 1
         self._offset = 0
         self._batch_by_size = batch_by_size
@@ -180,13 +213,27 @@ class EpochBatchIterator:
         self._batches = self._make_batches(self.epoch)
         start = self._offset
 
+        def load(batch_idx):
+            idxs = self._batches[batch_idx]
+            samples = [self.dataset[int(i)] for i in idxs]
+            return self.dataset.collater(samples)
+
         def gen():
             for batch_idx in range(start, len(self._batches)):
-                idxs = self._batches[batch_idx]
-                samples = [self.dataset[int(i)] for i in idxs]
-                yield self.dataset.collater(samples)
+                yield load(batch_idx)
 
-        it = _Prefetcher(gen, depth=self.num_prefetch) if self.num_prefetch > 0 else gen()
+        if self.num_workers > 1:
+            # fairseq --num-workers: parallel host-side loading/collation
+            # (ordered, so resume offsets match the sequential path; note
+            # datasets drawing augmentations from a shared RNG see a
+            # different draw order — same caveat as torch DataLoader workers)
+            it = pool_map_ordered(
+                load, range(start, len(self._batches)), self.num_workers,
+                depth=self.num_prefetch + self.num_workers)
+        elif self.num_prefetch > 0:
+            it = _Prefetcher(gen, depth=self.num_prefetch)
+        else:
+            it = gen()
         counting = CountingIterator(it, start=start, total=len(self._batches))
         self._active = counting
         self._trained = None  # set by mark_trained (read-ahead consumers)

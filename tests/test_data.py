@@ -293,3 +293,42 @@ def test_finish_epoch_resets_saved_offset():
     it2 = EpochBatchIterator(ds, max_sentences=2, shuffle=False, num_prefetch=0)
     it2.load_state_dict(state)
     assert len(list(it2.next_epoch_itr())) == 5
+
+
+def test_num_workers_parallel_loader_matches_sequential():
+    ds = _ToyDataset(13)
+    seq = list(EpochBatchIterator(
+        ds, max_sentences=2, shuffle=False, num_prefetch=0
+    ).next_epoch_itr())
+    par_it = EpochBatchIterator(
+        ds, max_sentences=2, shuffle=False, num_workers=4)
+    par = list(par_it.next_epoch_itr())
+    assert len(par) == len(seq)
+    for a, b in zip(seq, par):
+        np.testing.assert_array_equal(a, b)
+
+    # resume offset semantics identical under the pool
+    it = EpochBatchIterator(ds, max_sentences=2, shuffle=False, num_workers=4)
+    epoch = it.next_epoch_itr()
+    next(epoch), next(epoch)
+    it.mark_trained(2)
+    state = it.state_dict()
+    assert state["offset"] == 2
+    it2 = EpochBatchIterator(ds, max_sentences=2, shuffle=False, num_workers=4)
+    it2.load_state_dict(state)
+    rest = list(it2.next_epoch_itr())
+    np.testing.assert_array_equal(rest[0], seq[2])
+
+
+def test_pool_map_ordered_slow_first_item():
+    # order preserved even when early jobs finish last
+    import time as _t
+
+    from diffnorm_tpu.data.iterators import pool_map_ordered
+
+    def fn(i):
+        _t.sleep(0.05 if i == 0 else 0.0)
+        return i * i
+
+    out = list(pool_map_ordered(fn, range(7), workers=3, depth=4))
+    assert out == [i * i for i in range(7)]

@@ -24,9 +24,18 @@ Numerics are exact up to matmul reassociation (f32 accumulation both ways).
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
 LRELU_SLOPE = 0.1
+
+# int8 W8A8 packed convs (DIFFNORM_INT8_VOCODER=1): every W_s block is a
+# placement of the SAME [k, C, C] kernel's values, so one per-tensor kernel
+# scale is exact across shifts — terms accumulate in int32 on the MXU (2x
+# the bf16 rate) with a single scalar dequant at the end. Activations take
+# one per-tensor scale per conv input (shifted views reuse the int8 tensor).
+_INT8 = os.environ.get("DIFFNORM_INT8_VOCODER", "0") == "1"
 
 
 def pack(x: jnp.ndarray, p: int) -> jnp.ndarray:
@@ -76,9 +85,20 @@ def packed_conv_matrices(kernel: jnp.ndarray, p: int, dilation: int):
 
 def packed_same_conv(xp: jnp.ndarray, kernel: jnp.ndarray,
                      bias: jnp.ndarray | None, p: int,
-                     dilation: int) -> jnp.ndarray:
+                     dilation: int, quant: bool | None = None) -> jnp.ndarray:
     """SAME dilated conv on packed input xp [B, Q, P*C] -> [B, Q, P*C]."""
     q = xp.shape[1]
+    quant = _INT8 if quant is None else quant
+    out_dtype = xp.dtype
+    if quant:
+        # per-tensor int8: kernel scale shared by every W_s block (exact),
+        # activation scale shared by every shifted view (same tensor)
+        k_scale = jnp.maximum(jnp.max(jnp.abs(kernel)) / 127.0, 1e-12)
+        kernel = jnp.round(kernel.astype(jnp.float32) / k_scale
+                           ).astype(jnp.int8)
+        a_scale = jnp.maximum(
+            jnp.max(jnp.abs(xp.astype(jnp.float32))) / 127.0, 1e-12)
+        xp = jnp.round(xp.astype(jnp.float32) / a_scale).astype(jnp.int8)
     acc = None
     for s, w in packed_conv_matrices(kernel, p, dilation):
         if s == 0:
@@ -91,9 +111,15 @@ def packed_same_conv(xp: jnp.ndarray, kernel: jnp.ndarray,
             if -s >= q:
                 continue
             xs = jnp.pad(xp[:, :s], ((0, 0), (-s, 0), (0, 0)))
-        term = jnp.einsum("bqc,cd->bqd", xs, w.astype(xp.dtype),
-                          preferred_element_type=xp.dtype)
+        if quant:
+            term = jnp.einsum("bqc,cd->bqd", xs, w,
+                              preferred_element_type=jnp.int32)
+        else:
+            term = jnp.einsum("bqc,cd->bqd", xs, w.astype(xp.dtype),
+                              preferred_element_type=xp.dtype)
         acc = term if acc is None else acc + term
+    if quant:
+        acc = (acc.astype(jnp.float32) * (a_scale * k_scale)).astype(out_dtype)
     if bias is not None:
         acc = acc + jnp.tile(bias.astype(acc.dtype), p)[None, None, :]
     return acc

@@ -276,6 +276,11 @@ def build_optimizer(cfg, lr_schedule, clip_norm: float = 0.0):
                 "nag's lr-corrected momentum needs the schedule inside the "
                 "optimizer; host-driven lr schedulers (manual, "
                 "reduce_lr_on_plateau) are not supported with --optimizer nag")
+        if cfg.get("use_bmuf") or cfg.get("ddp_backend") == "slowmo":
+            raise ValueError(
+                "BMUF's sync-step snap-to-global delta is not lr-linear; "
+                "host-driven lr schedulers (manual, reduce_lr_on_plateau) "
+                "are not supported with --use-bmuf/slowmo")
         lr_schedule = lambda step: jnp.ones((), jnp.float32)  # noqa: E731
     elif getattr(lr_schedule, "pass_through", False):
         # --lr-scheduler pass_through: the optimizer owns the schedule

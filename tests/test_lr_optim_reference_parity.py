@@ -341,3 +341,10 @@ def test_trainer_host_driven_manual_lr():
     np.testing.assert_allclose(m1["lr"], 0.05, rtol=1e-6)  # update 0
     np.testing.assert_allclose(m2["lr"], 0.05, rtol=1e-6)  # update 1 < 2
     np.testing.assert_allclose(m3["lr"], 0.01, rtol=1e-6)  # update 2
+
+
+def test_bmuf_rejects_host_driven_schedule():
+    cfg = Config(optimizer="adam", lr=1e-3, use_bmuf=True,
+                 lr_scheduler="manual", update2lr="{'1': 0.01}")
+    with pytest.raises(ValueError, match="BMUF"):
+        build_optimizer(cfg, build_lr_schedule(cfg))

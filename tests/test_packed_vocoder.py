@@ -89,3 +89,36 @@ def test_generator_packed_handles_non_divisible_length(monkeypatch):
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_packed_same_conv_int8_parity():
+    """int8 W8A8 packed conv (DIFFNORM_INT8_VOCODER): one per-tensor kernel
+    scale is EXACT across the W_s placements (they all gather the same
+    [k,C,C] values), so the int32-accumulated path must match the explicit
+    quantize->float math bit-for-bit, and the float path within the ~1%
+    int8 quantization error."""
+    rng = np.random.default_rng(7)
+    c, p, k, d = 16, 8, 3, 2
+    x = rng.normal(size=(2, 64, c)).astype(np.float32)
+    kernel = rng.normal(size=(k, c, c)).astype(np.float32) * 0.2
+    bias = rng.normal(size=(c,)).astype(np.float32) * 0.05
+    xp = pack(jnp.asarray(x), p)
+
+    ref = np.asarray(packed_same_conv(xp, jnp.asarray(kernel),
+                                      jnp.asarray(bias), p, d, quant=False))
+    q = np.asarray(packed_same_conv(xp, jnp.asarray(kernel),
+                                    jnp.asarray(bias), p, d, quant=True))
+    # explicit oracle: quantize both sides per-tensor, run the FLOAT packed
+    # conv on the dequantized tensors — equals the int32 path exactly
+    ks = np.abs(kernel).max() / 127.0
+    as_ = np.abs(x).max() / 127.0
+    kq = np.round(kernel / ks) * ks
+    xq = np.round(x / as_) * as_
+    oracle = np.asarray(packed_same_conv(
+        pack(jnp.asarray(xq.astype(np.float32)), p),
+        jnp.asarray(kq.astype(np.float32)), jnp.asarray(bias), p, d,
+        quant=False))
+    np.testing.assert_allclose(q, oracle, rtol=1e-5, atol=1e-5)
+    # quantization error bound vs the float path
+    denom = np.abs(ref).max()
+    assert np.abs(q - ref).max() / denom < 0.02

@@ -37,6 +37,18 @@ from diffnorm_tpu.train.trainer import Trainer
 logger = logging.getLogger("diffnorm_tpu.train")
 
 
+def _max_positions(cfg):
+    """The size cap used for filter-by-size (fairseq task.max_positions()):
+    a (max_source_positions, max_target_positions) tuple compared per
+    component against dataset.size(i); datasets exposing only scalar
+    num_tokens fall back to the min of the set components."""
+    src = cfg.get("max_source_positions")
+    tgt = cfg.get("max_target_positions")
+    if not src and not tgt:
+        return None
+    return (int(src) if src else None, int(tgt) if tgt else None)
+
+
 def normalize_cfg(cfg: Config) -> Config:
     """Map reference-recipe flag spellings onto trainer config names."""
     aliases = {
@@ -104,6 +116,11 @@ def main(cfg: Optional[Config] = None) -> int:
             seed=tcfg.seed,
             shuffle=True,
             num_workers=int(cfg.get("num_workers", 0) or 0),
+            # fairseq trainer.get_train_iterator: train skips over-long
+            # samples with a warning (ignore_invalid_inputs=True)
+            max_positions=_max_positions(cfg),
+            ignore_invalid_inputs=True,
+            curriculum=int(cfg.get("curriculum", 0) or 0),
         )
         example_batch = task.prepare_batch(
             dataset.collater([dataset[0]]), np.random.default_rng(tcfg.seed)
@@ -216,6 +233,9 @@ def main(cfg: Optional[Config] = None) -> int:
                     vdataset, max_tokens=cfg.get("max_tokens"),
                     max_sentences=cfg.get("batch_size"), seed=tcfg.seed,
                     shuffle=False,
+                    max_positions=_max_positions(cfg),
+                    ignore_invalid_inputs=bool(
+                        cfg.get("skip_invalid_size_inputs_valid_test")),
                 ).next_epoch_itr(shuffle=False)
             else:
                 vitr = iter(vdataset)

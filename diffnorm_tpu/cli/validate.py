@@ -60,9 +60,14 @@ def main(cfg: Optional[Config] = None) -> int:
     agg = metrics_mod.MetricsAggregator()
     with metrics_mod.aggregate(agg):
         if hasattr(dataset, "collater"):
+            from diffnorm_tpu.cli.train import _max_positions
+
             itr = EpochBatchIterator(
                 dataset, max_tokens=cfg.get("max_tokens"),
                 max_sentences=cfg.get("batch_size"), shuffle=False,
+                max_positions=_max_positions(cfg),
+                ignore_invalid_inputs=bool(
+                    cfg.get("skip_invalid_size_inputs_valid_test")),
             ).next_epoch_itr(shuffle=False)
         else:
             itr = iter(dataset)

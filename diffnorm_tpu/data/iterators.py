@@ -9,11 +9,14 @@ for the reference's multi-worker DataLoader.
 
 from __future__ import annotations
 
+import logging
 import queue
 import threading
 from typing import Any, Callable, Dict, Iterator, List, Optional
 
 import numpy as np
+
+logger = logging.getLogger("diffnorm_tpu.data")
 
 
 class CountingIterator:
@@ -167,6 +170,9 @@ class EpochBatchIterator:
         shuffle: bool = True,
         num_prefetch: int = 4,
         num_workers: int = 0,
+        max_positions: Optional[int] = None,
+        ignore_invalid_inputs: bool = False,
+        curriculum: int = 0,
     ):
         from diffnorm_tpu.data.batching import batch_by_size
 
@@ -178,6 +184,9 @@ class EpochBatchIterator:
         self.shuffle = shuffle
         self.num_prefetch = num_prefetch
         self.num_workers = num_workers
+        self.max_positions = max_positions
+        self.ignore_invalid_inputs = ignore_invalid_inputs
+        self.curriculum = curriculum
         self.epoch = 1
         self._offset = 0
         self._batch_by_size = batch_by_size
@@ -189,6 +198,43 @@ class EpochBatchIterator:
     def _make_batches(self, epoch: int) -> List[np.ndarray]:
         indices = self.dataset.ordered_indices()
         sizes = np.asarray([self.dataset.num_tokens(int(i)) for i in range(len(self.dataset))])
+        if self.max_positions is not None:
+            # fairseq filter_indices_by_size (fairseq_task.py:167-199): train
+            # iterators skip with a warning (ignore_invalid_inputs=True);
+            # valid/test raise unless --skip-invalid-size-inputs-valid-test.
+            # Datasets exposing size(i) tuples are compared per component
+            # against a (max_source, max_target) tuple; scalar num_tokens
+            # falls back to the min of the set components (conservative).
+            mp = self.max_positions
+            size_fn = getattr(self.dataset, "size", None)
+
+            def invalid(i):
+                if size_fn is not None and isinstance(mp, (tuple, list)):
+                    sz = size_fn(int(i))
+                    if not isinstance(sz, (tuple, list)):
+                        sz = (sz,)
+                    return any(m is not None and s > m
+                               for s, m in zip(sz, mp))
+                cap = (min(m for m in mp if m is not None)
+                       if isinstance(mp, (tuple, list)) else mp)
+                return sizes[int(i)] > cap
+
+            ignored = [int(i) for i in indices if invalid(i)]
+            if ignored:
+                if not self.ignore_invalid_inputs:
+                    sz0 = (size_fn(ignored[0]) if size_fn is not None
+                           else sizes[ignored[0]])
+                    raise ValueError(
+                        f"Size of sample #{ignored[0]} is invalid (={sz0}) "
+                        f"since max_positions={mp}, skip this example with "
+                        "--skip-invalid-size-inputs-valid-test")
+                logger.warning(
+                    "%d samples have invalid sizes and will be skipped, "
+                    "max_positions=%s, first few sample ids=%s",
+                    len(ignored), mp, ignored[:10])
+                bad = set(ignored)
+                indices = np.asarray(
+                    [i for i in indices if int(i) not in bad])
         batches = self._batch_by_size(
             indices,
             sizes,
@@ -196,7 +242,9 @@ class EpochBatchIterator:
             max_sentences=self.max_sentences,
             required_batch_size_multiple=self.mult,
         )
-        if self.shuffle:
+        # --curriculum N: in-order batches for the first N epochs
+        # (reference fairseq_cli/train.py:253)
+        if self.shuffle and epoch > self.curriculum:
             rng = np.random.default_rng((self.seed, epoch))
             order = rng.permutation(len(batches))
             batches = [batches[i] for i in order]

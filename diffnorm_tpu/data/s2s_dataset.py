@@ -64,6 +64,12 @@ class SpeechToUnitDataset:
     def num_tokens(self, index: int) -> int:
         return int(self.src_n_frames[index])
 
+    def size(self, index: int):
+        """(src_frames, tgt_len) — filter-by-size compares per component
+        against (max_source_positions, max_target_positions), the reference
+        SpeechToSpeechDataset.size semantics."""
+        return int(self.src_n_frames[index]), len(self.tgt_units[index])
+
     @property
     def sizes(self):
         return self.src_n_frames

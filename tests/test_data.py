@@ -332,3 +332,65 @@ def test_pool_map_ordered_slow_first_item():
 
     out = list(pool_map_ordered(fn, range(7), workers=3, depth=4))
     assert out == [i * i for i in range(7)]
+
+
+class _ScalarSizedDataset(_ToyDataset):
+    def __init__(self, sizes):
+        super().__init__(len(sizes))
+        self._sz = list(sizes)
+
+    def num_tokens(self, i):
+        return self._sz[i]
+
+
+class _TupleSizedDataset(_ScalarSizedDataset):
+    def __init__(self, sizes, tgt_sizes):
+        super().__init__(sizes)
+        self._tgt = list(tgt_sizes)
+
+    def size(self, i):
+        return (self._sz[i], self._tgt[i])
+
+
+def test_filter_by_size_skip_and_raise():
+    ds = _ScalarSizedDataset([4, 4, 9, 4, 12])
+    # skip mode drops #2 and #4 with a warning
+    it = EpochBatchIterator(ds, max_sentences=10, shuffle=False,
+                            num_prefetch=0, max_positions=8,
+                            ignore_invalid_inputs=True)
+    batches = list(it.next_epoch_itr())
+    np.testing.assert_array_equal(np.concatenate(batches), [0, 1, 3])
+    # raise mode names the offender and the escape flag
+    it2 = EpochBatchIterator(ds, max_sentences=10, shuffle=False,
+                             num_prefetch=0, max_positions=8)
+    with pytest.raises(ValueError, match="skip-invalid-size-inputs"):
+        it2.next_epoch_itr()
+
+
+def test_filter_by_size_per_component():
+    # src caps and tgt caps apply to their own components (fairseq
+    # SpeechToSpeechDataset.size semantics): a long SOURCE must survive a
+    # target-only cap
+    ds = _TupleSizedDataset(sizes=[2000, 100, 300], tgt_sizes=[50, 2000, 60])
+    it = EpochBatchIterator(ds, max_sentences=10, shuffle=False,
+                            num_prefetch=0, max_positions=(None, 1024),
+                            ignore_invalid_inputs=True)
+    batches = list(it.next_epoch_itr())
+    np.testing.assert_array_equal(np.concatenate(batches), [0, 2])
+    it2 = EpochBatchIterator(ds, max_sentences=10, shuffle=False,
+                             num_prefetch=0, max_positions=(500, None),
+                             ignore_invalid_inputs=True)
+    batches = list(it2.next_epoch_itr())
+    np.testing.assert_array_equal(np.concatenate(batches), [1, 2])
+
+
+def test_curriculum_defers_shuffle():
+    ds = _ToyDataset(12)
+    it = EpochBatchIterator(ds, max_sentences=2, shuffle=True, seed=3,
+                            num_prefetch=0, curriculum=1)
+    first = list(it.next_epoch_itr())
+    # epoch 1 <= curriculum -> in dataset order
+    np.testing.assert_array_equal(np.concatenate(first), np.arange(12))
+    it.finish_epoch()
+    second = list(it.next_epoch_itr())
+    assert not np.array_equal(np.concatenate(second), np.arange(12))

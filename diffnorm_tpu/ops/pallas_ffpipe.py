@@ -26,6 +26,7 @@ sublane-aligned per-row tiles, no dynamic VMEM row reads, static shifts.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +56,108 @@ def _norm_film(v, gb, dim: int):
     return n * gb[:dim][None, :] + gb[dim:][None, :]
 
 
+def _ff_second_half(g, x_prev, wcq_ref, wcs_ref, bc_ref, wfq_ref, wfs_ref,
+                    bf_ref, pad_inner: int):
+    """conv taps -> requantize -> proj_out -> residual for one row."""
+    f32 = jnp.float32
+    P = pad_inner
+    T = x_prev.shape[0]
+    q3, a3 = _quant_act(g.astype(f32))
+    y = jnp.zeros((T, P), f32)
+    for i in range(3):
+        shift = 2 - i
+        if shift == 0:
+            qi, ai = q3, a3
+        elif shift >= T:
+            continue
+        else:
+            qi = jnp.concatenate(
+                [jnp.zeros((shift, P), jnp.int8), q3[: T - shift]], axis=0
+            )
+            ai = jnp.concatenate(
+                [jnp.ones((shift, 1), f32), a3[: T - shift]], axis=0
+            )
+        y = y + jax.lax.dot_general(
+            qi, wcq_ref[i * P:(i + 1) * P, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(f32) * ai * wcs_ref[i:i + 1, :]
+    y = y + bc_ref[0, :][None, :]
+    q4, a4 = _quant_act(y)
+    out = jax.lax.dot_general(
+        q4, wfq_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(f32) * a4 * wfs_ref[0, :][None, :] + bf_ref[0, :][None, :]
+    return x_prev + out.astype(jnp.bfloat16)
+
+
+def _ff_first_half(x, gb, wxq_ref, wxs_ref, bx_ref, wgq_ref, wgs_ref, bg_ref,
+                   dim: int):
+    """norm+FiLM -> quantize -> proj_in x2 -> GEGLU for one row."""
+    f32 = jnp.float32
+    hn = _norm_film(x, gb, dim)
+    q, a = _quant_act(hn)
+    hx = jax.lax.dot_general(
+        q, wxq_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(f32) * a * wxs_ref[0, :][None, :] + bx_ref[0, :][None, :]
+    hg = jax.lax.dot_general(
+        q, wgq_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(f32) * a * wgs_ref[0, :][None, :] + bg_ref[0, :][None, :]
+    return (jax.nn.gelu(hg) * hx).astype(jnp.bfloat16)
+
+
+def _ffpipe_kernel2(
+    x_cur_ref,   # (2, T, C) bf16 — row pair min(b, B2-1)
+    x_prev_ref,  # (2, T, C) bf16 — row pair max(b-1, 0)
+    f_cur_ref,   # (2, 8, 2C) f32 FiLM tiles for the current pair
+    wxq_ref, wxs_ref, bx_ref,
+    wgq_ref, wgs_ref, bg_ref,
+    wcq_ref, wcs_ref, bc_ref,
+    wfq_ref, wfs_ref, bf_ref,
+    o_ref,       # (2, T, C) bf16 — row pair max(b-1, 0)
+    g0a_ref, g0b_ref, g1a_ref, g1b_ref,  # scratch: (T, P) double buffers x2
+    *,
+    dim: int,
+    pad_inner: int,
+    n_pairs: int,
+):
+    """Two rows per grid step (DIFFNORM_FFPIPE_ROWS=2): four independent
+    MXU/VPU chains in flight per step instead of two, giving the VLIW
+    scheduler more interleaving freedom at 2x the scratch footprint."""
+    b = pl.program_id(0)
+    f32 = jnp.float32
+
+    @pl.when(b > 0)
+    def _second():
+        for r in range(2):
+            bufs = (g0a_ref, g1a_ref) if r == 0 else (g0b_ref, g1b_ref)
+            g = jax.lax.cond((b - 1) % 2 == 0,
+                             lambda: bufs[0][:], lambda: bufs[1][:])
+            o_ref[r] = _ff_second_half(
+                g, x_prev_ref[r], wcq_ref, wcs_ref, bc_ref,
+                wfq_ref, wfs_ref, bf_ref, pad_inner)
+
+    @pl.when(b < n_pairs)
+    def _first():
+        for r in range(2):
+            # [1, 2C] slice then reshape: a double int index on a 3-D VMEM
+            # ref lowers to an unsupported gather (Mosaic remote compiler)
+            gb = f_cur_ref[r][0:1, :].reshape(-1).astype(f32)
+            g = _ff_first_half(
+                x_cur_ref[r], gb,
+                wxq_ref, wxs_ref, bx_ref, wgq_ref, wgs_ref, bg_ref, dim)
+            bufs = (g0a_ref, g1a_ref) if r == 0 else (g0b_ref, g1b_ref)
+
+            @pl.when(b % 2 == 0)
+            def _(g=g, bufs=bufs):
+                bufs[0][:] = g
+
+            @pl.when(b % 2 == 1)
+            def _(g=g, bufs=bufs):
+                bufs[1][:] = g
+
+
 def _ffpipe_kernel(
     x_cur_ref,   # (T, C) bf16 — row min(b, B-1)
     x_prev_ref,  # (T, C) bf16 — row max(b-1, 0)
@@ -74,56 +177,24 @@ def _ffpipe_kernel(
     b = pl.program_id(0)
     f32 = jnp.float32
 
+    del P
     # ---- second half: row b-1 (conv + proj_out + residual) — skipped at b=0
     # (emitted first: its MXU-heavy stream leads, the next row's VPU-heavy
     # prologue below can fill the MXU gaps — both halves are independent)
     @pl.when(b > 0)
     def _second():
-        T = x_prev_ref.shape[0]
         g = jax.lax.cond((b - 1) % 2 == 0,
                          lambda: g0_ref[:], lambda: g1_ref[:])
-        q3, a3 = _quant_act(g.astype(f32))
-        y = jnp.zeros((T, P), f32)
-        for i in range(3):
-            shift = 2 - i
-            if shift == 0:
-                qi, ai = q3, a3
-            elif shift >= T:
-                continue
-            else:
-                qi = jnp.concatenate(
-                    [jnp.zeros((shift, P), jnp.int8), q3[: T - shift]], axis=0
-                )
-                ai = jnp.concatenate(
-                    [jnp.ones((shift, 1), f32), a3[: T - shift]], axis=0
-                )
-            y = y + jax.lax.dot_general(
-                qi, wcq_ref[i * P:(i + 1) * P, :], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            ).astype(f32) * ai * wcs_ref[i:i + 1, :]
-        y = y + bc_ref[0, :][None, :]
-        q4, a4 = _quant_act(y)
-        out = jax.lax.dot_general(
-            q4, wfq_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).astype(f32) * a4 * wfs_ref[0, :][None, :] + bf_ref[0, :][None, :]
-        o_ref[:] = x_prev_ref[:] + out.astype(jnp.bfloat16)
+        o_ref[:] = _ff_second_half(
+            g, x_prev_ref[:], wcq_ref, wcs_ref, bc_ref,
+            wfq_ref, wfs_ref, bf_ref, pad_inner)
 
     # ---- first half: row b (prologue + GEGLU) — skipped on the drain step
     @pl.when(b < B)
     def _first():
-        x = x_cur_ref[:]
-        hn = _norm_film(x, f_cur_ref[0, :].astype(f32), C)
-        q, a = _quant_act(hn)
-        hx = jax.lax.dot_general(
-            q, wxq_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).astype(f32) * a * wxs_ref[0, :][None, :] + bx_ref[0, :][None, :]
-        hg = jax.lax.dot_general(
-            q, wgq_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).astype(f32) * a * wgs_ref[0, :][None, :] + bg_ref[0, :][None, :]
-        g = (jax.nn.gelu(hg) * hx).astype(jnp.bfloat16)
+        g = _ff_first_half(
+            x_cur_ref[:], f_cur_ref[0, :].astype(f32),
+            wxq_ref, wxs_ref, bx_ref, wgq_ref, wgs_ref, bg_ref, C)
 
         @pl.when(b % 2 == 0)
         def _():
@@ -181,13 +252,20 @@ def pack_ff_weights(ff_params, inner: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dim", "pad_inner", "interpret")
+    jax.jit, static_argnames=("dim", "pad_inner", "interpret", "rows")
 )
-def ffpipe_layer(x, film_ff, w, *, dim, pad_inner, interpret=False):
+def ffpipe_layer(x, film_ff, w, *, dim, pad_inner, interpret=False,
+                 rows: int = 0):
     """x: [B, T, C] bf16 (post-attention residual stream); film_ff: [B, 2C].
-    Returns x + FF(norm_film(x)) in bf16."""
+    Returns x + FF(norm_film(x)) in bf16. rows=2 (or
+    DIFFNORM_FFPIPE_ROWS=2) processes row pairs per grid step."""
     B, T, C = x.shape
     P = pad_inner
+    if rows == 0:
+        rows = int(os.environ.get("DIFFNORM_FFPIPE_ROWS", "1"))
+    if rows == 2 and B % 2 == 0 and B >= 4:
+        return _ffpipe_layer2(x, film_ff, w, dim=dim, pad_inner=P,
+                              interpret=interpret)
     kern = functools.partial(
         _ffpipe_kernel, dim=dim, pad_inner=P, n_rows=B
     )
@@ -233,3 +311,57 @@ def ffpipe_layer(x, film_ff, w, *, dim, pad_inner, interpret=False):
         w["wfq"], w["wfs"], w["bf"],
     )
     return out
+
+
+def _ffpipe_layer2(x, film_ff, w, *, dim, pad_inner, interpret=False):
+    """Two rows per grid step (DIFFNORM_FFPIPE_ROWS=2): block dim 2 on
+    batch, four scratch buffers (double-buffer pairs per row slot)."""
+    B, T, C = x.shape
+    P = pad_inner
+    B2 = B // 2
+    kern = functools.partial(
+        _ffpipe_kernel2, dim=dim, pad_inner=P, n_pairs=B2
+    )
+    cur = lambda b: (jnp.minimum(b, B2 - 1), 0, 0)
+    prev = lambda b: (jnp.maximum(b - 1, 0), 0, 0)
+    const2 = lambda b: (0, 0)
+    specs = [
+        pl.BlockSpec((2, T, C), cur, memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, T, C), prev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, 8, 2 * C), cur, memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, P), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, P), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, P), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, P), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, P), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, P), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * P, P), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, P), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, P), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, C), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C), const2, memory_space=pltpu.VMEM),
+    ]
+    f8 = jnp.broadcast_to(
+        film_ff.astype(jnp.float32)[:, None, :], (B, 8, 2 * C)
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(B2 + 1,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((2, T, C), prev, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, C), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((T, P), jnp.bfloat16),
+            pltpu.VMEM((T, P), jnp.bfloat16),
+            pltpu.VMEM((T, P), jnp.bfloat16),
+            pltpu.VMEM((T, P), jnp.bfloat16),
+        ],
+        interpret=interpret,
+    )(
+        x.astype(jnp.bfloat16), x.astype(jnp.bfloat16), f8,
+        w["wxq"], w["wxs"], w["bx"],
+        w["wgq"], w["wgs"], w["bg"],
+        w["wcq"], w["wcs"], w["bc"],
+        w["wfq"], w["wfs"], w["bf"],
+    )

@@ -308,3 +308,40 @@ def test_convcat_int8_conv_exact_parity(monkeypatch):
     monkeypatch.setattr(L, "_CONVCAT", True)
     got2 = np.asarray(conv2.apply(v2, x[:, :6]))
     np.testing.assert_array_equal(got2, ref2)
+
+
+def test_ffpipe_two_row_variant_bit_identical():
+    """DIFFNORM_FFPIPE_ROWS=2 (two rows per grid step, 4 scratch buffers)
+    must be BIT-identical to the single-row pipeline — same math, different
+    schedule. B=4 exercises fill/steady/drain of the pair pipeline."""
+    from diffnorm_tpu.ops.pallas_ffpipe import (
+        _round_up, ffpipe_layer, pack_ff_weights,
+    )
+
+    rng = np.random.default_rng(3)
+    B, T, C, inner = 4, 16, 128, 256
+    ffp = {
+        "proj_in": {
+            "kernel": jnp.asarray(
+                rng.normal(size=(C, 2 * inner)) * 0.05, jnp.float32),
+            "bias": jnp.asarray(
+                rng.normal(size=(2 * inner,)) * 0.05, jnp.float32)},
+        "conv": {
+            "kernel": jnp.asarray(
+                rng.normal(size=(3, inner, inner)) * 0.05, jnp.float32),
+            "bias": jnp.asarray(rng.normal(size=(inner,)) * 0.05,
+                                jnp.float32)},
+        "proj_out": {
+            "kernel": jnp.asarray(
+                rng.normal(size=(inner, C)) * 0.05, jnp.float32),
+            "bias": jnp.asarray(rng.normal(size=(C,)) * 0.05, jnp.float32)},
+    }
+    w = pack_ff_weights(ffp, inner)
+    x = jnp.asarray(rng.normal(size=(B, T, C)), jnp.bfloat16)
+    film = jnp.asarray(rng.normal(size=(B, 2 * C)), jnp.float32)
+    P = _round_up(inner, 128)
+    o1 = np.asarray(ffpipe_layer(x, film, w, dim=C, pad_inner=P,
+                                 interpret=True, rows=1), np.float32)
+    o2 = np.asarray(ffpipe_layer(x, film, w, dim=C, pad_inner=P,
+                                 interpret=True, rows=2), np.float32)
+    np.testing.assert_array_equal(o1, o2)

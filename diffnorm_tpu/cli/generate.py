@@ -213,7 +213,10 @@ def main(cfg: Optional[Config] = None) -> int:
     from diffnorm_tpu.tasks.ar_s2ut_task import ARS2UTTask
     from diffnorm_tpu.tasks.levenshtein_task import LevenshteinTask
 
-    is_ar = isinstance(task, ARS2UTTask)
+    # AR beam decoding: the AR S2UT task family, plus any task flagged
+    # ar_generation (text translation)
+    is_ar = isinstance(task, ARS2UTTask) or getattr(task, "ar_generation",
+                                                    False)
     n_frames = int(cfg.get("n_frames_per_step", 1))
     needs_target = False  # set by decoders that consume the reference
     needs_rng = False  # set by stochastic decoders (--sampling)
@@ -458,6 +461,8 @@ def main(cfg: Optional[Config] = None) -> int:
         score_str = bleu.result_string()
     logger.info("Generate %s with beam=%d: %s", split, beam, score_str)
     if results_path:
+        # fairseq writes the scoring summary into generate-{split}.txt too
+        print(f"Generate {split} with beam={beam}: {score_str}", file=out_f)
         out_f.close()
     return 0
 

@@ -341,7 +341,7 @@ def ar_generate(
     temperature: float = 1.0,
     rng=None,
 ):
-    """End-to-end AR generation for ARS2UTModule (encode once, replicate
+    """End-to-end AR generation for encode/decode_step modules (encode once, replicate
     encoder states across beams, run the jitted beam loop).
 
     `variables` may be a LIST of parameter trees (same architecture):
@@ -350,14 +350,12 @@ def ar_generate(
     per-model log-probs - log M). Each model keeps its own KV cache; the
     caches live in a tuple pytree whose leaves keep the [batch*beam, ...]
     leading dim, so beam reordering applies transparently."""
-    from diffnorm_tpu.models.ar_transformer import ARS2UTModule
-
     module = model.module
     vlist = (list(variables) if isinstance(variables, (list, tuple))
              else [variables])
     n_models = len(vlist)
 
-    pairs = [module.apply(v, src, src_lengths, method=ARS2UTModule.encode)
+    pairs = [module.apply(v, src, src_lengths, method="encode")
              for v in vlist]
     b = pairs[0][0].shape[0]
     enc_reps = [jnp.repeat(e, beam_size, axis=0) for e, _ in pairs]
@@ -372,7 +370,7 @@ def ar_generate(
             jnp.full((b * beam_size, 1), EOS, jnp.int32),
             enc_rep, mask_rep, jnp.zeros((b * beam_size,), jnp.int32),
             max_len,
-            method=ARS2UTModule.decode_step, mutable=["cache"],
+            method="decode_step", mutable=["cache"],
         )
         # reset the cache index/content to zero (the probe wrote one step)
         caches0.append(jax.tree_util.tree_map(jnp.zeros_like,
@@ -385,7 +383,7 @@ def ar_generate(
             logits, mutated = module.apply(
                 {**p, "cache": cache},
                 tokens, enc_rep, mask_rep, positions, max_len,
-                method=ARS2UTModule.decode_step, mutable=["cache"],
+                method="decode_step", mutable=["cache"],
             )
             lps.append(jax.nn.log_softmax(
                 logits.astype(jnp.float32), axis=-1))
@@ -397,7 +395,9 @@ def ar_generate(
                 float(n_models))
         return avg, tuple(new_caches)
 
-    vocab = module.vocab_size
+    # target vocab: the S2UT module exposes vocab_size; text
+    # enc-dec modules expose tgt_vocab_size
+    vocab = getattr(module, "vocab_size", None) or module.tgt_vocab_size
     if sampling:
         # beam_size independent samples per sentence (fairseq --sampling
         # draws beam hypotheses); rows are already replicated beam_size-fold
@@ -435,19 +435,18 @@ def ar_generate_stacked(model, variables, src, src_lengths,
     through the scan carry. Returns (packed [B, max_len], sub [B, max_len, k])
     — `sub` is the full-rate unit stream (specials pass through all slots).
     """
-    from diffnorm_tpu.models.ar_transformer import ARS2UTModule
     from diffnorm_tpu.models.stacked import stack_unit_generate
 
     module = model.module
     k = module.n_frames_per_step  # setup() attrs are apply-scoped in flax
     enc, enc_mask = module.apply(
-        variables, src, src_lengths, method=ARS2UTModule.encode
+        variables, src, src_lengths, method="encode"
     )
     b = enc.shape[0]
     _, cache_vars = module.apply(
         variables, jnp.full((b, 1), EOS, jnp.int32), enc, enc_mask,
         jnp.zeros((b,), jnp.int32), max_len,
-        method=ARS2UTModule.decode_step, mutable=["cache"],
+        method="decode_step", mutable=["cache"],
     )
     cache0 = jax.tree_util.tree_map(jnp.zeros_like, cache_vars["cache"])
     params_only = {key: v for key, v in variables.items() if key != "cache"}
@@ -455,7 +454,7 @@ def ar_generate_stacked(model, variables, src, src_lengths,
     def decode_step(cache, prev, positions):
         logits, mutated = module.apply(
             {**params_only, "cache": cache}, prev[:, None], enc, enc_mask,
-            positions, max_len, method=ARS2UTModule.decode_step,
+            positions, max_len, method="decode_step",
             mutable=["cache"],
         )
         return logits, mutated["cache"]  # logits [B, k, V]

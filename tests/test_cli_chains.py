@@ -541,3 +541,60 @@ def test_ar_interactive_chain(tmp_path, monkeypatch, capsys):
                                  max_target_positions=16, **AR_CFG))
     assert rc == 0
     assert capsys.readouterr().out.count("H-") == 1
+
+
+def test_translation_transformer_train_generate_chain(tmp_path):
+    """fairseq's flagship text-MT workflow on the AR transformer:
+    fairseq-preprocess -> --task translation --arch transformer
+    --criterion label_smoothed_cross_entropy -> fairseq-generate with beam
+    search + BLEU scoring."""
+    from diffnorm_tpu.cli import preprocess, train
+    from diffnorm_tpu.cli import generate as gen_cli
+
+    rng = np.random.default_rng(1)
+    words = ["w%d" % i for i in range(12)]
+    for split, n in (("train", 8), ("valid", 2), ("test", 2)):
+        for lang in ("de", "en"):
+            lines = [" ".join(rng.choice(words,
+                                         size=int(rng.integers(3, 7))))
+                     for _ in range(n)]
+            (tmp_path / f"{split}.{lang}").write_text("\n".join(lines) + "\n")
+    dest = str(tmp_path / "bin")
+    preprocess.main([
+        "--source-lang", "de", "--target-lang", "en",
+        "--trainpref", str(tmp_path / "train"),
+        "--validpref", str(tmp_path / "valid"),
+        "--testpref", str(tmp_path / "test"),
+        "--destdir", dest,
+    ])
+
+    cfg = dict(
+        task="translation", arch="transformer",
+        criterion="label_smoothed_cross_entropy", data=dest,
+        source_lang="de", target_lang="en",
+        encoder_embed_dim=32, encoder_ffn_embed_dim=64, encoder_layers=1,
+        decoder_embed_dim=32, decoder_ffn_embed_dim=64, decoder_layers=1,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+        label_smoothing=0.1,
+        train_subset="train", valid_subset="valid",
+    )
+    save_dir = str(tmp_path / "ckpt")
+    rc = train.main(Config(
+        save_dir=save_dir, cpu=True, batch_size=2, lr=1e-3,
+        warmup_updates=2, log_interval=1, max_updates=2,
+        keep_last_epochs=1, keep_best_checkpoints=1, seed=3, **cfg,
+    ))
+    assert rc == 0
+    ckpts = sorted(d for d in os.listdir(save_dir)
+                   if d.startswith("step_") and not d.endswith(".json"))
+    assert ckpts
+
+    results = str(tmp_path / "results")
+    rc = gen_cli.main(Config(
+        path=os.path.join(save_dir, ckpts[-1]), results_path=results,
+        cpu=True, batch_size=2, gen_subset="test", beam=2,
+        max_target_positions=32, **cfg,
+    ))
+    assert rc == 0
+    txt = open(os.path.join(results, "generate-test.txt")).read()
+    assert "H-" in txt and "T-" in txt and "BLEU" in txt

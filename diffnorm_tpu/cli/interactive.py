@@ -49,7 +49,8 @@ def main(cfg: Optional[Config] = None) -> int:
             variables = restored
         logger.info("restored %s", cfg["path"])
 
-    is_speech = cfg.get("task") not in ("cmlm_cg", "dummy_cmlm_cg")
+    is_speech = cfg.get("task") not in (
+        "cmlm_cg", "dummy_cmlm_cg", "translation", "dummy_translation")
     tgt_dict = task.target_dictionary
     # raw-text pre/post processing (reference fairseq_cli/interactive.py
     # encode_fn/decode_fn: tokenizer then BPE in, inverted out)
@@ -63,7 +64,7 @@ def main(cfg: Optional[Config] = None) -> int:
 
     from diffnorm_tpu.tasks.ar_s2ut_task import ARS2UTTask
 
-    if isinstance(task, ARS2UTTask):
+    if isinstance(task, ARS2UTTask) or getattr(task, "ar_generation", False):
         # AR models decode with beam search, like fairseq-interactive
         from diffnorm_tpu.generate.beam_search import ar_generate
 

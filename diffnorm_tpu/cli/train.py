@@ -107,9 +107,9 @@ def main(cfg: Optional[Config] = None) -> int:
     valid_split = cfg.get("valid_subset", "dev")
     dataset = task.dataset(train_split)
 
-    if hasattr(dataset, "collater"):
-        epoch_itr = EpochBatchIterator(
-            dataset,
+    def make_epoch_itr(ds):
+        return EpochBatchIterator(
+            ds,
             max_tokens=cfg.get("max_tokens"),
             max_sentences=cfg.get("batch_size"),
             required_batch_size_multiple=cfg.get("required_batch_size_multiple", 1),
@@ -122,6 +122,9 @@ def main(cfg: Optional[Config] = None) -> int:
             ignore_invalid_inputs=True,
             curriculum=int(cfg.get("curriculum", 0) or 0),
         )
+
+    if hasattr(dataset, "collater"):
+        epoch_itr = make_epoch_itr(dataset)
         example_batch = task.prepare_batch(
             dataset.collater([dataset[0]]), np.random.default_rng(tcfg.seed)
         )
@@ -263,6 +266,21 @@ def main(cfg: Optional[Config] = None) -> int:
         if done:
             break
         trainer.lr_step_begin_epoch(epoch)  # --lr-scheduler manual epoch2lr
+        if epoch_itr is not None and task.has_sharded_data():
+            # --data dir1:dir2:... rotates shards per epoch (fairseq
+            # split_paths); rebuild the iterator when the shard changes,
+            # carrying any resumed mid-epoch position into the first one
+            ds = task.dataset(train_split, epoch=epoch)
+            if ds is not dataset:
+                saved = epoch_itr.state_dict() if epoch == start_epoch else None
+                dataset = ds
+                epoch_itr = make_epoch_itr(dataset)
+                if saved is not None:
+                    epoch_itr.load_state_dict(saved)
+                else:
+                    epoch_itr.epoch = epoch
+                logger.info("loaded data shard %s for epoch %d",
+                            task.data_path(epoch), epoch)
         if epoch_itr is not None:
             itr = epoch_itr.next_epoch_itr()
         else:

@@ -45,12 +45,37 @@ class Task:
         return CRITERIONS.get(name)(self.cfg, task=self)
 
     # ---------------------------------------------------------------- data
+    def _data_shards(self):
+        return [p for p in str(self.cfg.get("data") or "").split(":") if p]
+
+    def has_sharded_data(self) -> bool:
+        """--data dir1:dir2:... (fairseq split_paths shard rotation)."""
+        return len(self._data_shards()) > 1
+
+    def data_path(self, epoch: int = 1) -> str:
+        """The data dir for this epoch: shards rotate per epoch for train
+        (fairseq/tasks/translation.py load_dataset:
+        paths[(epoch - 1) % len(paths)]); non-train callers use the default
+        epoch=1 = the first shard, like the reference's paths[:1]."""
+        shards = self._data_shards()
+        if not shards:
+            return self.cfg.get("data") or ""
+        return shards[(epoch - 1) % len(shards)]
+
     def load_dataset(self, split: str, epoch: int = 1):
         raise NotImplementedError
 
-    def dataset(self, split: str):
+    def dataset(self, split: str, epoch: int = 1):
+        if self.has_sharded_data() and split.startswith("train"):
+            shard = (epoch - 1) % len(self._data_shards())
+            loaded = getattr(self, "_loaded_shard", {})
+            if loaded.get(split) != shard:
+                self.datasets.pop(split, None)
+                self.load_dataset(split, epoch=epoch)
+                loaded[split] = shard
+                self._loaded_shard = loaded
         if split not in self.datasets:
-            self.load_dataset(split)
+            self.load_dataset(split, epoch=epoch)
         return self.datasets[split]
 
     def prepare_batch(self, batch: Dict[str, np.ndarray], rng: np.random.Generator):

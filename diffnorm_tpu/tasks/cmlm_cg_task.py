@@ -112,7 +112,9 @@ class BitextDataset:
 class CMLMCGTask(NARS2UTTask):
     def __init__(self, cfg: Config):
         super().__init__(cfg)
-        root = cfg.get("data") or ""
+        # dictionaries must be identical across shards; read the first
+        # (fairseq loads dicts from paths[0])
+        root = (cfg.get("data") or "").split(":")[0]
         src_lang = cfg.get("source_lang", "src")
         tgt_lang = cfg.get("target_lang", "tgt")
 
@@ -134,7 +136,7 @@ class CMLMCGTask(NARS2UTTask):
             self.tgt_dict = Dictionary.load(tgt_dict_path)
 
     def load_dataset(self, split: str, epoch: int = 1):
-        root = self.cfg.get("data")
+        root = self.data_path(epoch)
         src_lang = self.cfg.get("source_lang", "src")
         tgt_lang = self.cfg.get("target_lang", "tgt")
         is_train = split.startswith("train")

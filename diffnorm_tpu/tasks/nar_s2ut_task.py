@@ -69,7 +69,7 @@ class NARS2UTTask(Task):
         from diffnorm_tpu.data.s2s_dataset import SpeechToUnitDataset
 
         self.datasets[split] = SpeechToUnitDataset.from_tsv(
-            root=self.cfg.get("data"),
+            root=self.data_path(epoch),
             split=split,
             tgt_dict=self.tgt_dict,
             # --dummy-config: the reference tasks' alias for loading the

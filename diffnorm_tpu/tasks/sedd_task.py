@@ -27,7 +27,7 @@ class SEDDTask(Task):
         from diffnorm_tpu.data.unit_lm_dataset import UnitLMDataset
 
         self.datasets[split] = UnitLMDataset.from_tsv(
-            root=self.cfg.get("data"), split=split, tgt_dict=self.tgt_dict,
+            root=self.data_path(epoch), split=split, tgt_dict=self.tgt_dict,
             max_positions=self.cfg.get("max_target_positions", 1024),
             is_train=split.startswith("train"),
         )

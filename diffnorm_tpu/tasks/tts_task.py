@@ -143,7 +143,7 @@ class TextToSpeechTask(Task):
 
     def load_dataset(self, split: str, epoch: int = 1):
         rows = read_translation_manifest(
-            os.path.join(self.cfg["data"], f"{split}.tsv"))
+            os.path.join(self.data_path(epoch), f"{split}.tsv"))
         self.datasets[split] = TextToSpeechDataset(
             rows, self.src_dict, is_train=split.startswith("train"),
             seed=self.cfg.get("seed", 1),

@@ -26,7 +26,7 @@ class SpeechDecoderTask(Task):
         from diffnorm_tpu.data.repr_unit_dataset import ReprToReprUnitDataset
 
         self.datasets[split] = ReprToReprUnitDataset.from_tsv(
-            root=self.cfg.get("data"),
+            root=self.data_path(epoch),
             tgt_feat_dir=self.cfg.get("tgt_feat_dir"),
             split=split,
             tgt_dict=self.tgt_dict,

@@ -82,6 +82,23 @@ def main(cfg: Optional[Config] = None) -> int:
     variables = {"params": params}
     logger.info("restored diffusion checkpoint from %s", cfg["ckpt"])
 
+    # --data-parallel N: shard each normalization batch over a "data" mesh
+    # of N chips (params replicated, GSPMD splits the batch; the reference
+    # driver is single-GPU with batch 100 — here the 2M-update corpus
+    # normalization job scales over ICI instead)
+    dp = int(cfg.get("data_parallel", 0) or 0)
+    mesh = None
+    if dp > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from diffnorm_tpu.parallel.mesh import make_mesh, replicate
+
+        mesh = make_mesh(data=dp, devices=jax.devices()[:dp])
+        variables = replicate(variables, mesh)
+        feat_sh = NamedSharding(mesh, P("data", None, None))
+        mask_sh = NamedSharding(mesh, P("data", None))
+        logger.info("data-parallel normalization over %d devices", dp)
+
     sample_fn = jax.jit(
         lambda v, f, m, r: ddim_sample(model, v, f, m, r, start_step=start_step),
     )
@@ -121,9 +138,15 @@ def main(cfg: Optional[Config] = None) -> int:
             chunk = items[start:start + batch_size]
             max_len = bucket_length(max(len(c[2]) for c in chunk))
             bsz = len(chunk)
+            # pad the row count to a multiple of the data-parallel degree so
+            # GSPMD can split the batch evenly; pad rows get one valid frame
+            # (an all-invalid mask row would softmax over nothing) and are
+            # dropped in consume()
+            rows = bsz + ((-bsz) % dp if dp > 1 else 0)
             feat_dim = cfg.get("feature_dim", 768)
-            feat_batch = np.zeros((bsz, max_len, feat_dim), np.float32)
-            mask = np.zeros((bsz, max_len), bool)
+            feat_batch = np.zeros((rows, max_len, feat_dim), np.float32)
+            mask = np.zeros((rows, max_len), bool)
+            mask[bsz:, 0] = True
             for j, (_, fpath, dedup, keep) in enumerate(chunk):
                 f = np.load(fpath)[keep]
                 feat_batch[j, : len(dedup)] = f
@@ -162,8 +185,12 @@ def main(cfg: Optional[Config] = None) -> int:
                 if ptr < len(starts):
                     futs.append(ex.submit(make_batch, starts[ptr]))
                     ptr += 1
-                feat_dev = jax.device_put(feat_np)
-                mask_dev = jax.device_put(mask_np)
+                if mesh is not None:
+                    feat_dev = jax.device_put(feat_np, feat_sh)
+                    mask_dev = jax.device_put(mask_np, mask_sh)
+                else:
+                    feat_dev = jax.device_put(feat_np)
+                    mask_dev = jax.device_put(mask_np)
                 rng, r = jax.random.split(rng)
                 units, _ = sample_fn(variables, feat_dev, mask_dev, r)
                 if pending is not None:

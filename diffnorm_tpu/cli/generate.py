@@ -220,6 +220,7 @@ def main(cfg: Optional[Config] = None) -> int:
     n_frames = int(cfg.get("n_frames_per_step", 1))
     needs_target = False  # set by decoders that consume the reference
     needs_rng = False  # set by stochastic decoders (--sampling)
+    init_lengths = None  # set by --init-unit-file (mask-predict branch)
     if isinstance(task, LevenshteinTask):
         # iterative insert/delete refinement, one shape-static jitted scan
         from diffnorm_tpu.models.levenshtein import levenshtein_decode_jit
@@ -334,8 +335,34 @@ def main(cfg: Optional[Config] = None) -> int:
         # reference --iter-decode-force-max-iter (dataclass/configs.py:976):
         # disable the adaptive early exit and always run max_iter+1 fills
         adaptive = not bool(cfg.get("iter_decode_force_max_iter"))
+        # --init-unit-file: force the decode canvas lengths from a prior
+        # run's unit files instead of the model's length head (reference
+        # nat_gen.py --use_hyp_unit/--ref_unit_file + prepare_batch_data
+        # :107-117 — the CG eval recipe reuses the baseline model's
+        # predicted lengths so ablations share identical canvases).
+        # Accepts `id\tunits` lines (eval/unit_bleu.py output) or plain
+        # `units` lines keyed by order.
+        init_lengths = None
+        if cfg.get("init_unit_file"):
+            init_lengths = {}
+            with open(cfg["init_unit_file"]) as fh:
+                for j, line in enumerate(fh):
+                    line = line.rstrip("\n")
+                    if not line:
+                        continue
+                    if "\t" in line:
+                        sid, units = line.split("\t", 1)
+                        key = int(sid) if sid.lstrip("-").isdigit() else sid
+                    else:
+                        key, units = j, line
+                    # +1: the canvas length includes the eos slot (the
+                    # reference fills units positions with mask then
+                    # appends eos, nat_gen.py:110-113)
+                    init_lengths[key] = len(units.split()) + 1
+            logger.info("forcing canvas lengths from %s (%d utts)",
+                        cfg["init_unit_file"], len(init_lengths))
 
-        def _decode(v, src, lengths):
+        def _decode(v, src, lengths, true_length=None):
             return mask_predict_decode_chunked(
                 model, v, src, lengths,
                 chunk=int(cfg.get("decode_chunk", 0)),
@@ -343,7 +370,7 @@ def main(cfg: Optional[Config] = None) -> int:
                 max_len=min(max_len, 256), cond_scale=cond_scale,
                 length_beam=beam, n_frames_per_step=n_frames,
                 reranker=reranker, retain_history=retain_history,
-                adaptive=adaptive,
+                adaptive=adaptive, true_length=true_length,
             )
 
     decode = jax.jit(_decode)
@@ -402,6 +429,16 @@ def main(cfg: Optional[Config] = None) -> int:
         if "id" not in batch:
             batch["id"] = np.arange(n_sent, n_sent + len(batch["src_lengths"]))
         kw = {"rng": jax.random.fold_in(base_key, batch_i)} if needs_rng else {}
+        if init_lengths is not None:
+            def _lookup(bid):
+                for key in (int(bid), str(bid)):
+                    if key in init_lengths:
+                        return init_lengths[key]
+                raise KeyError(
+                    f"--init-unit-file has no units for utterance id {bid!r}")
+            kw["true_length"] = jnp.asarray(
+                [_lookup(b) for b in np.asarray(batch["id"]).tolist()],
+                jnp.int32)
         if needs_target:
             out = decode(variables, batch["src_tokens"],
                          batch["src_lengths"],

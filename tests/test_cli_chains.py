@@ -397,6 +397,60 @@ def test_nar_interactive_speech_input(tmp_path, monkeypatch, capsys):
     assert capsys.readouterr().out.count("H-") == 2
 
 
+def test_generate_init_unit_file(tmp_path):
+    """--init-unit-file forces the mask-predict canvas lengths from a prior
+    run's unit files instead of the length head (reference nat_gen.py
+    --use_hyp_unit: the CG eval recipe reuses the baseline model's predicted
+    lengths so ablations share identical canvases, nat_gen.py:107-117)."""
+    from diffnorm_tpu.cli import generate
+
+    cfg = dict(
+        task="dummy_nar", arch="nar_s2ut_conformer",
+        criterion="nar_speech_to_unit", label_smoothing=0.2,
+        encoder_layers=1, decoder_layers=1, encoder_embed_dim=32,
+        encoder_ffn_embed_dim=64, encoder_attention_heads=2,
+        decoder_attention_heads=2, decoder_embed_dim=32,
+        decoder_ffn_embed_dim=64, conv_channels=32,
+        depthwise_conv_kernel_size=7, target_code_size=16,
+    )
+    # canvas length = n_units + 1 (eos slot); ids 0..3 of the dummy dataset
+    # (dataset_size counts BATCHES of batch_size=2 -> 4 utterances)
+    forced = {0: 2, 1: 12, 2: 5, 3: 9}
+    unit_file = tmp_path / "hyp.unit"
+    unit_file.write_text("".join(
+        f"{i}\t{' '.join('7' for _ in range(n))}\n" for i, n in forced.items()
+    ))
+    results = str(tmp_path / "forced")
+    rc = generate.main(Config(
+        results_path=results, cpu=True, batch_size=2,
+        dataset_size=2, tokens_per_sample=10, max_target_positions=16,
+        iter_decode_max_iter=1, init_unit_file=str(unit_file), **cfg,
+    ))
+    assert rc == 0
+    txt = open(os.path.join(results, "generate-test.txt")).read()
+    hyp_lens = {}
+    for line in txt.splitlines():
+        if line.startswith("H-"):
+            parts = line.split("\t")
+            hyp_lens[int(parts[0][2:])] = \
+                len(parts[2].split()) if len(parts) > 2 and parts[2] else 0
+    assert set(hyp_lens) == set(forced)
+    for i, n in forced.items():
+        # canvas = n masked slots + eos; specials are stripped from H- so
+        # the hypothesis can never exceed the forced unit count
+        assert hyp_lens[i] <= n, (i, hyp_lens, forced)
+
+    # a unit file missing an utterance id must fail loudly
+    (tmp_path / "short.unit").write_text("0\t7 7\n")
+    with pytest.raises(KeyError):
+        generate.main(Config(
+            results_path=str(tmp_path / "missing"), cpu=True, batch_size=2,
+            dataset_size=2, tokens_per_sample=10, max_target_positions=16,
+            iter_decode_max_iter=1,
+            init_unit_file=str(tmp_path / "short.unit"), **cfg,
+        ))
+
+
 def test_train_profile_flag(tmp_path):
     """--profile wraps training in jax.profiler traces (reference
     fairseq_cli/train.py:528-531 torch profiler hook): the trace directory

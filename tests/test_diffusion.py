@@ -1,6 +1,8 @@
 """Latent diffusion: training forward components, DDIM scan vs python-loop
 golden parity, frozen-VAE param partition."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -118,3 +120,57 @@ def test_unit_offset_minus_4(built):
                            jax.random.PRNGKey(0), start_step=4)
     assert np.asarray(units).min() >= -4
     assert np.asarray(units).max() < 16 + 4
+
+
+def test_diff_norm_synthesis_data_parallel(built, tmp_path):
+    """--data-parallel N shards the normalization batch over a "data" mesh
+    (GSPMD; params replicated). The sharded run must produce the SAME
+    normalized manifests as the single-device run — threefry noise is
+    counter-based, so the padded rows appended for even sharding do not
+    perturb the real rows' random streams."""
+    import orbax.checkpoint as ocp
+
+    from diffnorm_tpu.cli import diff_norm_synthesis
+    from diffnorm_tpu.data.manifest import (
+        read_translation_manifest,
+        write_feature_manifest,
+        write_translation_manifest,
+    )
+
+    task, model, crit, batch, variables = built
+    ckpt = str(tmp_path / "ckpt")
+    ocp.StandardCheckpointer().save(ckpt, {"params": variables["params"]})
+
+    rng = np.random.default_rng(0)
+    feat_dir = tmp_path / "feat"
+    feat_dir.mkdir()
+    rows, frows = [], []
+    for i in range(3):  # 2 chunks at batch_size=2: exercises last-chunk pad
+        t = int(rng.integers(8, 12))
+        units = np.repeat(rng.integers(0, 16, size=t // 2 + 1), 2)[:t]
+        feat = rng.normal(size=(t, 24)).astype(np.float32)
+        np.save(feat_dir / f"u{i}.feat.npy", feat)
+        frows.append((f"u{i}.feat.npy", t))
+        rows.append({"id": f"u{i}", "src_audio": f"u{i}",
+                     "src_n_frames": t,
+                     "tgt_audio": " ".join(map(str, units)),
+                     "tgt_n_frames": t})
+    write_feature_manifest(str(feat_dir / "test.manifest.tsv"),
+                           str(feat_dir), frows)
+    write_translation_manifest(str(tmp_path / "test.tsv"), rows)
+
+    outs = {}
+    for dp in (0, 4):
+        out_dir = str(tmp_path / f"out_dp{dp}")
+        rc = diff_norm_synthesis.main(Config(
+            data=str(tmp_path), ckpt=ckpt, tgt_feat_dir=str(feat_dir),
+            output_dir=out_dir, start_step=4, batch_size=2, cpu=True,
+            splits="test", data_parallel=dp, seed=7,
+            **dict(tiny_cfg()),
+        ))
+        assert rc == 0
+        outs[dp] = {r["id"]: r["tgt_audio"]
+                    for r in read_translation_manifest(
+                        os.path.join(out_dir, "test.tsv"))}
+    assert set(outs[0]) == {"u0", "u1", "u2"}
+    assert outs[0] == outs[4], (outs[0], outs[4])

@@ -49,6 +49,10 @@ def main(argv=None) -> int:
     p.add_argument("--srcdict", default=None)
     p.add_argument("--tgtdict", default=None)
     p.add_argument("--joined-dictionary", action="store_true")
+    p.add_argument("--dataset-impl", default="mmap",
+                   choices=["mmap", "native"],
+                   help="binarized layout: mmap = fairseq-interchangeable "
+                        "MMIDIDX (default), native = round-1 DNTPUIDX1")
     args = p.parse_args(argv)
 
     os.makedirs(args.destdir, exist_ok=True)
@@ -82,6 +86,7 @@ def main(argv=None) -> int:
                 f"{pref}.{lang}",
                 os.path.join(args.destdir, f"{split}.{src}-{tgt}.{lang}"),
                 d,
+                impl=args.dataset_impl,
             )
             logger.info("binarized %s.%s: %d sequences", split, lang, n)
     return 0

@@ -860,6 +860,68 @@ def load_dictionary():
     return _cache["dictionary"]
 
 
+def load_indexed_dataset():
+    """Exec the REAL fairseq/data/indexed_dataset.py verbatim (the
+    binarized-data layouts behind fairseq-preprocess). Stubbed: PathManager
+    (plain os.path), the fasta/huffman dataset classes (never exercised —
+    only their magics are compared in infer_dataset_impl), and the removed
+    numpy 1.x `np.float` alias the module's dtype table references."""
+    if "indexed_dataset" not in _cache:
+        install_fairseq_stubs()
+        import os
+
+        import numpy as np
+        import torch
+
+        class _PathManager:
+            @staticmethod
+            def exists(path):
+                return os.path.exists(path)
+
+        _stub("fairseq.file_io", PathManager=_PathManager)
+        _stub("fairseq.dataclass")
+        _stub(
+            "fairseq.dataclass.constants",
+            DATASET_IMPL_CHOICES=["raw", "lazy", "cached", "mmap", "fasta",
+                                  "huffman"],
+        )
+
+        class _FastaDataset:
+            @staticmethod
+            def exists(path):
+                return False
+
+        _stub("fairseq.data.fasta_dataset", FastaDataset=_FastaDataset)
+
+        class _HuffmanMMapIndex:
+            _HDR_MAGIC = b"HUFFIDX\x00\x00"
+
+        _stub("fairseq.data.huffman",
+              HuffmanMMapIndexedDataset=object,
+              HuffmanMMapIndex=_HuffmanMMapIndex)
+        fd = _stub("fairseq.data")
+        if not hasattr(fd, "FairseqDataset"):
+            class _FairseqDataset(torch.utils.data.Dataset):
+                pass
+
+            fd.FairseqDataset = _FairseqDataset
+        # numpy 2.x removed the np.float/np.double aliases the reference's
+        # _code_to_dtype table evaluates at import time
+        had_float = hasattr(np, "float")
+        if not had_float:
+            np.float = float  # noqa: NPY001
+        try:
+            _cache["indexed_dataset"] = _file_module(
+                "fairseq.data.indexed_dataset_ref",
+                f"{REF}/fairseq/data/indexed_dataset.py",
+                package="fairseq.data",
+            )
+        finally:
+            if not had_float:
+                del np.float
+    return _cache["indexed_dataset"]
+
+
 def load_libnat():
     """COMPILE the real fairseq/clib/libnat/edit_dist.cpp (the C++ library
     behind the Levenshtein-transformer targets) with torch's cpp_extension

@@ -197,3 +197,129 @@ def test_mcd_different_wavs_finite_positive():
     assert np.isfinite(mcd) and mcd > 0
     mean, vals = batch_mel_cepstral_distortion([a, b], [b, a])
     assert len(vals) == 2 and np.isfinite(mean) and mean > 0
+
+
+# --------------------------------------------------------------------------
+# Binarized-format interchange with the REAL fairseq indexed_dataset.py
+# (fairseq-preprocess output must load here and vice versa)
+# --------------------------------------------------------------------------
+
+def _ref_indexed():
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from reference_loader import load_indexed_dataset
+
+    return load_indexed_dataset()
+
+
+def test_mmap_format_reads_real_fairseq_output(tmp_path):
+    """Data written by the VERBATIM reference MMapIndexedDatasetBuilder
+    (what fairseq-preprocess emits, uint16 at small vocabs) loads in our
+    reader with identical sizes and tokens."""
+    import torch
+
+    ref = _ref_indexed()
+    prefix = str(tmp_path / "ref_mmap")
+    dtype = ref.best_fitting_int_dtype(1000)
+    assert dtype == np.uint16  # the regime real preprocessed data ships in
+    b = ref.MMapIndexedDatasetBuilder(prefix + ".bin", dtype=dtype)
+    seqs = [np.array([4, 5, 6, 2], np.int64), np.array([7, 2], np.int64),
+            np.array([999, 8, 9, 2], np.int64)]
+    for s in seqs:
+        b.add_item(torch.from_numpy(s))
+    b.finalize(prefix + ".idx")
+
+    from diffnorm_tpu.data.indexed_dataset import (
+        IndexedDataset as OurDataset,
+        infer_dataset_impl,
+    )
+
+    assert infer_dataset_impl(prefix) == "mmap"
+    ours = OurDataset(prefix)
+    theirs = ref.MMapIndexedDataset(prefix)
+    assert len(ours) == len(theirs) == 3
+    for i, s in enumerate(seqs):
+        np.testing.assert_array_equal(ours[i], s)
+        np.testing.assert_array_equal(ours[i], theirs[i].numpy())
+        assert ours.num_tokens(i) == int(theirs.sizes[i])
+
+
+def test_mmap_format_written_here_loads_in_real_fairseq(tmp_path):
+    """Our MMapIndexedDatasetBuilder output byte-matches the reference
+    layout: the VERBATIM reference reader loads it back exactly."""
+    from diffnorm_tpu.data.indexed_dataset import MMapIndexedDatasetBuilder
+
+    ref = _ref_indexed()
+    prefix = str(tmp_path / "our_mmap")
+    b = MMapIndexedDatasetBuilder(prefix, dtype=np.uint16)
+    seqs = [np.array([4, 5, 6, 2], np.int64), np.array([7, 2], np.int64)]
+    for s in seqs:
+        b.add_item(s)
+    b.finalize()
+    theirs = ref.MMapIndexedDataset(prefix)
+    assert len(theirs) == 2
+    for i, s in enumerate(seqs):
+        np.testing.assert_array_equal(theirs[i].numpy(), s)
+
+    # and byte-for-byte: the reference writer produces the identical .idx
+    import torch
+
+    prefix2 = str(tmp_path / "ref_mmap")
+    b2 = ref.MMapIndexedDatasetBuilder(prefix2 + ".bin", dtype=np.uint16)
+    for s in seqs:
+        b2.add_item(torch.from_numpy(s))
+    b2.finalize(prefix2 + ".idx")
+    with open(prefix + ".idx", "rb") as f1, open(prefix2 + ".idx", "rb") as f2:
+        assert f1.read() == f2.read()
+    with open(prefix + ".bin", "rb") as f1, open(prefix2 + ".bin", "rb") as f2:
+        assert f1.read() == f2.read()
+
+
+def test_legacy_tntidx_format_reads(tmp_path):
+    """The legacy/cached TorchNet layout (reference IndexedDatasetBuilder)
+    also loads here (older fairseq-preprocess runs used --dataset-impl
+    cached/lazy)."""
+    import torch
+
+    ref = _ref_indexed()
+    prefix = str(tmp_path / "legacy")
+    b = ref.IndexedDatasetBuilder(prefix + ".bin", dtype=np.int32)
+    seqs = [np.array([4, 5, 6, 2], np.int32), np.array([7, 2], np.int32)]
+    for s in seqs:
+        b.add_item(torch.from_numpy(s))
+    b.finalize(prefix + ".idx")
+
+    from diffnorm_tpu.data.indexed_dataset import (
+        IndexedDataset as OurDataset,
+        infer_dataset_impl,
+    )
+
+    assert infer_dataset_impl(prefix) == "cached"
+    ours = OurDataset(prefix)
+    # fairseq loads this layout with fix_lua_indexing=True (the builder
+    # wrote tokens +1; data_utils.load_indexed_dataset:107-110)
+    theirs = ref.IndexedDataset(prefix, fix_lua_indexing=True)
+    assert len(ours) == len(theirs) == 2
+    for i, s in enumerate(seqs):
+        np.testing.assert_array_equal(ours[i], s)
+        np.testing.assert_array_equal(ours[i], theirs[i].numpy())
+
+
+def test_preprocess_cli_emits_fairseq_mmap(tmp_path):
+    """fairseq-preprocess parity end-to-end: the preprocess CLI's default
+    output is the mmap layout the real fairseq loads."""
+    (tmp_path / "train.src").write_text("a b c\nb c d\n")
+    (tmp_path / "train.tgt").write_text("x y\ny z\n")
+    from diffnorm_tpu.cli.preprocess import main
+
+    dest = str(tmp_path / "bin")
+    main([
+        "--source-lang", "src", "--target-lang", "tgt",
+        "--trainpref", str(tmp_path / "train"), "--destdir", dest,
+    ])
+    ref = _ref_indexed()
+    prefix = os.path.join(dest, "train.src-tgt.src")
+    theirs = ref.MMapIndexedDataset(prefix)
+    d = Dictionary.load(os.path.join(dest, "dict.src.txt"))
+    assert len(theirs) == 2 and int(theirs[0][-1]) == d.eos()

@@ -23,10 +23,16 @@
 extern "C" {
 
 // ---------------------------------------------------------------------------
-// batch_by_size: walk `indices` (pre-sorted by the caller), closing a batch
-// when adding the next item would exceed max_tokens (= count * running max
-// size, batches pad to their longest member) or max_sentences. Batches close
-// at the largest multiple of `mult`; the remainder seeds the next batch.
+// batch_by_size: group `indices` into batches bounded by max_tokens
+// (= batch_size * max-size-in-batch, since batches pad to their longest
+// member) and/or max_sentences, keeping batch sizes < mult or a multiple of
+// mult. EXACT reference semantics (fairseq/data/data_utils_fast.pyx
+// batch_by_size_vec:20-105): a committed batch [batch_start, ends[k]) plus a
+// running tail; the tail joins the batch whenever the combined size respects
+// the multiple rule, and on overflow the committed batch is finalized (two
+// batches when the tail itself overflows). Unlike the round-1 greedy
+// formulation this never emits a batch exceeding the caps for any input
+// order (regression: tests/test_data.py fuzz vs the transcribed reference).
 // Returns the number of batches; `bounds` receives n_batches+1 offsets into
 // `indices`.
 // ---------------------------------------------------------------------------
@@ -34,26 +40,58 @@ long batch_by_size(const long* indices, const long* sizes, long n,
                    long max_tokens, long max_sentences, long mult,
                    long* bounds) {
   (void)indices;
-  long n_batches = 0;
-  long start = 0;       // first item of the open batch
-  long max_len = 0;     // running max size in the open batch
-  bounds[0] = 0;
-  for (long i = 0; i < n; ++i) {
-    long size = sizes[i];
-    long count = i - start;
-    long new_max = std::max(max_len, size);
-    bool overflow = (max_tokens > 0 && (count + 1) * new_max > max_tokens) ||
-                    (max_sentences > 0 && count + 1 > max_sentences);
-    if (overflow && count > 0) {
-      long keep = (count >= mult) ? (count / mult) * mult : count;
-      bounds[++n_batches] = start + keep;
-      start = start + keep;
-      max_len = 0;
-      for (long j = start; j < i; ++j) max_len = std::max(max_len, sizes[j]);
-    }
-    max_len = std::max(max_len, size);
+  if (n == 0) {
+    bounds[0] = 0;
+    return 0;
   }
-  if (start < n) bounds[++n_batches] = n;
+  // up to 2 finalizations per item in the degenerate all-oversize case
+  std::vector<long> ends(2 * static_cast<size_t>(n) + 2, 0);
+  long batches_count = 0;
+  long batch_start = 0;
+  long tail_max = 0;   // max size in the running tail [ends[count], pos]
+  long batch_max = 0;  // max size in the committed batch
+  for (long pos = 0; pos < n; ++pos) {
+    long sz = sizes[pos];
+    tail_max = std::max(tail_max, sz);
+    long new_end = pos + 1;
+    long new_max = std::max(batch_max, tail_max);
+    long new_sent = new_end - batch_start;
+    long new_tok = new_sent * new_max;
+    bool overflow = (max_sentences > 0 && new_sent > max_sentences) ||
+                    (max_tokens > 0 && new_tok > max_tokens);
+    bool size_matches = (new_sent < mult) || (new_sent % mult == 0);
+    if (overflow) {
+      long tail_tok = tail_max * (new_end - ends[batches_count]);
+      bool tail_overflow = max_tokens > 0 && tail_tok > max_tokens;
+      if (tail_overflow) {
+        // corner case: the tail alone violates max_tokens — finalize the
+        // tail-without-pos as its own batch too
+        batches_count += 1;
+        ends[batches_count] = pos;
+        tail_max = sz;
+      }
+      batch_start = ends[batches_count];
+      batches_count += 1;
+      new_max = tail_max;
+    }
+    if (overflow || size_matches) {
+      ends[batches_count] = new_end;
+      batch_max = new_max;
+      tail_max = 0;
+    }
+  }
+  if (ends[batches_count] != n) batches_count += 1;
+  // pyx returns np.split(indices, ends[:batches_count]) = batches_count+1
+  // pieces with boundaries [0, ends[0..batches_count-1], n]. Items larger
+  // than max_tokens (the pyx asserts them away; we admit them as singleton
+  // batches) produce duplicate boundaries = empty pieces — drop those here,
+  // which also bounds the output at n+1 offsets.
+  bounds[0] = 0;
+  long n_batches = 0;
+  for (long k = 0; k < batches_count; ++k) {
+    if (ends[k] > bounds[n_batches]) bounds[++n_batches] = ends[k];
+  }
+  if (bounds[n_batches] != n) bounds[++n_batches] = n;
   return n_batches;
 }
 

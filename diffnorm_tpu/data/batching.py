@@ -81,28 +81,53 @@ def batch_by_size(
 
 
 def _batch_by_size_py(indices, sizes, max_tokens, max_sentences, mult):
-    batches = []
-    batch: List[tuple] = []  # (index, size)
-    batch_max_len = 0
-    for idx, size in zip(indices, sizes):
-        size = int(size)
-        new_max = max(batch_max_len, size)
-        overflow = (
-            (max_tokens and (len(batch) + 1) * new_max > max_tokens)
-            or (max_sentences and len(batch) + 1 > max_sentences)
-        )
-        if overflow and batch:
-            # close at the largest multiple of `mult` (fairseq semantics);
-            # the remainder seeds the next batch
-            keep = (len(batch) // mult) * mult if len(batch) >= mult else len(batch)
-            batches.append(np.asarray([i for i, _ in batch[:keep]], dtype=np.int64))
-            batch = batch[keep:]
-            batch_max_len = max((s for _, s in batch), default=0)
-        batch.append((int(idx), size))
-        batch_max_len = max(batch_max_len, size)
-    if batch:
-        batches.append(np.asarray([i for i, _ in batch], dtype=np.int64))
-    return batches
+    """EXACT transcription of the reference batch_by_size_vec
+    (fairseq/data/data_utils_fast.pyx:20-105): a committed batch plus a
+    running tail; the tail joins when the combined count is < mult or a
+    multiple of mult; overflow finalizes the committed batch (two batches
+    when the tail itself overflows max_tokens). Items larger than
+    max_tokens (asserted away in the reference) become singleton batches
+    (the empty split pieces they produce are dropped)."""
+    n = len(indices)
+    if n == 0:
+        return []
+    ends = [0] * (2 * n + 2)
+    batches_count = 0
+    batch_start = 0
+    tail_max = 0
+    batch_max = 0
+    for pos in range(n):
+        sz = int(sizes[pos])
+        tail_max = max(tail_max, sz)
+        new_end = pos + 1
+        new_max = max(batch_max, tail_max)
+        new_sent = new_end - batch_start
+        new_tok = new_sent * new_max
+        overflow = ((max_sentences > 0 and new_sent > max_sentences)
+                    or (max_tokens > 0 and new_tok > max_tokens))
+        size_matches = new_sent < mult or new_sent % mult == 0
+        if overflow:
+            tail_tok = tail_max * (new_end - ends[batches_count])
+            if max_tokens > 0 and tail_tok > max_tokens:
+                batches_count += 1
+                ends[batches_count] = pos
+                tail_max = sz
+            batch_start = ends[batches_count]
+            batches_count += 1
+            new_max = tail_max
+        if overflow or size_matches:
+            ends[batches_count] = new_end
+            batch_max = new_max
+            tail_max = 0
+    if ends[batches_count] != n:
+        batches_count += 1
+    bounds = [0]
+    for k in range(batches_count):
+        if ends[k] > bounds[-1]:
+            bounds.append(ends[k])
+    if bounds[-1] != n:
+        bounds.append(n)
+    return [indices[bounds[i]:bounds[i + 1]] for i in range(len(bounds) - 1)]
 
 
 BUCKETS_DEFAULT = (32, 64, 96, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048,

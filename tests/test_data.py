@@ -394,3 +394,99 @@ def test_curriculum_defers_shuffle():
     it.finish_epoch()
     second = list(it.next_epoch_itr())
     assert not np.array_equal(np.concatenate(second), np.arange(12))
+
+
+def _pyx_batch_by_size_vec(indices, num_tokens_vec, max_tokens,
+                           max_sentences, bsz_mult):
+    """Line-by-line transcription of the reference batch_by_size_vec
+    (fairseq/data/data_utils_fast.pyx:20-105) used as the fuzz oracle —
+    Cython is absent from this image, so the verbatim .pyx cannot be
+    compiled; this mirrors it statement for statement."""
+    if len(indices) == 0:
+        return []
+    n = len(indices)
+    batches_ends = np.zeros(n, dtype=np.int32)
+    batches_count = 0
+    batch_start = 0
+    tail_max_tokens = 0
+    batch_max_tokens = 0
+    for pos in range(n):
+        tail_max_tokens = max(tail_max_tokens, int(num_tokens_vec[pos]))
+        new_batch_end = pos + 1
+        new_batch_max_tokens = max(batch_max_tokens, tail_max_tokens)
+        new_batch_sentences = new_batch_end - batch_start
+        new_batch_num_tokens = new_batch_sentences * new_batch_max_tokens
+        overflow = (new_batch_sentences > max_sentences > 0 or
+                    new_batch_num_tokens > max_tokens > 0)
+        size_matches = (new_batch_sentences < bsz_mult or
+                        new_batch_sentences % bsz_mult == 0)
+        if overflow:
+            tail_num_tokens = tail_max_tokens * (
+                new_batch_end - batches_ends[batches_count])
+            if tail_num_tokens > max_tokens > 0:
+                batches_count += 1
+                batches_ends[batches_count] = pos
+                tail_max_tokens = int(num_tokens_vec[pos])
+            batch_start = batches_ends[batches_count]
+            batches_count += 1
+            new_batch_max_tokens = tail_max_tokens
+        if overflow or size_matches:
+            batches_ends[batches_count] = new_batch_end
+            batch_max_tokens = new_batch_max_tokens
+            tail_max_tokens = 0
+    if batches_ends[batches_count] != n:
+        batches_count += 1
+    return np.split(indices, batches_ends[:batches_count])
+
+
+def test_batch_by_size_fuzz_matches_reference_algorithm():
+    """Both the native and the python batcher reproduce the reference
+    algorithm batch-for-batch on random inputs (sorted and unsorted), and
+    never emit a multi-item batch that violates max_tokens/max_sentences —
+    the round-1 greedy formulation did on unsorted tails (regression)."""
+    rng = np.random.default_rng(0)
+    from diffnorm_tpu.data.batching import _batch_by_size_py
+
+    for trial in range(800):
+        n = int(rng.integers(0, 40))
+        sizes = rng.integers(1, 20, size=n).astype(np.int64)
+        if rng.random() < 0.7:
+            sizes = np.sort(sizes)
+        indices = np.arange(n, dtype=np.int64)
+        mt = int(rng.choice([0, 20, 40, 64, 100]))
+        if mt and n and sizes.max() > mt:
+            sizes = np.minimum(sizes, mt)
+        ms = int(rng.choice([0, 2, 4, 8]))
+        mult = int(rng.choice([1, 2, 8]))
+        ref = [b for b in _pyx_batch_by_size_vec(indices, sizes, mt, ms, mult)
+               if len(b)]
+        got = batch_by_size(indices, sizes, max_tokens=mt or None,
+                            max_sentences=ms or None,
+                            required_batch_size_multiple=mult)
+        pyb = _batch_by_size_py(indices, sizes, mt, ms, mult)
+        assert len(got) == len(ref) == len(pyb), (trial, mt, ms, mult)
+        for a, b, c in zip(got, ref, pyb):
+            np.testing.assert_array_equal(a, b)
+            np.testing.assert_array_equal(a, c)
+        for b in got:
+            mx = int(sizes[b].max())
+            if ms:
+                assert len(b) <= ms
+            if mt and len(b) > 1:
+                assert len(b) * mx <= mt
+
+
+def test_batch_by_size_oversize_items_become_singletons():
+    """Items larger than max_tokens (the reference asserts callers filter
+    them; we admit them) come out as singleton batches and never corrupt
+    neighboring batches."""
+    sizes = np.asarray([5, 50, 5, 5, 70, 5], np.int64)
+    indices = np.arange(6, dtype=np.int64)
+    batches = batch_by_size(indices, sizes, max_tokens=20)
+    flat = sorted(int(i) for b in batches for i in b)
+    assert flat == list(range(6))
+    for b in batches:
+        assert len(b) > 0
+        if len(b) > 1:
+            assert len(b) * sizes[b].max() <= 20
+    assert any(len(b) == 1 and int(sizes[b[0]]) in (50, 70) for b in batches)

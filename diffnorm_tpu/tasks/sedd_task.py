@@ -26,9 +26,18 @@ class SEDDTask(Task):
     def load_dataset(self, split: str, epoch: int = 1):
         from diffnorm_tpu.data.unit_lm_dataset import UnitLMDataset
 
+        # LM-style token blocking (reference language_modeling task flags):
+        # activated by passing --sample-break-mode and/or --tokens-per-sample;
+        # without them sequences stay per-utterance (previous behavior)
+        block = 0
+        if (self.cfg.get("sample_break_mode")
+                or self.cfg.get("tokens_per_sample")):
+            block = int(self.cfg.get("tokens_per_sample", 1024))
         self.datasets[split] = UnitLMDataset.from_tsv(
             root=self.data_path(epoch), split=split, tgt_dict=self.tgt_dict,
             max_positions=self.cfg.get("max_target_positions", 1024),
+            block_size=block,
+            break_mode=self.cfg.get("sample_break_mode") or "none",
             is_train=split.startswith("train"),
         )
 
@@ -58,7 +67,9 @@ class SEDDTask(Task):
 @register_task("sedd_lm")
 class SEDDLMTask(SEDDTask):
     """Same capability as "sedd" with LM-style token-block batching over
-    concatenated unit streams (reference sedd_lm task)."""
+    concatenated unit streams (reference sedd_lm task): sequences are
+    concatenated and re-sliced into --tokens-per-sample blocks under
+    --sample-break-mode (none/complete/complete_doc/eos)."""
 
 
 @register_task("dummy_sedd")
@@ -77,7 +88,8 @@ class DummySEDDTask(SEDDTask):
 class UnitLMTask(SEDDTask):
     """Autoregressive unit language modeling (reference transformer_lm task
     capability over speech units; pairs with criterion lm_cross_entropy and
-    cli/eval_lm.py)."""
+    cli/eval_lm.py). --sample-break-mode/--tokens-per-sample re-block the
+    concatenated unit stream like the reference language_modeling task."""
 
     def init_variables(self, model, rng, batch):
         r_p, r_d = jax.random.split(rng)

@@ -1,6 +1,7 @@
 """Data layer: dictionary, unit reduction, batching (py + C++), iterators,
 manifests, datasets over a synthetic data dir."""
 
+import math
 import os
 
 import numpy as np
@@ -490,3 +491,89 @@ def test_batch_by_size_oversize_items_become_singletons():
         if len(b) > 1:
             assert len(b) * sizes[b].max() <= 20
     assert any(len(b) == 1 and int(sizes[b[0]]) in (50, 70) for b in batches)
+
+
+def _pyx_get_slice_indices(sizes, break_mode, block_size, document_sep_len=1):
+    """Transcription of the reference _get_slice_indices_fast
+    (fairseq/data/token_block_utils_fast.pyx:52-106) — the fuzz oracle for
+    slice_indices (Cython absent from this image)."""
+    sizes = np.asarray(sizes, np.int64)
+    out = []
+    tok_idx = sz_idx = curr_size = 0
+    if break_mode in (None, "none"):
+        total_size = int(sizes.sum())
+        length = math.ceil(total_size / block_size)
+        return np.asarray(
+            [[i * block_size, min((i + 1) * block_size, total_size)]
+             for i in range(length)], np.int64).reshape(-1, 2)
+    if break_mode == "complete":
+        while sz_idx < len(sizes):
+            if curr_size + sizes[sz_idx] <= block_size or curr_size == 0:
+                curr_size += int(sizes[sz_idx])
+                sz_idx += 1
+            else:
+                out.append((tok_idx, tok_idx + curr_size))
+                tok_idx += curr_size
+                curr_size = 0
+        if curr_size > 0:
+            out.append((tok_idx, tok_idx + curr_size))
+        return np.asarray(out, np.int64).reshape(-1, 2)
+    if break_mode == "complete_doc":
+        while sz_idx < len(sizes):
+            if ((curr_size + sizes[sz_idx] <= block_size or curr_size == 0)
+                    and sizes[sz_idx] != document_sep_len):
+                curr_size += int(sizes[sz_idx])
+                sz_idx += 1
+            else:
+                if curr_size > 1:
+                    out.append((tok_idx, tok_idx + curr_size))
+                tok_idx += curr_size
+                curr_size = 0
+                if sizes[sz_idx] == document_sep_len:
+                    tok_idx += int(sizes[sz_idx])
+                    sz_idx += 1
+        if curr_size > 1:
+            out.append((tok_idx, tok_idx + curr_size))
+        return np.asarray(out, np.int64).reshape(-1, 2)
+    if break_mode == "eos":
+        cumsum = np.concatenate([[0], np.cumsum(sizes)])
+        return np.stack([cumsum[:-1], cumsum[1:]], axis=1)
+    raise ValueError(break_mode)
+
+
+def test_slice_indices_all_break_modes_match_reference_algorithm():
+    from diffnorm_tpu.data.unit_lm_dataset import slice_indices
+
+    rng = np.random.default_rng(0)
+    for trial in range(300):
+        n = int(rng.integers(1, 30))
+        sizes = rng.integers(1, 12, size=n).astype(np.int64)
+        if rng.random() < 0.3:  # sprinkle document separators (size 1)
+            sizes[rng.random(n) < 0.2] = 1
+        block = int(rng.choice([4, 8, 16, 64]))
+        for mode in ("none", "complete", "complete_doc", "eos"):
+            ref = _pyx_get_slice_indices(sizes, mode, block)
+            got = slice_indices(sizes, mode, block)
+            np.testing.assert_array_equal(got, ref), (trial, mode, block)
+
+
+def test_unit_lm_dataset_token_blocking_modes():
+    from diffnorm_tpu.data.unit_lm_dataset import UnitLMDataset
+
+    seqs = [np.arange(4, 4 + k, dtype=np.int32) for k in (3, 5, 2, 7, 1)]
+    flat = np.concatenate(seqs)
+    # none: fixed 6-token windows across boundaries
+    ds = UnitLMDataset([s.copy() for s in seqs], block_size=6,
+                       break_mode="none")
+    np.testing.assert_array_equal(np.concatenate(ds.unit_seqs), flat)
+    assert all(len(u) == 6 for u in ds.unit_seqs[:-1])
+    # complete: whole sequences grouped up to 8 tokens (an oversize group
+    # only forms when a single sequence exceeds the block)
+    ds = UnitLMDataset([s.copy() for s in seqs], block_size=8,
+                       break_mode="complete")
+    assert [len(u) for u in ds.unit_seqs] == [8, 2, 8]
+    np.testing.assert_array_equal(np.concatenate(ds.unit_seqs), flat)
+    # eos: one sequence per block
+    ds = UnitLMDataset([s.copy() for s in seqs], block_size=6,
+                       break_mode="eos")
+    assert [len(u) for u in ds.unit_seqs] == [3, 5, 2, 7, 1]

@@ -271,31 +271,94 @@ long token_block_slices(const long* sizes, long n_docs, long block_size,
 
 // ---------------------------------------------------------------------------
 // Balanced expert assignment (reference: fairseq/clib/libbase/
-// balanced_assignment.cpp — auction algorithm for BASE-layer MoE routing).
-// Greedy global-sort assignment with equal capacity per expert: sort all
-// (token, expert) scores descending, assign each token to its best still-
-// open expert. scores: [n_tokens, n_experts] row-major; out: [n_tokens]
-// expert ids. n_tokens must be divisible by n_experts.
+// balanced_assignment.cpp — the k-jobs-per-worker AUCTION algorithm,
+// Bertsekas P-2108). Exact reference semantics, pinned against the compiled
+// real libbase in tests/test_reference_parity.py: each expert ("worker")
+// bids its value margin over its (k+1)-th best token ("job") plus epsilon;
+// popular tokens get more expensive (cost += winning bid) until every token
+// has a bidder; after 100 iterations the value resets fall back to raw
+// scores (the reference's fast-converging approximation). scores:
+// [n_tokens, n_experts] row-major; out: [n_tokens] expert ids. n_tokens
+// must be divisible by n_experts.
 // ---------------------------------------------------------------------------
 void balanced_assignment(const float* scores, long n_tokens, long n_experts,
                          long* out) {
-  long cap = n_tokens / n_experts;
-  std::vector<long> order(n_tokens * n_experts);
-  for (long i = 0; i < (long)order.size(); ++i) order[i] = i;
-  std::sort(order.begin(), order.end(),
-            [&](long a, long b) { return scores[a] > scores[b]; });
-  std::vector<long> expert_count(n_experts, 0);
-  std::vector<char> token_done(n_tokens, 0);
-  long assigned = 0;
-  for (long idx : order) {
-    long tok = idx / n_experts;
-    long exp = idx % n_experts;
-    if (token_done[tok] || expert_count[exp] >= cap) continue;
-    out[tok] = exp;
-    token_done[tok] = 1;
-    ++expert_count[exp];
-    if (++assigned == n_tokens) break;
+  const long n = n_tokens, e = n_experts, k = n_tokens / n_experts;
+  const int max_iterations = 100;
+  float smin = scores[0], smax = scores[0];
+  for (long i = 1; i < n * e; ++i) {
+    smin = std::min(smin, scores[i]);
+    smax = std::max(smax, scores[i]);
   }
+  const float epsilon = std::max((smax - smin) / 50.0f, 1e-4f);
+  const float max_value = smax;
+  // worker_and_job_to_score = scores^T  [e, n]
+  std::vector<float> wj(e * n);
+  for (long t = 0; t < n; ++t)
+    for (long w = 0; w < e; ++w) wj[w * n + t] = scores[t * e + w];
+  std::vector<float> value(wj);           // value = wj - cost (maintained)
+  std::vector<float> cost(n, 0.0f);
+  std::vector<float> bids(e * n);
+  std::vector<long> top_idx(e * (k + 1));
+  std::vector<long> bid_indices;          // flat w*n + j of last round's wins
+  std::vector<long> order(n);
+  int counter = 0;
+  while (true) {
+    std::fill(bids.begin(), bids.end(), 0.0f);
+    // per worker: top k+1 of its value row (desc, ties -> lower job index)
+    for (long w = 0; w < e; ++w) {
+      const float* row = &value[w * n];
+      for (long j = 0; j < n; ++j) order[j] = j;
+      std::partial_sort(order.begin(), order.begin() + k + 1, order.end(),
+                        [&](long a, long b) {
+                          return row[a] > row[b] ||
+                                 (row[a] == row[b] && a < b);
+                        });
+      const float kth = row[order[k]];
+      for (long j = 0; j < k + 1; ++j) top_idx[w * (k + 1) + j] = order[j];
+      for (long j = 0; j < k; ++j)
+        bids[w * n + order[j]] = row[order[j]] - kth + epsilon;
+    }
+    if (counter < max_iterations && counter > 0) {
+      // minimal retention bid for last round's wins (overwrites, like the
+      // reference's index_put_)
+      for (long idx : bid_indices) bids[idx] = epsilon;
+    }
+    // highest bidder per job (ties -> lowest worker, torch::max_out order)
+    bool all_have = true;
+    std::vector<long> high_bidders(n, 0);
+    std::vector<float> high_bids(n, 0.0f);
+    for (long j = 0; j < n; ++j) {
+      float hb = bids[j];
+      long hw = 0;
+      for (long w = 1; w < e; ++w) {
+        if (bids[w * n + j] > hb) {
+          hb = bids[w * n + j];
+          hw = w;
+        }
+      }
+      high_bids[j] = hb;
+      high_bidders[j] = hw;
+      if (!(hb > 0.0f)) all_have = false;
+    }
+    if (all_have) break;
+    for (long j = 0; j < n; ++j) cost[j] += high_bids[j];
+    for (long w = 0; w < e; ++w)
+      for (long j = 0; j < n; ++j) value[w * n + j] = wj[w * n + j] - cost[j];
+    bid_indices.clear();
+    for (long j = 0; j < n; ++j) {
+      if (high_bids[j] > 0.0f) {
+        long idx = high_bidders[j] * n + j;
+        bid_indices.push_back(idx);
+        // make sure the winner keeps this job in its top-k next round
+        value[idx] = (counter < max_iterations) ? max_value : wj[idx];
+      }
+    }
+    ++counter;
+  }
+  // final holdings: worker w keeps its current top-k jobs
+  for (long w = 0; w < e; ++w)
+    for (long j = 0; j < k; ++j) out[top_idx[w * (k + 1) + j]] = w;
 }
 
 // ---------------------------------------------------------------------------

@@ -8,8 +8,9 @@ same number of tokens (no dropped tokens, no aux balancing loss).
 TPU redesign: the assignment itself must live inside jit, so the default
 router is a Sinkhorn-normalized balanced assignment (differentiable-free
 argsort over normalized scores — the standard jit-friendly relaxation of the
-auction); the host-side C ABI `balanced_assignment` (csrc) mirrors the
-reference's exact greedy/auction semantics for offline use and testing.
+auction); the host-side C ABI `balanced_assignment` (csrc) implements the
+reference's exact k-jobs-per-worker auction for offline use and testing
+(pinned against the compiled real libbase in tests/test_reference_parity.py).
 Experts vmap over a leading expert axis, which shards over the "model" mesh
 axis (expert parallelism) via parallel/sharding_rules.
 """
@@ -45,22 +46,42 @@ def balanced_assignment_host(scores: np.ndarray) -> np.ndarray:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
         )
         return out
-    # numpy fallback: same greedy global sort
-    cap = n // e
-    order = np.argsort(-scores, axis=None)
-    counts = np.zeros(e, np.int64)
-    done = np.zeros(n, bool)
-    assigned = 0
-    for idx in order:
-        tok, exp = divmod(int(idx), e)
-        if done[tok] or counts[exp] >= cap:
-            continue
-        out[tok] = exp
-        done[tok] = True
-        counts[exp] += 1
-        assigned += 1
-        if assigned == n:
+    # numpy fallback: the same auction algorithm as csrc (reference libbase
+    # balanced_assignment.cpp — k-jobs-per-worker auction, Bertsekas P-2108)
+    k = n // e
+    max_iterations = 100
+    epsilon = max((scores.max() - scores.min()) / 50.0, 1e-4)
+    max_value = float(scores.max())
+    wj = np.ascontiguousarray(scores.T, np.float32)  # [e, n]
+    value = wj.copy()
+    cost = np.zeros(n, np.float32)
+    bid_indices = np.zeros(0, np.int64)
+    counter = 0
+    while True:
+        bids = np.zeros((e, n), np.float32)
+        # top k+1 per worker, desc with lower-index tie break
+        order = np.lexsort((np.arange(n)[None, :].repeat(e, 0), -value),
+                           axis=1)[:, : k + 1]
+        kth = value[np.arange(e)[:, None], order[:, k:]]
+        inc = value[np.arange(e)[:, None], order[:, :k]] - kth + epsilon
+        np.put_along_axis(bids, order[:, :k], inc.astype(np.float32), axis=1)
+        if 0 < counter < max_iterations:
+            bids.reshape(-1)[bid_indices] = epsilon  # retention bids
+        high_bidders = bids.argmax(axis=0)  # ties -> lowest worker
+        high_bids = bids[high_bidders, np.arange(n)]
+        if (high_bids > 0).all():
             break
+        cost += high_bids
+        value = wj - cost[None, :]
+        have = high_bids > 0
+        bid_indices = (high_bidders[have] * n
+                       + np.arange(n)[have]).astype(np.int64)
+        value.reshape(-1)[bid_indices] = (
+            max_value if counter < max_iterations
+            else wj.reshape(-1)[bid_indices])
+        counter += 1
+    for w in range(e):
+        out[order[w, :k]] = w
     return out
 
 

@@ -942,6 +942,26 @@ def load_libnat():
     return _cache["libnat"]
 
 
+def load_libbase():
+    """COMPILE the real fairseq/clib/libbase/balanced_assignment.cpp (the
+    auction-algorithm MoE router behind fairseq's BASE layers) with torch's
+    cpp_extension and return the genuine module."""
+    if "libbase" not in _cache:
+        import os
+
+        from torch.utils import cpp_extension
+
+        build = "/tmp/libbase_build"
+        os.makedirs(build, exist_ok=True)
+        _cache["libbase"] = cpp_extension.load(
+            name="libbase_ref",
+            sources=[f"{REF}/fairseq/clib/libbase/balanced_assignment.cpp"],
+            build_directory=build,
+            verbose=False,
+        )
+    return _cache["libbase"]
+
+
 def load_libbleu():
     """COMPILE the real fairseq/clib/libbleu/libbleu.cpp (the BLEU counter
     behind fairseq-score / scorers) into a plain shared library and return

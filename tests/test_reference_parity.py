@@ -1241,3 +1241,49 @@ def test_s2t_conformer_encoder_matches_reference():
     # ~2e-4 float32 noise (the single-layer test pins 5e-5)
     np.testing.assert_allclose(
         np.asarray(out) * valid, ref_out * valid, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_balanced_assignment_vs_compiled_libbase():
+    """Our auction balanced assignment (csrc + numpy fallback) vs the REAL
+    compiled fairseq libbase: same per-expert token sets on random scores
+    (ties are measure-zero in continuous draws), and always exactly
+    balanced with an equal total score."""
+    import torch
+    from reference_loader import load_libbase
+
+    from diffnorm_tpu.models.moe import balanced_assignment_host
+
+    libbase = load_libbase()
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        e = int(rng.choice([2, 4, 8]))
+        n = e * int(rng.integers(1, 9))
+        scores = rng.normal(size=(n, e)).astype(np.float32)
+
+        ours = balanced_assignment_host(scores)
+        # reference returns token indices grouped by expert (worker-major)
+        ref_sort = libbase.balanced_assignment(
+            torch.from_numpy(scores)).numpy()
+        theirs = np.zeros(n, np.int64)
+        k = n // e
+        for w in range(e):
+            theirs[ref_sort[w * k:(w + 1) * k]] = w
+
+        counts = np.bincount(ours, minlength=e)
+        assert (counts == k).all(), counts
+        total_ours = scores[np.arange(n), ours].sum()
+        total_theirs = scores[np.arange(n), theirs].sum()
+        assert total_ours == pytest.approx(total_theirs, rel=1e-5), trial
+        np.testing.assert_array_equal(ours, theirs)
+
+        # the numpy fallback matches the native path bit-for-bit
+        import diffnorm_tpu.data.batching as batching
+
+        saved = batching._LIB
+        try:
+            batching._LIB = False
+            fallback = balanced_assignment_host(scores)
+        finally:
+            batching._LIB = saved
+        np.testing.assert_array_equal(fallback, ours)

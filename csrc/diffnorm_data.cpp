@@ -362,10 +362,49 @@ void balanced_assignment(const float* scores, long n_tokens, long n_experts,
 }
 
 // ---------------------------------------------------------------------------
-// Monotonic alignment (reference: examples/operators/alignment_train_*.cpp/.cu
-// used by simultaneous-MT / duration training): best monotonic path through a
-// [tx, ty] log-probability matrix (every source step advances 0 or 1 target
-// steps; all targets covered). Returns per-source target indices.
+// MMA expected alignment (reference: examples/operators/
+// alignment_train_cpu.cpp alignmentTrainCPUImpl — the op behind
+// expected_alignment_from_p_choose, arXiv 1704.00784). alpha must be
+// zero-initialized by the caller; exact reference semantics incl. the
+// exclusive cumprod, [eps, 1] clamp inside the division, and per-element
+// [0, 1] clip of the stored alpha. Pinned against the COMPILED real op in
+// tests/test_reference_parity.py.
+// ---------------------------------------------------------------------------
+void alignment_train(const float* p_choose, float* alpha, long bsz,
+                     long tgt_len, long src_len, float eps) {
+  const long n = tgt_len * src_len;
+  std::vector<float> cumprod(src_len), clamp(src_len);
+  for (long b = 0; b < bsz; ++b) alpha[b * n] = 1.0f;
+  for (long b = 0; b < bsz; ++b) {
+    for (long t = 0; t < tgt_len; ++t) {
+      const float* p = p_choose + b * n + t * src_len;
+      // exclusive cumprod of (1 - p) along src
+      float run = 1.0f;
+      for (long s = 0; s < src_len; ++s) {
+        cumprod[s] = run;
+        clamp[s] = std::min(std::max(run, eps), 1.0f);
+        run *= 1.0f - p[s];
+      }
+      const float* prev = (t == 0) ? alpha + b * n
+                                   : alpha + b * n + (t - 1) * src_len;
+      float* out = alpha + b * n + t * src_len;
+      float scan = 0.0f;
+      for (long s = 0; s < src_len; ++s) {
+        // t==0 reads its own row in place, exactly like the reference:
+        // [1, 0, 0, ...] since only [b][0][0] is pre-initialized and each
+        // slot is read before it is overwritten
+        scan += prev[s] / clamp[s];
+        out[s] = std::min(std::max(scan * p[s] * cumprod[s], 0.0f), 1.0f);
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Best monotonic path through a [tx, ty] log-probability matrix (every
+// source step advances 0 or 1 target steps; all targets covered) — the
+// Viterbi companion to the expected alignment above, used by duration
+// training. Returns per-source target indices.
 // ---------------------------------------------------------------------------
 void best_monotonic_alignment(const float* logp, long tx, long ty,
                               long* path) {

@@ -17,6 +17,7 @@ utils/convert_weights, so these tests also pin the converters against the
 real fairseq key layout.
 """
 
+import os
 import types
 
 import numpy as np
@@ -1287,3 +1288,50 @@ def test_balanced_assignment_vs_compiled_libbase():
         finally:
             batching._LIB = saved
         np.testing.assert_array_equal(fallback, ours)
+
+
+@pytest.mark.slow
+def test_expected_alignment_vs_compiled_reference():
+    """Our MMA expected-alignment (jnp lax.scan + csrc host op) vs the REAL
+    compiled alignment_train_cpu.cpp on random p_choose."""
+    import torch
+    from torch.utils import cpp_extension
+
+    from diffnorm_tpu.ops.alignment import (
+        expected_alignment_from_p_choose,
+        expected_alignment_host,
+    )
+
+    build = "/tmp/alignment_train_build"
+    os.makedirs(build, exist_ok=True)
+    ref = cpp_extension.load(
+        name="alignment_train_cpu_binding",
+        sources=["/root/reference/examples/operators/alignment_train_cpu.cpp"],
+        build_directory=build,
+        verbose=False,
+    )
+    rng = np.random.default_rng(0)
+    for b, tgt, src in [(1, 1, 1), (2, 5, 7), (3, 8, 4), (2, 16, 16)]:
+        p = rng.uniform(0.0, 1.0, size=(b, tgt, src)).astype(np.float32)
+        alpha_ref = torch.zeros((b, tgt, src), dtype=torch.float32)
+        ref.alignment_train_cpu(torch.from_numpy(p), alpha_ref, 1e-6)
+        alpha_ref = alpha_ref.numpy()
+
+        host = expected_alignment_host(p)
+        np.testing.assert_allclose(host, alpha_ref, rtol=1e-6, atol=1e-7)
+
+        dev = np.asarray(jax.jit(expected_alignment_from_p_choose)(
+            jnp.asarray(p)))
+        np.testing.assert_allclose(dev, alpha_ref, rtol=1e-5, atol=1e-6)
+
+    # padding-mask zeroing matches the reference wrapper
+    # (monotonic_attention.py:42-43)
+    p = rng.uniform(0.0, 1.0, size=(2, 4, 6)).astype(np.float32)
+    mask = np.zeros((2, 6), bool)
+    mask[:, 4:] = True
+    p_masked = np.where(mask[:, None, :], 0.0, p).astype(np.float32)
+    alpha_ref = torch.zeros((2, 4, 6), dtype=torch.float32)
+    ref.alignment_train_cpu(torch.from_numpy(p_masked), alpha_ref, 1e-6)
+    dev = np.asarray(expected_alignment_from_p_choose(
+        jnp.asarray(p), padding_mask=jnp.asarray(mask)))
+    np.testing.assert_allclose(dev, alpha_ref.numpy(), rtol=1e-5, atol=1e-6)

@@ -942,6 +942,43 @@ def load_libnat():
     return _cache["libnat"]
 
 
+def load_conv_modules():
+    """Exec the REAL fairseq lightweight_convolution.py +
+    dynamic_convolution.py verbatim (with the real unfold.py,
+    fairseq_dropout.py and incremental_decoding_utils.py). Only
+    fairseq.utils.softmax is stubbed (3-line standard helper)."""
+    if "conv_modules" not in _cache:
+        install_fairseq_stubs()
+        import torch.nn.functional as F
+
+        u = sys.modules["fairseq.utils"]
+        if not hasattr(u, "softmax"):
+            u.softmax = (lambda x, dim, onnx_trace=False:
+                         F.softmax(x, dim=dim))
+        idu = _file_module(
+            "fairseq.incremental_decoding_utils",
+            f"{REF}/fairseq/incremental_decoding_utils.py")
+        sys.modules["fairseq"].incremental_decoding_utils = idu
+        fdrop = _file_module(
+            "fairseq.modules.fairseq_dropout",
+            f"{REF}/fairseq/modules/fairseq_dropout.py")
+        unfold = _file_module(
+            "fairseq.modules.unfold", f"{REF}/fairseq/modules/unfold.py")
+        mods = sys.modules["fairseq.modules"]
+        mods.fairseq_dropout = fdrop
+        mods.unfold = unfold
+        light = _file_module(
+            "fairseq.modules.lightweight_convolution",
+            f"{REF}/fairseq/modules/lightweight_convolution.py",
+            package="fairseq.modules")
+        dyn = _file_module(
+            "fairseq.modules.dynamic_convolution",
+            f"{REF}/fairseq/modules/dynamic_convolution.py",
+            package="fairseq.modules")
+        _cache["conv_modules"] = (light, dyn)
+    return _cache["conv_modules"]
+
+
 def load_libbase():
     """COMPILE the real fairseq/clib/libbase/balanced_assignment.cpp (the
     auction-algorithm MoE router behind fairseq's BASE layers) with torch's

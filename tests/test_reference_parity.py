@@ -1335,3 +1335,58 @@ def test_expected_alignment_vs_compiled_reference():
     dev = np.asarray(expected_alignment_from_p_choose(
         jnp.asarray(p), padding_mask=jnp.asarray(mask)))
     np.testing.assert_allclose(dev, alpha_ref.numpy(), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_lightconv_dynamicconv_match_reference_modules():
+    """ops/lightconv.py vs the REAL LightweightConv1dTBC /
+    DynamicConv1dTBC torch modules (both their unfold and expanded
+    forward paths), causal and same padding, with and without weight
+    softmax."""
+    import torch
+    from reference_loader import load_conv_modules
+
+    from diffnorm_tpu.ops.lightconv import dynamicconv, lightconv
+
+    light_mod, dyn_mod = load_conv_modules()
+    rng = np.random.default_rng(0)
+    B, T, C, H, K = 3, 10, 8, 2, 3
+
+    for padding, padding_l in [("causal", K - 1), ("same", K // 2)]:
+        for softmax in (True, False):
+            x = rng.normal(size=(B, T, C)).astype(np.float32)
+            w = rng.normal(size=(H, K)).astype(np.float32)
+
+            conv = light_mod.LightweightConv1dTBC(
+                C, kernel_size=K, padding_l=padding_l, num_heads=H,
+                weight_softmax=softmax)
+            with torch.no_grad():
+                conv.weight.copy_(torch.from_numpy(w).unsqueeze(1))
+            x_tbc = torch.from_numpy(x).permute(1, 0, 2).contiguous()
+            for unfold in (True, False):
+                ref = conv(x_tbc, unfold=unfold).detach().permute(
+                    1, 0, 2).numpy()
+                got = np.asarray(lightconv(
+                    jnp.asarray(x), jnp.asarray(w), padding=padding,
+                    softmax_normalize=softmax))
+                np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5,
+                                           err_msg=f"{padding} {softmax} "
+                                                   f"unfold={unfold}")
+
+            # dynamic: per-position weights predicted by a linear over x
+            dconv = dyn_mod.DynamicConv1dTBC(
+                C, kernel_size=K, padding_l=padding_l, num_heads=H,
+                weight_softmax=softmax)
+            lin_w = dconv.weight_linear.weight.detach().numpy()
+            lin_b = (dconv.weight_linear.bias.detach().numpy()
+                     if dconv.weight_linear.bias is not None else 0.0)
+            w_dyn = (x @ lin_w.T + lin_b).reshape(B, T, H, K)
+            got_dyn = np.asarray(dynamicconv(
+                jnp.asarray(x), jnp.asarray(w_dyn), padding=padding,
+                softmax_normalize=softmax))
+            for unfold in (True, False):
+                ref_dyn = dconv(x_tbc, unfold=unfold).detach().permute(
+                    1, 0, 2).numpy()
+                np.testing.assert_allclose(
+                    got_dyn, ref_dyn, rtol=1e-5, atol=1e-5,
+                    err_msg=f"dyn {padding} {softmax} unfold={unfold}")

@@ -252,6 +252,44 @@ def _left_pack(tokens, keep):
     return buf.at[rows, dest].set(tokens)[:, :l]
 
 
+def apply_del_words(canvas, del_pred):
+    """Delete non-special tokens where del_pred is True and left-pack
+    (reference levenshtein_utils._apply_del_words:203-229 on a fixed-width
+    canvas: pads count as deleted, bos/eos never delete; parity-tested vs
+    the VERBATIM reference helper in tests/test_reference_parity.py)."""
+    valid = canvas != PAD
+    special = (canvas == BOS) | (canvas == EOS)
+    keep = valid & (special | ~del_pred)
+    return _left_pack(canvas, keep)
+
+
+def apply_ins_masks(packed, n_ins):
+    """Insert n_ins[b, j] UNK placeholders between consecutive real tokens
+    j and j+1 (reference levenshtein_utils._apply_ins_masks:155-186,
+    re-expressed on a fixed-width canvas: cumulative insertions clip to the
+    static budget instead of growing the row; parity-tested vs the VERBATIM
+    reference helper where the budget does not bind)."""
+    b, l = packed.shape
+    pvalid = packed != PAD
+    n_tok = jnp.sum(pvalid, axis=1)
+    slot_ok = pvalid[:, :-1] & pvalid[:, 1:]  # both neighbours real
+    n_ins = jnp.where(slot_ok, n_ins, 0)
+    budget = (l - n_tok)[:, None]
+    cum = jnp.minimum(jnp.cumsum(n_ins, axis=1), budget)
+    offset = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.int32), cum], axis=1
+    )  # [B, L]: insertions strictly before token j
+    new_pos = jnp.arange(l)[None, :] + offset
+    new_len = n_tok + cum[:, -1]
+    dest = jnp.where(pvalid, jnp.minimum(new_pos, l), l)
+    buf = jnp.full((b, l + 1), UNK, jnp.int32)
+    rows = jnp.arange(b)[:, None]
+    expanded = buf.at[rows, dest].set(jnp.where(pvalid, packed, UNK))[:, :l]
+    return jnp.where(
+        jnp.arange(l)[None, :] < new_len[:, None], expanded, PAD
+    )
+
+
 def levenshtein_decode_jit(
     model, variables, src_tokens, src_lengths, max_iter: int = 10,
     max_len: int = 200, eos_penalty: float = 0.0,
@@ -302,15 +340,10 @@ def levenshtein_decode_jit(
 
     def step(carry, _):
         canvas, finished = carry
-        valid = canvas != PAD
-        special = (canvas == BOS) | (canvas == EOS)
 
         # -- delete --------------------------------------------------------
         _, del_logits, _ = score(canvas)
-        keep = valid & (special | (jnp.argmax(del_logits, -1) == 0))
-        packed = _left_pack(canvas, keep)
-        pvalid = packed != PAD
-        n_tok = jnp.sum(pvalid, axis=1)  # [B]
+        packed = apply_del_words(canvas, jnp.argmax(del_logits, -1) == 1)
 
         # -- insert placeholders --------------------------------------------
         _, _, ins_logits = score(packed)  # [B, L-1, MAX_INS] per slot j,j+1
@@ -319,25 +352,7 @@ def levenshtein_decode_jit(
             # stopping (reference levenshtein_transformer.py:195-196)
             ins_logits = ins_logits.at[..., 0].add(-eos_penalty)
         n_ins = jnp.argmax(ins_logits, -1).astype(jnp.int32)
-        slot_ok = pvalid[:, :-1] & pvalid[:, 1:]  # both neighbours real
-        n_ins = jnp.where(slot_ok, n_ins, 0)
-        # clip cumulative insertions to the static budget (keep eos on canvas)
-        budget = (l - n_tok)[:, None]
-        cum = jnp.minimum(jnp.cumsum(n_ins, axis=1), budget)
-        n_ins = jnp.diff(cum, axis=1, prepend=jnp.zeros((b, 1), jnp.int32))
-        # token j moves to j + insertions in earlier slots
-        offset = jnp.concatenate(
-            [jnp.zeros((b, 1), jnp.int32), cum], axis=1
-        )  # [B, L]: insertions strictly before token j
-        new_pos = jnp.arange(l)[None, :] + offset
-        new_len = n_tok + cum[:, -1]
-        dest = jnp.where(pvalid, jnp.minimum(new_pos, l), l)
-        buf = jnp.full((b, l + 1), UNK, jnp.int32)
-        rows = jnp.arange(b)[:, None]
-        expanded = buf.at[rows, dest].set(jnp.where(pvalid, packed, UNK))[:, :l]
-        expanded = jnp.where(
-            jnp.arange(l)[None, :] < new_len[:, None], expanded, PAD
-        )
+        expanded = apply_ins_masks(packed, n_ins)
 
         # -- fill ------------------------------------------------------------
         word_logits, _, _ = score(expanded)

@@ -1390,3 +1390,72 @@ def test_lightconv_dynamicconv_match_reference_modules():
                 np.testing.assert_allclose(
                     got_dyn, ref_dyn, rtol=1e-5, atol=1e-5,
                     err_msg=f"dyn {padding} {softmax} unfold={unfold}")
+
+
+@pytest.mark.slow
+def test_levenshtein_canvas_edits_match_reference():
+    """apply_del_words / apply_ins_masks / the UNK fill vs the VERBATIM
+    reference levenshtein_utils helpers on random canvases (our fixed-width
+    re-expression; the reference grows rows to the batch max, so its output
+    is PAD-padded up to our width before comparison)."""
+    import torch
+    from reference_loader import REF, _file_module, install_fairseq_stubs
+
+    from diffnorm_tpu.models.levenshtein import (
+        BOS,
+        EOS,
+        PAD,
+        UNK,
+        apply_del_words,
+        apply_ins_masks,
+    )
+
+    install_fairseq_stubs()
+    lev = _file_module(
+        "ref_levenshtein_utils",
+        f"{REF}/fairseq/models/nat/levenshtein_utils.py")
+
+    rng = np.random.default_rng(0)
+    # wide enough that the fixed-width budget never binds: <= 13 real
+    # tokens + <= 2 insertions x 12 slots = 37 < 48
+    L = 48
+    for trial in range(40):
+        b = int(rng.integers(1, 4))
+        canvas = np.full((b, L), PAD, np.int64)
+        for i in range(b):
+            n = int(rng.integers(0, 12))
+            canvas[i, 0] = BOS
+            canvas[i, 1:1 + n] = rng.integers(4, 20, size=n)
+            canvas[i, 1 + n] = EOS
+
+        # --- delete ---------------------------------------------------
+        del_pred = rng.random((b, L)) < 0.3
+        ref_out, _, _ = lev._apply_del_words(
+            torch.from_numpy(canvas.copy()), None, None,
+            torch.from_numpy(del_pred.copy()), PAD, BOS, EOS)
+        got = np.asarray(apply_del_words(
+            jnp.asarray(canvas, jnp.int32), jnp.asarray(del_pred)))
+        np.testing.assert_array_equal(got, ref_out.numpy(), err_msg=f"del {trial}")
+
+        packed = got.astype(np.int64)
+        # --- insert placeholders ---------------------------------------
+        n_ins = rng.integers(0, 3, size=(b, L - 1)).astype(np.int64)
+        ref_ins, _ = lev._apply_ins_masks(
+            torch.from_numpy(packed.copy()), None,
+            torch.from_numpy(n_ins.copy()), PAD, UNK, EOS)
+        ref_ins = ref_ins.numpy()
+        got_ins = np.asarray(apply_ins_masks(
+            jnp.asarray(packed, jnp.int32), jnp.asarray(n_ins, jnp.int32)))
+        assert ref_ins.shape[1] <= L, "test canvas too small"
+        padded = np.full((b, L), PAD, np.int64)
+        padded[:, : ref_ins.shape[1]] = ref_ins
+        np.testing.assert_array_equal(got_ins, padded, err_msg=f"ins {trial}")
+
+        # --- fill UNKs ---------------------------------------------------
+        word_pred = rng.integers(4, 20, size=(b, L)).astype(np.int64)
+        ref_fill, _ = lev._apply_ins_words(
+            torch.from_numpy(padded.copy()), None,
+            torch.from_numpy(word_pred.copy()), None, UNK)
+        got_fill = np.where(got_ins == UNK, word_pred, got_ins)
+        np.testing.assert_array_equal(got_fill, ref_fill.numpy(),
+                                      err_msg=f"fill {trial}")

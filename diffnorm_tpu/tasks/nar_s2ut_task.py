@@ -39,17 +39,24 @@ def random_mask(target: np.ndarray, rng: np.random.Generator) -> np.ndarray:
 
 def side_mask(target: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     """Gaussian "bowl" masking (nat_s2s_task.py:36-77): mask probability is a
-    randomly-shifted/scaled Gaussian over positions, peaked mid-sequence."""
+    randomly-shifted/scaled Gaussian over positions, peaked mid-sequence.
+
+    Exact reference draw semantics: the shift upper bound is the INTEGER
+    division ``target_lens // 6`` (torch long tensor, nat_s2s_task.py:41) and
+    the peak normalization divides by the GLOBAL ``probs.max()`` over the
+    whole batch, not per row (:55). Pinned against the verbatim reference in
+    tests/test_reference_parity.py."""
     masks = (target != PAD) & (target != BOS) & (target != EOS)
-    lengths = masks.sum(axis=1).astype(np.float64)
+    int_lengths = masks.sum(axis=1)
+    lengths = int_lengths.astype(np.float64)
     bz, max_len = target.shape
-    shift = rng.random(bz) * (lengths / 6)
+    shift = rng.random(bz) * (int_lengths // 6).astype(np.float64)
     scale = rng.random(bz) * 6 + 2
     mean = lengths / 2 - shift
     std = np.maximum(lengths / scale, 1e-6)
     idx = np.arange(max_len)[None, :]
     probs = np.exp(-0.5 * ((idx - mean[:, None]) / std[:, None]) ** 2)
-    probs = probs / np.maximum(probs.max(axis=1, keepdims=True), 1e-9)
+    probs = probs / np.maximum(probs.max(), 1e-9)
     probs = np.clip(probs * (rng.random((bz, 1)) + 0.5), 0, 1)
     drawn = rng.random(target.shape) < probs
     drawn &= masks

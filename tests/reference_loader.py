@@ -1298,3 +1298,27 @@ def load_fairseq_adam():
         _cache["fairseq_adam"] = _file_module(
             "ref_fairseq_adam", f"{REF}/fairseq/optim/adam.py")
     return _cache["fairseq_adam"]
+
+
+def load_nat_s2s_task():
+    """Exec the real fairseq/tasks/nat_s2s_task.py verbatim — the NAR S2UT
+    task whose `create_gaussian_mask` / `inject_noise` draw the CMLM
+    training masks (the training-data distribution for stage 3). Stubs:
+    the dataset creator import, the task registry decorator, and the
+    SpeechToSpeechTask base class (the masking methods never touch it)."""
+    if "nat_s2s_task" not in _cache:
+        install_fairseq_stubs()
+
+        class _S2STaskBase:
+            pass
+
+        _stub("research")
+        _stub("research.TranSpeech")
+        _stub("research.TranSpeech.dataset",
+              SpeechToSpeechFastTranslateDatasetCreator=object)
+        _stub("fairseq.tasks", register_task=_identity_decorator)
+        _stub("fairseq.tasks.speech_to_speech",
+              SpeechToSpeechTask=_S2STaskBase)
+        _cache["nat_s2s_task"] = _file_module(
+            "ref_nat_s2s_task", f"{REF}/fairseq/tasks/nat_s2s_task.py")
+    return _cache["nat_s2s_task"]

@@ -1459,3 +1459,114 @@ def test_levenshtein_canvas_edits_match_reference():
         got_fill = np.where(got_ins == UNK, word_pred, got_ins)
         np.testing.assert_array_equal(got_fill, ref_fill.numpy(),
                                       err_msg=f"fill {trial}")
+
+
+# ---------------------------------------------------------------------------
+# CMLM mask-injection policies vs the REAL fairseq/tasks/nat_s2s_task.py
+# (the training-data distribution for stage 3 — nat_s2s_task.py:36-105)
+# ---------------------------------------------------------------------------
+
+
+class _QueueRng:
+    """numpy Generator stand-in that replays a shared uniform stream.
+
+    Both sides of the parity tests consume identically-shaped uniform draws
+    in the same order, so two instances seeded alike produce bit-identical
+    streams. With f32=True every draw is rounded through float32 first,
+    matching torch's in-place `uniform_()` fill of float32 tensors."""
+
+    def __init__(self, seed, f32=False):
+        self._g = np.random.default_rng(seed)
+        self._f32 = f32
+
+    def random(self, shape=None):
+        a = self._g.random(shape if shape is not None else ())
+        if self._f32:
+            a = a.astype(np.float32).astype(np.float64)
+        return a
+
+
+def _unit_targets(seed, bz=12, min_units=7, max_units=60):
+    """Padded unit targets shaped like the NAR collater output: units then
+    eos(2), pad(1) — width = max_len+1 exactly as create_gaussian_mask
+    assumes (nat_s2s_task.py:38)."""
+    rng = np.random.default_rng(seed)
+    lens = rng.integers(min_units, max_units + 1, size=bz)
+    width = int(lens.max()) + 1
+    tgt = np.full((bz, width), 1, dtype=np.int64)
+    for i, n in enumerate(lens):
+        tgt[i, :n] = rng.integers(4, 1004, size=n)
+        tgt[i, n] = 2
+    return tgt
+
+
+def test_gaussian_side_mask_matches_reference():
+    from reference_loader import load_nat_s2s_task
+
+    from diffnorm_tpu.tasks.nar_s2ut_task import side_mask
+
+    m = load_nat_s2s_task()
+    tgt = _unit_targets(3)
+    UNK = 3
+
+    # reference _side_mask (nat_s2s_task.py:66-76), with torch.rand /
+    # torch.bernoulli replaced by the shared float64 stream
+    shared = _QueueRng(17)
+    real_rand, real_bern = torch.rand, torch.bernoulli
+
+    def fake_rand(*size, **kw):
+        return torch.from_numpy(shared.random(tuple(size)))
+
+    def fake_bernoulli(p):
+        u = torch.from_numpy(shared.random(tuple(p.shape)))
+        return (u < p.double()).to(p.dtype)
+
+    t = torch.from_numpy(tgt)
+    try:
+        torch.rand, torch.bernoulli = fake_rand, fake_bernoulli
+        masks_t = (t.ne(1) & t.ne(0) & t.ne(2))
+        lens_t = masks_t.sum(1)
+        gmask = m.SpeechToSpeechFastTranslateTask.create_gaussian_mask(
+            lens_t, masks_t
+        )
+        ref_prev = t.masked_fill(gmask, UNK).numpy()
+    finally:
+        torch.rand, torch.bernoulli = real_rand, real_bern
+
+    ours = side_mask(tgt, _QueueRng(17))
+    assert (ours == UNK).sum() > 0 and (ours == UNK).any(axis=1).all()
+    np.testing.assert_array_equal(ours, ref_prev)
+
+
+def test_random_mask_matches_reference():
+    from reference_loader import load_nat_s2s_task
+
+    from diffnorm_tpu.tasks.nar_s2ut_task import random_mask
+
+    m = load_nat_s2s_task()
+    tgt = _unit_targets(5)
+
+    shared = _QueueRng(29, f32=True)
+    real_uniform = torch.Tensor.uniform_
+
+    def fake_uniform(self, a=0.0, b=1.0):
+        assert (a, b) == (0.0, 1.0)
+        self.copy_(torch.from_numpy(shared.random(tuple(self.shape))).to(self.dtype))
+        return self
+
+    task = m.SpeechToSpeechFastTranslateTask.__new__(
+        m.SpeechToSpeechFastTranslateTask
+    )
+    task.args = types.SimpleNamespace(use_side=False)
+    task.tgt_dict = types.SimpleNamespace(
+        pad=lambda: 1, bos=lambda: 0, eos=lambda: 2, unk=lambda: 3
+    )
+    try:
+        torch.Tensor.uniform_ = fake_uniform
+        ref_prev = task.inject_noise(torch.from_numpy(tgt)).numpy()
+    finally:
+        torch.Tensor.uniform_ = real_uniform
+
+    ours = random_mask(tgt, _QueueRng(29, f32=True))
+    assert (ours == 3).sum() > 0
+    np.testing.assert_array_equal(ours, ref_prev)

@@ -27,11 +27,23 @@ def _load_native():
     global _LIB
     if _LIB is not None:
         return _LIB
-    path = os.path.join(
+    csrc = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "csrc",
-        "libdiffnorm_data.so",
     )
+    path = os.path.join(csrc, "libdiffnorm_data.so")
+    # Build (or rebuild) on demand: the .so is a build artifact, not a
+    # checked-in file — a stale binary once shipped silently-wrong
+    # balanced_assignment/batch_by_size results on a fresh checkout.
+    try:
+        import subprocess
+
+        subprocess.run(
+            ["make", "-C", csrc], check=False,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+    except OSError:
+        pass
     if os.path.exists(path):
         lib = ctypes.CDLL(path)
         lib.batch_by_size.restype = ctypes.c_long

@@ -1,0 +1,41 @@
+"""Reference-name registry aliases resolve to the right implementations
+(tasks/aliases.py, criterions/aliases.py)."""
+
+import diffnorm_tpu.criterions  # noqa: F401 — populate registries
+import diffnorm_tpu.tasks  # noqa: F401
+
+from diffnorm_tpu.config import Config
+from diffnorm_tpu.registry import CRITERIONS, TASKS
+
+
+def test_task_aliases_resolve():
+    from diffnorm_tpu.tasks.ar_s2ut_task import ARS2UTTask
+    from diffnorm_tpu.tasks.sedd_task import UnitLMTask
+
+    assert TASKS.get("speech_to_speech") is ARS2UTTask
+    assert TASKS.get("language_modeling") is UnitLMTask
+    assert "dummy_mt" in TASKS and "dummy_lm" in TASKS
+
+
+def test_cross_entropy_alias_defaults_unsmoothed():
+    ce = CRITERIONS.get("cross_entropy")(Config())
+    assert ce.eps == 0.0
+    ce = CRITERIONS.get("cross_entropy")(Config(label_smoothing=0.1))
+    assert ce.eps == 0.1
+
+
+def test_nat_loss_dispatches_on_arch():
+    from diffnorm_tpu.criterions.levenshtein_loss import LevenshteinLoss
+    from diffnorm_tpu.criterions.nar_loss import NARSpeechToUnitLoss
+
+    lev = CRITERIONS.get("nat_loss")(Config(arch="levenshtein_transformer"))
+    nar = CRITERIONS.get("nat_loss")(Config(arch="cmlm_transformer"))
+    assert isinstance(lev, LevenshteinLoss)
+    assert isinstance(nar, NARSpeechToUnitLoss)
+
+
+def test_tts_criterion_aliases():
+    from diffnorm_tpu.criterions.tts_loss import FastSpeech2Loss, Tacotron2Loss
+
+    assert CRITERIONS.get("tacotron2") is Tacotron2Loss
+    assert CRITERIONS.get("fastspeech2") is FastSpeech2Loss

@@ -91,6 +91,20 @@ def main(cfg: Optional[Config] = None) -> int:
     enable_compile_cache()
     init_distributed()
     cfg = normalize_cfg(cfg)
+
+    # The reference's vocoder fine-tune tasks (fairseq/tasks/code_hifigan.py
+    # "unit_to_speech", repr_hifigan_task.py "repr_to_speech") train a GAN
+    # (alternating MPD/MSD discriminator + generator updates), which the
+    # optimizer-centric Trainer does not model — dispatch them to the GAN
+    # training CLI (cli/train_vocoder.py), keeping the fairseq-train entry
+    # point working for those task names.
+    if cfg.get("task") in ("unit_to_speech", "repr_to_speech"):
+        from diffnorm_tpu.cli import train_vocoder
+
+        if cfg.get("task") == "repr_to_speech":
+            cfg.input_type = "features"
+        return train_vocoder.main(cfg)
+
     tcfg = make_trainer_config(cfg)
 
     task = TASKS.get(cfg.get("task")).setup_task(cfg)

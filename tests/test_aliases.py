@@ -39,3 +39,22 @@ def test_tts_criterion_aliases():
 
     assert CRITERIONS.get("tacotron2") is Tacotron2Loss
     assert CRITERIONS.get("fastspeech2") is FastSpeech2Loss
+
+
+def test_unit_to_speech_task_dispatches_to_gan_cli(monkeypatch):
+    """fairseq-train --task unit_to_speech/repr_to_speech reaches the GAN
+    vocoder trainer (cli/train.py dispatch; reference code_hifigan.py /
+    repr_hifigan_task.py train a GAN the optimizer Trainer does not model)."""
+    from diffnorm_tpu.cli import train, train_vocoder
+
+    seen = {}
+
+    def fake_main(cfg):
+        seen["input_type"] = cfg.get("input_type", "code")
+        return 0
+
+    monkeypatch.setattr(train_vocoder, "main", fake_main)
+    rc = train.main(Config(task="unit_to_speech", cpu=True))
+    assert rc == 0 and seen["input_type"] == "code"
+    rc = train.main(Config(task="repr_to_speech", cpu=True))
+    assert rc == 0 and seen["input_type"] == "features"

@@ -11,3 +11,4 @@ from diffnorm_tpu.models import fastspeech2  # noqa: F401
 from diffnorm_tpu.models import tts_transformer  # noqa: F401
 from diffnorm_tpu.models import unit_lm  # noqa: F401
 from diffnorm_tpu.models import transformer_text  # noqa: F401
+from diffnorm_tpu.models import s2t_transformer  # noqa: F401

@@ -1,0 +1,108 @@
+"""Speech-to-text task (ASR / speech translation).
+
+Capability parity with fairseq/tasks/speech_to_text.py ("speech_to_text"):
+target dictionary loaded from the data config's `vocab_filename` (default
+dict.txt under the manifest root), S2T TSV manifests, teacher-forced AR
+training with eos-shifted prev_output_tokens, beam generation through the
+AR path of cli/generate.py. Pairs with --arch s2t_transformer* /
+s2t_conformer and --criterion label_smoothed_cross_entropy.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import jax
+import numpy as np
+
+from diffnorm_tpu.config import Config
+from diffnorm_tpu.data.dictionary import Dictionary
+from diffnorm_tpu.registry import register_task
+from diffnorm_tpu.tasks.ar_s2ut_task import shift_right
+from diffnorm_tpu.tasks.base import Task
+
+PAD, EOS = 1, 2
+
+
+@register_task("speech_to_text")
+class S2TTask(Task):
+    # cli/generate.py dispatches AR beam decoding on this marker
+    ar_generation = True
+
+    def __init__(self, cfg: Config):
+        super().__init__(cfg)
+        self.tgt_dict = self._load_dict(cfg)
+
+    def _load_dict(self, cfg: Config) -> Dictionary:
+        root = self.data_path(1) if cfg.get("data") else None
+        if root:
+            from diffnorm_tpu.data.s2t_dataset import load_s2t_data_cfg
+
+            data_cfg = load_s2t_data_cfg(
+                root, cfg.get("config_yaml", "config.yaml"))
+            vocab = data_cfg.get("vocab_filename", "dict.txt")
+            path = vocab if os.path.isabs(vocab) else os.path.join(root, vocab)
+            if os.path.exists(path):
+                return Dictionary.load(path)
+        # synthetic/dummy runs: a flat unit-style vocab
+        return Dictionary.unit_dictionary(cfg.get("target_code_size", 100))
+
+    def load_dataset(self, split: str, epoch: int = 1):
+        from diffnorm_tpu.data.s2t_dataset import SpeechToTextDataset
+
+        self.datasets[split] = SpeechToTextDataset.from_tsv(
+            root=self.data_path(epoch),
+            split=split,
+            tgt_dict=self.tgt_dict,
+            config_yaml=self.cfg.get("config_yaml", "config.yaml"),
+            is_train=split.startswith("train"),
+        )
+
+    def prepare_batch(self, batch: Dict[str, np.ndarray],
+                      rng: np.random.Generator):
+        if "prev_output_tokens" not in batch:
+            batch["prev_output_tokens"] = shift_right(batch["target"])
+        return batch
+
+    def init_variables(self, model, rng, batch):
+        prev = batch.get("prev_output_tokens")
+        if prev is None:
+            prev = shift_right(batch["target"])
+        r_p, r_d = jax.random.split(rng)
+        return model.init(
+            {"params": r_p, "dropout": r_d},
+            batch["src_tokens"], batch["src_lengths"],
+            prev, deterministic=True,
+        )
+
+    def dummy_batch(self, batch_size: int = 2, seq_len: int = 48) -> Dict:
+        rng = np.random.default_rng(0)
+        feat_dim = self.cfg.get("input_feat_per_channel", 80)
+        tgt_len = max(seq_len // 8, 4)
+        src = rng.normal(size=(batch_size, seq_len, feat_dim)).astype(
+            np.float32)
+        tgt = rng.integers(4, len(self.tgt_dict),
+                           size=(batch_size, tgt_len)).astype(np.int32)
+        tgt[:, -1] = EOS
+        batch = {
+            "src_tokens": src,
+            "src_lengths": np.full((batch_size,), seq_len, np.int32),
+            "target": tgt,
+            "target_lengths": np.full((batch_size,), tgt_len, np.int32),
+            "ntokens": int(batch_size * tgt_len),
+            "nsentences": batch_size,
+        }
+        return self.prepare_batch(batch, rng)
+
+
+@register_task("dummy_s2t")
+class DummyS2TTask(S2TTask):
+    def load_dataset(self, split: str, epoch: int = 1):
+        from diffnorm_tpu.tasks.dummy import _SyntheticDataset
+
+        bsz = self.cfg.get("batch_size", 4)
+        seq = self.cfg.get("tokens_per_sample", 48)
+        self.datasets[split] = _SyntheticDataset(
+            lambda: self.dummy_batch(bsz, seq), self.cfg.get("dataset_size", 8)
+        )

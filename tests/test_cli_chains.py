@@ -756,3 +756,67 @@ def test_sharded_data_rotates_per_epoch(tmp_path, caplog):
 
     rc = train.main(cfg.copy())
     assert rc == 0
+
+
+def test_s2t_transformer_train_generate_chain(tmp_path):
+    """fairseq speech_to_text workflow: S2T TSV manifests (.npy feature
+    passthrough) + vocab from the data config -> train --task
+    speech_to_text --arch s2t_transformer_xs -> fairseq-generate beam
+    decode + BLEU. Memorization gate: 4 distinguishable utterances must
+    decode back to their transcripts (teacher-forced training and the
+    KV-cache beam must agree through the speech encoder)."""
+    from diffnorm_tpu.cli import train
+    from diffnorm_tpu.cli import generate as gen_cli
+    from diffnorm_tpu.data.s2t_dataset import write_s2t_manifest
+
+    rng = np.random.default_rng(11)
+    root = tmp_path / "s2t_data"
+    root.mkdir()
+    (root / "dict.txt").write_text(
+        "\n".join(f"w{i} {100 - i}" for i in range(10)) + "\n")
+    (root / "config.yaml").write_text("vocab_filename: dict.txt\n")
+    rows = []
+    for i in range(4):
+        feat = rng.normal(size=(24, 16)).astype(np.float32)
+        np.save(root / f"utt{i}.npy", feat)
+        text = " ".join(rng.choice([f"w{k}" for k in range(10)],
+                                   size=int(rng.integers(3, 6))))
+        rows.append(dict(id=f"utt{i}", audio=f"utt{i}.npy",
+                         n_frames=24, tgt_text=text))
+    for split in ("train", "dev", "test"):
+        write_s2t_manifest(str(root / f"{split}.tsv"), rows)
+
+    cfg = dict(
+        task="speech_to_text", arch="s2t_transformer_xs",
+        criterion="label_smoothed_cross_entropy", data=str(root),
+        encoder_embed_dim=32, encoder_ffn_embed_dim=64, encoder_layers=2,
+        decoder_embed_dim=32, decoder_ffn_embed_dim=64, decoder_layers=2,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+        conv_channels=32, label_smoothing=0.1, dropout=0.0,
+        train_subset="train", valid_subset="dev",
+    )
+    save_dir = str(tmp_path / "ckpt_s2t")
+    rc = train.main(Config(
+        save_dir=save_dir, cpu=True, batch_size=4, lr=5e-3,
+        warmup_updates=10, log_interval=50, max_updates=200,
+        keep_last_epochs=1, keep_best_checkpoints=1, seed=3, **cfg,
+    ))
+    assert rc == 0
+    ckpts = sorted(d for d in os.listdir(save_dir)
+                   if d.startswith("step_") and not d.endswith(".json")
+                   and "tmp" not in d)
+    assert ckpts
+
+    results = str(tmp_path / "results_s2t")
+    rc = gen_cli.main(Config(
+        path=os.path.join(save_dir, ckpts[-1]), results_path=results,
+        cpu=True, batch_size=4, gen_subset="test", beam=2,
+        max_target_positions=16, **cfg,
+    ))
+    assert rc == 0
+    txt = open(os.path.join(results, "generate-test.txt")).read()
+    assert "H-" in txt and "T-" in txt and "BLEU" in txt
+    import re
+
+    bleu = float(re.search(r"BLEU4? = ([0-9.]+)", txt).group(1))
+    assert bleu > 50.0, f"S2T memorization gate failed: BLEU {bleu}\n{txt}"

@@ -1,0 +1,80 @@
+"""Speech-to-text family (models/s2t_transformer.py, tasks/s2t_task.py):
+forward shapes for both encoder types, arch registry stamps, dataset
+round trip. The full train->generate chain is slow-marked in
+test_cli_chains.py."""
+
+import numpy as np
+
+from diffnorm_tpu.config import Config
+from diffnorm_tpu.registry import ARCHITECTURES, build_model
+
+
+def _forward(arch, **over):
+    import jax
+
+    cfg = Config(arch=arch, vocab_size=20, encoder_embed_dim=16,
+                 encoder_ffn_embed_dim=32, encoder_layers=2,
+                 decoder_embed_dim=16, decoder_ffn_embed_dim=32,
+                 decoder_layers=2, encoder_attention_heads=2,
+                 decoder_attention_heads=2, conv_channels=16, **over)
+    model = build_model(arch, cfg)
+    rng = np.random.default_rng(0)
+    src = rng.normal(size=(2, 24, 8)).astype(np.float32)
+    lengths = np.asarray([24, 17], np.int32)
+    prev = rng.integers(0, 20, size=(2, 6)).astype(np.int32)
+    variables = model.init(jax.random.PRNGKey(0), src, lengths, prev,
+                           deterministic=True)
+    out = model.apply(variables, src, lengths, prev, deterministic=True)
+    return out["logits"]
+
+
+def test_s2t_transformer_forward_shape():
+    logits = _forward("s2t_transformer_xs")
+    assert logits.shape == (2, 6, 20)
+
+
+def test_s2t_conformer_forward_shape():
+    logits = _forward("s2t_conformer")
+    assert logits.shape == (2, 6, 20)
+
+
+def test_s2t_archs_registered():
+    for arch in ("s2t_transformer", "s2t_transformer_s",
+                 "s2t_transformer_xs", "s2t_conformer"):
+        assert arch in ARCHITECTURES, arch
+    # reference default stamps (s2t_transformer.py:459-514)
+    cfg = Config(arch="s2t_transformer")
+    ARCHITECTURES.get("s2t_transformer")[1](cfg)
+    assert cfg.get("encoder_layers") == 12 and cfg.get("decoder_layers") == 6
+    cfg_s = Config(arch="s2t_transformer_s")
+    ARCHITECTURES.get("s2t_transformer_s")[1](cfg_s)
+    assert cfg_s.get("encoder_embed_dim") == 256
+    assert cfg_s.get("encoder_ffn_embed_dim") == 2048
+
+
+def test_s2t_dataset_round_trip(tmp_path):
+    from diffnorm_tpu.data.dictionary import Dictionary
+    from diffnorm_tpu.data.s2t_dataset import (
+        SpeechToTextDataset,
+        write_s2t_manifest,
+    )
+
+    rng = np.random.default_rng(0)
+    (tmp_path / "dict.txt").write_text("a 3\nb 2\nc 1\n")
+    rows = []
+    for i in range(3):
+        np.save(tmp_path / f"u{i}.npy",
+                rng.normal(size=(10 + i, 4)).astype(np.float32))
+        rows.append(dict(id=f"u{i}", audio=f"u{i}.npy", n_frames=10 + i,
+                         tgt_text="a b c"))
+    write_s2t_manifest(str(tmp_path / "train.tsv"), rows)
+    d = Dictionary.load(str(tmp_path / "dict.txt"))
+    ds = SpeechToTextDataset.from_tsv(str(tmp_path), "train", d,
+                                      is_train=False)
+    assert len(ds) == 3
+    batch = ds.collater([ds[i] for i in range(3)])
+    assert batch["src_tokens"].shape[0] == 3
+    assert batch["src_tokens"].shape[2] == 4
+    # "a b c" + eos = ids [4, 5, 6, 2]
+    row = batch["target"][np.argmax(batch["id"] == 0)]
+    assert list(row[:4]) == [4, 5, 6, 2]

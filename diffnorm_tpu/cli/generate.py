@@ -85,7 +85,8 @@ def _tts_generate(cfg, task, model, split) -> int:
 
         def synthesize(batch, rng):
             return [e["feature"] for e in
-                    gen.generate(batch["src_tokens"], rng=rng)]
+                    gen.generate(batch["src_tokens"], rng=rng,
+                                 src_lengths=batch.get("src_lengths"))]
 
     vocode = None
     if cfg.get("vocoder"):
@@ -177,7 +178,9 @@ def main(cfg: Optional[Config] = None) -> int:
 
     from diffnorm_tpu.tasks.tts_task import TextToSpeechTask
 
-    if isinstance(task, TextToSpeechTask):
+    if isinstance(task, TextToSpeechTask) or getattr(
+            task, "tts_generation", False):
+        # text->mel TTS and speech->mel s2spect both synthesize features
         return _tts_generate(cfg, task, model, split)
 
     dataset = task.dataset(split)
@@ -276,6 +279,30 @@ def main(cfg: Optional[Config] = None) -> int:
                   - jnp.log(float(len(lps))))
             tok_lp = jnp.take_along_axis(lp, target[..., None], axis=-1)[..., 0]
             return target, tok_lp, jnp.ones((target.shape[0],), jnp.int32)
+    elif getattr(task, "ctc_generation", False):
+        # greedy best-path CTC decoding (reference ctc.py valid-step
+        # viterbi / examples.speech_recognition W2lViterbiDecoder): argmax
+        # per frame, collapse repeats, strip blanks. Non-emission frames
+        # become pad — the output formatter drops pad/bos/eos, so order is
+        # preserved without a left-pack. Ensembles average frame log-probs.
+        def _decode(v, src, lengths):
+            lps, mask = [], None
+            for vv in (v if isinstance(v, list) else [v]):
+                out = model.module.apply(vv, src, lengths,
+                                         deterministic=True)
+                lps.append(jax.nn.log_softmax(
+                    out["logits"].astype(jnp.float32), axis=-1))
+                mask = out["mask"]
+            lp = (lps[0] if len(lps) == 1 else
+                  jax.nn.logsumexp(jnp.stack(lps), axis=0)
+                  - jnp.log(float(len(lps))))
+            pred = jnp.argmax(lp, axis=-1)
+            prev = jnp.pad(pred[:, :-1], ((0, 0), (1, 0)),
+                           constant_values=0)
+            emit = (pred != 0) & (pred != prev) & mask
+            tokens = jnp.where(emit, pred, PAD)
+            scores = jnp.max(lp, axis=-1)
+            return tokens, scores, jnp.ones((tokens.shape[0],), jnp.int32)
     elif is_ar:
         from diffnorm_tpu.generate.beam_search import ar_generate
 

@@ -47,3 +47,8 @@ class NatLoss:
 
 CRITERIONS.register("tacotron2", Tacotron2Loss)
 CRITERIONS.register("fastspeech2", FastSpeech2Loss)
+# speech_to_spectrogram (speech_to_speech_criterion.py:333) IS the
+# Tacotron2 criterion applied to the s2spect model (same L1+MSE+eos-BCE
+# contract); the 2pass variant belongs to the UnitY two-pass decoder,
+# which is out of DiffNorm scope (documented in COMPONENTS.md)
+CRITERIONS.register("speech_to_spectrogram", Tacotron2Loss)

@@ -89,11 +89,24 @@ class SpeechToUnitDataset:
         if concat is not None:
             indices = concat.find_indices(
                 index, self.src_n_frames, len(self), rng=self._rng)
+        # use_audio_input (reference data_cfg.py:116-119): feed the raw
+        # waveform as [T, 1] instead of fbank features (CTC/wav2vec-style
+        # fine-tune); feature transforms don't apply to waveforms
+        raw_audio = bool(self.data_cfg.get("use_audio_input", False))
         feat = np.concatenate([
-            np.asarray(get_features_or_waveform(self.src_audio_paths[i]),
+            np.asarray(get_features_or_waveform(self.src_audio_paths[i],
+                                                need_waveform=raw_audio),
                        dtype=np.float32)
             for i in indices
         ], axis=0)
+        if raw_audio:
+            if feat.ndim == 1:
+                feat = feat[:, None]
+            return {
+                "index": index,
+                "source": feat,
+                "target": self.tgt_units[index],
+            }
         if len(indices) == 1:
             target = self.tgt_units[index]
         else:

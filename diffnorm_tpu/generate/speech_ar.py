@@ -35,6 +35,7 @@ def ar_speech_generate(
     eos_prob_threshold: float = 0.5,
     rng=None,
     gcmvn_stats: Optional[Dict] = None,
+    src_lengths=None,
 ):
     """Returns (feat [B, max_iter*k, raw_dim], out_lens [B], eos_prob
     [B, max_iter*k]) with feat already postnet-refined and gcmvn-denormalized
@@ -51,8 +52,12 @@ def ar_speech_generate(
     k = module.n_frames_per_step
     raw_dim = out_dim // k
 
+    # speech-input encoders (s2spect) need the true source lengths; the
+    # text-input TTS encoder derives its mask from the pad id
+    enc_args = ((jnp.asarray(src_tokens),) if src_lengths is None
+                else (jnp.asarray(src_tokens), jnp.asarray(src_lengths)))
     enc, enc_mask = module.apply(
-        variables, jnp.asarray(src_tokens), method="encode",
+        variables, *enc_args, method="encode",
         rngs={"dropout": jax.random.fold_in(rng, 0)},
     )
     b = enc.shape[0]
@@ -121,19 +126,20 @@ class ARSpeechGenerator:
         self.vocoder = vocoder
         self.gcmvn_stats = gcmvn_stats
         self._fn = jax.jit(
-            lambda v, toks, rng: ar_speech_generate(
+            lambda v, toks, rng, lens=None: ar_speech_generate(
                 model, v, toks, max_iter=max_iter,
                 eos_prob_threshold=eos_prob_threshold, rng=rng,
-                gcmvn_stats=gcmvn_stats,
+                gcmvn_stats=gcmvn_stats, src_lengths=lens,
             )
         )
 
-    def generate(self, src_tokens, rng=None):
+    def generate(self, src_tokens, rng=None, src_lengths=None):
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        feats, out_lens, eos_prob = self._fn(
-            self.variables, jnp.asarray(src_tokens), rng
-        )
+        args = (jnp.asarray(src_tokens), rng)
+        if src_lengths is not None:
+            args = args + (jnp.asarray(src_lengths),)
+        feats, out_lens, eos_prob = self._fn(self.variables, *args)
         feats, out_lens = np.asarray(feats), np.asarray(out_lens)
         eos_prob = np.asarray(eos_prob)
         finalized = []

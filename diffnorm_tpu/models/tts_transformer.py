@@ -95,6 +95,39 @@ class TacotronPostnet(nn.Module):
         return x
 
 
+def _setup_tts_decoder(mod):
+    """Create the Tacotron-style AR spectrogram-decoder fields on `mod`
+    (called inside setup; attribute/param names are shared between the
+    text-input TTS transformer and the speech-input s2spect model)."""
+    mod.dec_dropout = nn.Dropout(mod.dropout)
+    mod.dec_prenet = TacotronPrenet(
+        n_layers=mod.prenet_layers, n_units=mod.prenet_dim,
+        dropout=mod.prenet_dropout, dtype=mod.dtype, name="dec_prenet",
+    )
+    mod.dec_prenet_proj = nn.Dense(mod.dim, dtype=mod.dtype,
+                                   name="dec_prenet_proj")
+    mod.dec_pos_alpha = mod.param(
+        "dec_pos_alpha", nn.initializers.ones, (1,)
+    )
+    mod.dec_layers = [
+        # keyword dtype: ARDecoderLayer grew attention_dropout/
+        # activation_dropout fields ahead of dtype (a positional dtype
+        # would land in attention_dropout and crash the dropout check)
+        ARDecoderLayer(mod.dim, mod.ffn_dim, mod.heads, mod.dropout,
+                       dtype=mod.dtype, name=f"dec_layer_{i}")
+        for i in range(mod.decoder_layers)
+    ]
+    mod.dec_norm = nn.LayerNorm(dtype=mod.dtype, name="dec_norm")
+    mod.feat_proj = nn.Dense(mod.out_dim, dtype=mod.dtype,
+                             name="feat_proj")
+    mod.eos_proj = nn.Dense(1, dtype=mod.dtype, name="eos_proj")
+    mod.postnet = TacotronPostnet(
+        out_dim=mod.out_dim, channels=mod.postnet_dim,
+        kernel=mod.postnet_kernel, n_layers=mod.postnet_layers,
+        dropout=mod.postnet_dropout, dtype=mod.dtype, name="postnet",
+    )
+
+
 class TTSTransformerModule(nn.Module):
     vocab_size: int
     dim: int = 512
@@ -145,34 +178,7 @@ class TTSTransformerModule(nn.Module):
         )
         self.enc_conv_dropout = nn.Dropout(self.conv_dropout)
         self.enc_dropout = nn.Dropout(self.dropout)
-        self.dec_dropout = nn.Dropout(self.dropout)
-
-        self.dec_prenet = TacotronPrenet(
-            n_layers=self.prenet_layers, n_units=self.prenet_dim,
-            dropout=self.prenet_dropout, dtype=self.dtype, name="dec_prenet",
-        )
-        self.dec_prenet_proj = nn.Dense(self.dim, dtype=self.dtype,
-                                        name="dec_prenet_proj")
-        self.dec_pos_alpha = self.param(
-            "dec_pos_alpha", nn.initializers.ones, (1,)
-        )
-        self.dec_layers = [
-            # keyword dtype: ARDecoderLayer grew attention_dropout/
-            # activation_dropout fields ahead of dtype (a positional dtype
-            # would land in attention_dropout and crash the dropout check)
-            ARDecoderLayer(self.dim, self.ffn_dim, self.heads, self.dropout,
-                           dtype=self.dtype, name=f"dec_layer_{i}")
-            for i in range(self.decoder_layers)
-        ]
-        self.dec_norm = nn.LayerNorm(dtype=self.dtype, name="dec_norm")
-        self.feat_proj = nn.Dense(self.out_dim, dtype=self.dtype,
-                                  name="feat_proj")
-        self.eos_proj = nn.Dense(1, dtype=self.dtype, name="eos_proj")
-        self.postnet = TacotronPostnet(
-            out_dim=self.out_dim, channels=self.postnet_dim,
-            kernel=self.postnet_kernel, n_layers=self.postnet_layers,
-            dropout=self.postnet_dropout, dtype=self.dtype, name="postnet",
-        )
+        _setup_tts_decoder(self)
 
     # ------------------------------------------------------------- encoder
     def encode(self, src_tokens, deterministic: bool = True):

@@ -11,5 +11,6 @@ from diffnorm_tpu.tasks import dummy  # noqa: F401
 from diffnorm_tpu.tasks import tts_task  # noqa: F401
 from diffnorm_tpu.tasks import translation_task  # noqa: F401
 from diffnorm_tpu.tasks import s2t_task  # noqa: F401
+from diffnorm_tpu.tasks import s2spect_task  # noqa: F401
 from diffnorm_tpu.tasks import aliases  # noqa: F401
 from diffnorm_tpu.tasks.base import Task  # noqa: F401

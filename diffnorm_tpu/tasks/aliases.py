@@ -15,12 +15,29 @@ Registered so `--task` flags from reference workflows resolve unchanged:
 
 from __future__ import annotations
 
-from diffnorm_tpu.registry import TASKS
+from diffnorm_tpu.registry import TASKS, register_task
 from diffnorm_tpu.tasks.ar_s2ut_task import ARS2UTTask
+from diffnorm_tpu.tasks.s2spect_task import S2SpectTask
 from diffnorm_tpu.tasks.sedd_task import DummyUnitLMTask, UnitLMTask
 from diffnorm_tpu.tasks.translation_task import DummyTranslationTask
 
-TASKS.register("speech_to_speech", ARS2UTTask)
+
+@register_task("speech_to_speech")
+class SpeechToSpeechDispatch:
+    """The reference task switches modality on --target-is-code
+    (speech_to_speech.py add_args: store_true, default False): units ->
+    the AR S2UT task, otherwise the speech-to-spectrogram task."""
+
+    def __new__(cls, cfg):
+        if cfg.get("target_is_code", False):
+            return ARS2UTTask(cfg)
+        return S2SpectTask(cfg)
+
+    @classmethod
+    def setup_task(cls, cfg):
+        return cls(cfg)
+
+
 TASKS.register("language_modeling", UnitLMTask)
 TASKS.register("dummy_mt", DummyTranslationTask)
 TASKS.register("dummy_lm", DummyUnitLMTask)

@@ -106,3 +106,53 @@ class DummyS2TTask(S2TTask):
         self.datasets[split] = _SyntheticDataset(
             lambda: self.dummy_batch(bsz, seq), self.cfg.get("dataset_size", 8)
         )
+
+
+@register_task("audio_finetuning")
+class AudioFinetuningTask(S2TTask):
+    """CTC ASR fine-tune (reference fairseq/tasks/audio_finetuning.py):
+    raw-waveform inputs (data config `use_audio_input: true`), letter/char
+    targets from the vocab file, `ctc` criterion over hubert_ctc frame
+    logits. cli/generate.py dispatches greedy best-path CTC decoding on
+    the ctc_generation marker."""
+
+    ar_generation = False
+    ctc_generation = True
+
+    def prepare_batch(self, batch, rng):
+        return batch
+
+    def init_variables(self, model, rng, batch):
+        r_p, r_d = jax.random.split(rng)
+        return model.init(
+            {"params": r_p, "dropout": r_d},
+            batch["src_tokens"], batch["src_lengths"],
+            deterministic=True,
+        )
+
+    def dummy_batch(self, batch_size: int = 2, seq_len: int = 2000) -> Dict:
+        rng = np.random.default_rng(0)
+        tgt_len = 4
+        src = rng.normal(size=(batch_size, seq_len, 1)).astype(np.float32)
+        tgt = rng.integers(4, len(self.tgt_dict),
+                           size=(batch_size, tgt_len)).astype(np.int32)
+        return {
+            "src_tokens": src,
+            "src_lengths": np.full((batch_size,), seq_len, np.int32),
+            "target": tgt,
+            "target_lengths": np.full((batch_size,), tgt_len, np.int32),
+            "ntokens": int(batch_size * tgt_len),
+            "nsentences": batch_size,
+        }
+
+
+@register_task("dummy_ctc")
+class DummyCTCTask(AudioFinetuningTask):
+    def load_dataset(self, split: str, epoch: int = 1):
+        from diffnorm_tpu.tasks.dummy import _SyntheticDataset
+
+        bsz = self.cfg.get("batch_size", 2)
+        seq = self.cfg.get("tokens_per_sample", 2000)
+        self.datasets[split] = _SyntheticDataset(
+            lambda: self.dummy_batch(bsz, seq), self.cfg.get("dataset_size", 4)
+        )

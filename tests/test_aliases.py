@@ -10,9 +10,16 @@ from diffnorm_tpu.registry import CRITERIONS, TASKS
 
 def test_task_aliases_resolve():
     from diffnorm_tpu.tasks.ar_s2ut_task import ARS2UTTask
+    from diffnorm_tpu.tasks.s2spect_task import S2SpectTask
     from diffnorm_tpu.tasks.sedd_task import UnitLMTask
 
-    assert TASKS.get("speech_to_speech") is ARS2UTTask
+    # speech_to_speech dispatches on --target-is-code (reference
+    # speech_to_speech.py add_args: default False = spectrogram target)
+    disp = TASKS.get("speech_to_speech")
+    assert isinstance(
+        disp.setup_task(Config(target_is_code=True, target_code_size=10)),
+        ARS2UTTask)
+    assert isinstance(disp.setup_task(Config()), S2SpectTask)
     assert TASKS.get("language_modeling") is UnitLMTask
     assert "dummy_mt" in TASKS and "dummy_lm" in TASKS
 

@@ -820,3 +820,122 @@ def test_s2t_transformer_train_generate_chain(tmp_path):
 
     bleu = float(re.search(r"BLEU4? = ([0-9.]+)", txt).group(1))
     assert bleu > 50.0, f"S2T memorization gate failed: BLEU {bleu}\n{txt}"
+
+
+def test_hubert_ctc_train_generate_chain(tmp_path):
+    """fairseq audio_finetuning workflow: raw-waveform inputs
+    (use_audio_input: true), letter vocab, --arch hubert_ctc --criterion
+    ctc -> greedy best-path CTC decode through fairseq-generate.
+    Memorization gate on 4 utterances."""
+    from diffnorm_tpu.cli import train
+    from diffnorm_tpu.cli import generate as gen_cli
+    from diffnorm_tpu.data.s2t_dataset import write_s2t_manifest
+
+    rng = np.random.default_rng(23)
+    root = tmp_path / "ctc_data"
+    root.mkdir()
+    (root / "dict.txt").write_text(
+        "\n".join(f"l{i} {50 - i}" for i in range(8)) + "\n")
+    (root / "config.yaml").write_text(
+        "vocab_filename: dict.txt\nuse_audio_input: true\n")
+    rows = []
+    for i in range(4):
+        wav = rng.normal(size=2500).astype(np.float32)
+        np.save(root / f"utt{i}.npy", wav)
+        text = " ".join(rng.choice([f"l{k}" for k in range(8)], size=5))
+        rows.append(dict(id=f"utt{i}", audio=f"utt{i}.npy",
+                         n_frames=2500, tgt_text=text))
+    for split in ("train", "dev", "test"):
+        write_s2t_manifest(str(root / f"{split}.tsv"), rows)
+
+    cfg = dict(
+        task="audio_finetuning", arch="hubert_ctc", criterion="ctc",
+        data=str(root), encoder_embed_dim=32, encoder_ffn_embed_dim=64,
+        encoder_layers=2, encoder_attention_heads=2,
+        conv_feature_layers="[(16,10,5),(16,8,4),(16,4,2)]",
+        train_subset="train", valid_subset="dev",
+    )
+    save_dir = str(tmp_path / "ckpt_ctc")
+    rc = train.main(Config(
+        save_dir=save_dir, cpu=True, batch_size=4, lr=3e-3,
+        warmup_updates=10, log_interval=100, max_updates=300,
+        keep_last_epochs=1, keep_best_checkpoints=1, seed=3, **cfg,
+    ))
+    assert rc == 0
+    ckpts = sorted(d for d in os.listdir(save_dir)
+                   if d.startswith("step_") and not d.endswith(".json")
+                   and "tmp" not in d)
+    assert ckpts
+
+    results = str(tmp_path / "results_ctc")
+    rc = gen_cli.main(Config(
+        path=os.path.join(save_dir, ckpts[-1]), results_path=results,
+        cpu=True, batch_size=4, gen_subset="test", **cfg,
+    ))
+    assert rc == 0
+    txt = open(os.path.join(results, "generate-test.txt")).read()
+    assert "H-" in txt and "T-" in txt
+    import re
+
+    bleu = float(re.search(r"BLEU4? = ([0-9.]+)", txt).group(1))
+    assert bleu > 50.0, f"CTC memorization gate failed: BLEU {bleu}\n{txt}"
+
+
+def test_s2spect_train_generate_chain(tmp_path):
+    """speech-to-spectrogram S2ST workflow (reference --task
+    speech_to_speech WITHOUT --target-is-code): S2S manifests with audio on
+    both sides -> train s2spect_transformer_fisher with the
+    speech_to_spectrogram criterion -> fairseq-generate synthesizes mel
+    features through the AR rollout (TTS branch) and writes {id}.npy."""
+    from diffnorm_tpu.cli import train
+    from diffnorm_tpu.cli import generate as gen_cli
+    from diffnorm_tpu.data.manifest import write_translation_manifest
+
+    rng = np.random.default_rng(31)
+    root = tmp_path / "s2spect_data"
+    root.mkdir()
+    rows = []
+    for i in range(3):
+        np.save(root / f"src{i}.npy",
+                rng.normal(size=(20, 8)).astype(np.float32))
+        np.save(root / f"tgt{i}.npy",
+                rng.normal(size=(10, 12)).astype(np.float32))
+        rows.append(dict(id=f"u{i}", src_audio=f"src{i}.npy",
+                         src_n_frames=20, tgt_audio=f"tgt{i}.npy",
+                         tgt_n_frames=10))
+    for split in ("train", "dev", "test"):
+        write_translation_manifest(str(root / f"{split}.tsv"), rows)
+
+    cfg = dict(
+        task="speech_to_speech", arch="s2spect_transformer_fisher",
+        criterion="speech_to_spectrogram", data=str(root),
+        encoder_embed_dim=16, encoder_ffn_embed_dim=32, encoder_layers=1,
+        decoder_embed_dim=16, decoder_ffn_embed_dim=32,
+        decoder_transformer_layers=1, encoder_attention_heads=2,
+        decoder_attention_heads=2, conv_channels=16, prenet_dim=8,
+        postnet_conv_dim=8, postnet_layers=2, output_frame_dim=12,
+        train_subset="train", valid_subset="dev",
+    )
+    save_dir = str(tmp_path / "ckpt_s2spect")
+    rc = train.main(Config(
+        save_dir=save_dir, cpu=True, batch_size=2, lr=1e-3,
+        warmup_updates=2, log_interval=1, max_updates=2,
+        keep_last_epochs=1, keep_best_checkpoints=1, seed=3, **cfg,
+    ))
+    assert rc == 0
+    ckpts = sorted(d for d in os.listdir(save_dir)
+                   if d.startswith("step_") and not d.endswith(".json")
+                   and "tmp" not in d)
+    assert ckpts
+
+    results = str(tmp_path / "results_s2spect")
+    rc = gen_cli.main(Config(
+        path=os.path.join(save_dir, ckpts[-1]), results_path=results,
+        cpu=True, batch_size=2, gen_subset="test",
+        max_target_positions=16, **cfg,
+    ))
+    assert rc == 0
+    outs = [f for f in os.listdir(results) if f.endswith(".npy")]
+    assert len(outs) == 3, os.listdir(results)
+    mel = np.load(os.path.join(results, outs[0]))
+    assert mel.ndim == 2 and mel.shape[1] == 12

@@ -78,3 +78,36 @@ def test_s2t_dataset_round_trip(tmp_path):
     # "a b c" + eos = ids [4, 5, 6, 2]
     row = batch["target"][np.argmax(batch["id"] == 0)]
     assert list(row[:4]) == [4, 5, 6, 2]
+
+
+def test_hubert_ctc_forward_and_loss():
+    """hubert_ctc frame logits + ctc criterion finite loss on a synthetic
+    batch (reference hubert_asr.py + criterions/ctc.py)."""
+    import jax
+
+    from diffnorm_tpu.registry import CRITERIONS
+
+    cfg = Config(arch="hubert_ctc", vocab_size=12, encoder_embed_dim=32,
+                 encoder_ffn_embed_dim=64, encoder_layers=2,
+                 encoder_attention_heads=2)
+    model = build_model("hubert_ctc", cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "src_tokens": rng.normal(size=(2, 2000, 1)).astype(np.float32),
+        "src_lengths": np.asarray([2000, 1500], np.int32),
+        "target": np.asarray([[4, 5, 6], [7, 8, 1]], np.int32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch["src_tokens"],
+                           batch["src_lengths"], deterministic=True)
+    out = model.apply(variables, batch["src_tokens"], batch["src_lengths"],
+                      deterministic=True)
+    from diffnorm_tpu.models.hubert import frames_for_samples
+
+    assert out["logits"].shape == (2, frames_for_samples(2000), 12)
+    assert int(out["logit_lengths"][1]) == frames_for_samples(1500)
+
+    crit = CRITERIONS.get("ctc")(cfg)
+    loss, metrics, _ = crit(model, variables, batch, jax.random.PRNGKey(1),
+                            train=False)
+    assert np.isfinite(float(loss))
+    assert metrics["sample_size"] == 5  # pad-1 excluded

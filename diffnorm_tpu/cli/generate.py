@@ -425,6 +425,14 @@ def main(cfg: Optional[Config] = None) -> int:
     # of the native token-level BLEU4 counters
     use_sacrebleu = (cfg.get("scoring") == "sacrebleu"
                      or bool(cfg.get("sacrebleu")))
+    # --scoring wer (reference fairseq/scoring/wer.py — the ASR metric):
+    # corpus word edit distance / reference words over the D- text
+    use_wer = cfg.get("scoring") == "wer"
+    wer = None
+    if use_wer:
+        from diffnorm_tpu.eval.wer import WerAccumulator
+
+        wer = WerAccumulator()
     sb_hyps: list = []
     sb_refs: list = []
     bleu = BleuAccumulator()
@@ -508,6 +516,8 @@ def main(cfg: Optional[Config] = None) -> int:
             if use_sacrebleu:
                 sb_hyps.append(hyp_d)
                 sb_refs.append(ref)
+            elif use_wer:
+                wer.add(ref, hyp_d)
             else:
                 bleu.add(ref.split(), hyp_d.split())
             n_sent += 1
@@ -521,6 +531,8 @@ def main(cfg: Optional[Config] = None) -> int:
         import sacrebleu
 
         score_str = str(sacrebleu.corpus_bleu(sb_hyps, [sb_refs]))
+    elif use_wer:
+        score_str = wer.result_string()
     else:
         score_str = bleu.result_string()
     logger.info("Generate %s with beam=%d: %s", split, beam, score_str)

@@ -323,3 +323,33 @@ def test_preprocess_cli_emits_fairseq_mmap(tmp_path):
     theirs = ref.MMapIndexedDataset(prefix)
     d = Dictionary.load(os.path.join(dest, "dict.src.txt"))
     assert len(theirs) == 2 and int(theirs[0][-1]) == d.eos()
+
+
+def test_wer_accumulator_matches_bruteforce():
+    """eval/wer.py (reference fairseq/scoring/wer.py semantics): corpus
+    WER = summed word edit distance / summed reference words, native
+    csrc:edit_distance_batch vs a brute-force python DP."""
+    from diffnorm_tpu.eval.wer import WerAccumulator
+
+    def dp(a, b):
+        prev = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            cur = [i] + [0] * len(b)
+            for j in range(1, len(b) + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[-1]
+
+    rng = np.random.default_rng(0)
+    words = [f"w{i}" for i in range(12)]
+    acc = WerAccumulator()
+    dist = ref_len = 0
+    for _ in range(20):
+        ref = list(rng.choice(words, size=int(rng.integers(1, 9))))
+        hyp = list(rng.choice(words, size=int(rng.integers(0, 9))))
+        acc.add(" ".join(ref), " ".join(hyp))
+        dist += dp(ref, hyp)
+        ref_len += len(ref)
+    assert acc.distance == dist and acc.ref_length == ref_len
+    assert abs(acc.score() - 100.0 * dist / ref_len) < 1e-9

@@ -35,7 +35,7 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--type", required=True,
                    choices=["vae", "diffusion", "nar", "hifigan", "hubert",
-                            "gan_discriminators"])
+                            "hubert_ctc", "gan_discriminators"])
     p.add_argument("--input", required=True, help="torch checkpoint path")
     p.add_argument("--output", required=True,
                    help="orbax checkpoint directory to create")
@@ -54,6 +54,9 @@ def main(argv=None) -> int:
             cw._load_torch_state(args.input))}
     elif args.type == "nar":
         variables = cw.convert_nar_state(cw._load_torch_state(args.input))
+    elif args.type == "hubert_ctc":
+        variables = cw.convert_hubert_ctc_checkpoint(
+            args.input, layers=args.hubert_layers)
     elif args.type == "hifigan":
         assert args.vocoder_cfg, "--vocoder-cfg required for hifigan"
         with open(args.vocoder_cfg) as f:

@@ -138,6 +138,29 @@ def convert_hubert_checkpoint(path: str, layers: int = 12) -> Dict:
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("model", ckpt)
+    return convert_hubert_state(sd, layers=layers)
+
+
+def convert_hubert_ctc_checkpoint(path: str, layers: int = 12) -> Dict:
+    """fairseq CTC-fine-tuned checkpoint (hubert_asr.py HubertCtc layout:
+    `w2v_encoder.w2v_model.*` backbone + `w2v_encoder.proj`) ->
+    HubertCTCModule variables (models/hubert.py)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt)
+    sd = {k.removeprefix("w2v_encoder."): v for k, v in sd.items()}
+    inner = {k.removeprefix("w2v_model."): v
+             for k, v in sd.items() if k.startswith("w2v_model.")}
+    enc = convert_hubert_state(inner, layers=layers)
+    return {"params": {
+        "w2v_model": enc["params"],
+        "proj": {"kernel": dense_w(sd["proj.weight"]),
+                 "bias": _t(sd["proj.bias"])},
+    }}
+
+
+def convert_hubert_state(sd: Dict, layers: int = 12) -> Dict:
     sd = {k.removeprefix("encoder."): v for k, v in sd.items()} if all(
         k.startswith("encoder.") for k in sd
     ) else sd

@@ -135,3 +135,38 @@ def test_hubert_conversion_matches_torch(tmp_path):
     ))
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_hubert_ctc_conversion_matches_torch(tmp_path):
+    """hubert_asr-layout CTC checkpoint (w2v_encoder.w2v_model.* backbone +
+    w2v_encoder.proj) -> HubertCTCModule: frame logits must match the torch
+    forward + linear head."""
+    from diffnorm_tpu.models.hubert import HubertCTCModule
+    from diffnorm_tpu.utils.convert_weights import (
+        convert_hubert_ctc_checkpoint,
+    )
+
+    gen = np.random.default_rng(1)
+    sd = _make_state_dict(gen)
+    vocab = 7
+    proj_w = gen.normal(scale=0.05, size=(vocab, 768)).astype(np.float32)
+    proj_b = gen.normal(scale=0.05, size=(vocab,)).astype(np.float32)
+    ctc_sd = {f"w2v_encoder.w2v_model.{k}": v for k, v in sd.items()}
+    ctc_sd["w2v_encoder.proj.weight"] = torch.from_numpy(proj_w)
+    ctc_sd["w2v_encoder.proj.bias"] = torch.from_numpy(proj_b)
+    path = tmp_path / "hubert_ctc.pt"
+    torch.save({"model": ctc_sd}, path)
+
+    wav = gen.normal(scale=0.1, size=(2, 3200)).astype(np.float32)
+    with torch.no_grad():
+        feats = _torch_forward(sd, wav)
+        ref = feats @ proj_w.T + proj_b
+
+    variables = convert_hubert_ctc_checkpoint(str(path), layers=LAYERS)
+    model = HubertCTCModule(vocab_size=vocab, layers=LAYERS)
+    out = model.apply(
+        jax.tree_util.tree_map(np.asarray, variables), wav,
+        np.asarray([3200, 3200], np.int32), deterministic=True,
+    )
+    np.testing.assert_allclose(np.asarray(out["logits"]), ref,
+                               atol=2e-4, rtol=2e-4)

@@ -629,3 +629,45 @@ def convert_gan_discriminators(mpd_sd: Dict, msd_sd: Dict,
         }
         msd[f"scale_{s}"] = d
     return {"mpd": {"params": mpd}, "msd": {"params": msd}}
+
+
+def convert_s2t_encoder_state(sd: Dict, layers: int) -> Dict:
+    """fairseq S2TTransformerEncoder state dict (s2t_transformer.py:295-376,
+    keys under `encoder.` or bare) -> models/s2t_transformer.py
+    S2TTransformerEncoder param tree."""
+    if any(k.startswith("encoder.") for k in sd):
+        sd = {k.removeprefix("encoder."): v for k, v in sd.items()
+              if k.startswith("encoder.")}
+    params: Dict = {"subsample": {}}
+    i = 0
+    while f"subsample.conv_layers.{i}.weight" in sd:
+        params["subsample"][f"conv_{i}"] = {
+            "kernel": conv_w(sd[f"subsample.conv_layers.{i}.weight"]),
+            "bias": _t(sd[f"subsample.conv_layers.{i}.bias"]),
+        }
+        i += 1
+    for n in range(layers):
+        p = f"transformer_layers.{n}"
+        params[f"layer_{n}"] = {
+            "self_attn": {
+                "q_proj": _linear_tree(sd, f"{p}.self_attn.q_proj"),
+                "k_proj": _linear_tree(sd, f"{p}.self_attn.k_proj"),
+                "v_proj": _linear_tree(sd, f"{p}.self_attn.v_proj"),
+                "out_proj": _linear_tree(sd, f"{p}.self_attn.out_proj"),
+            },
+            "self_attn_layer_norm": {
+                "scale": _t(sd[f"{p}.self_attn_layer_norm.weight"]),
+                "bias": _t(sd[f"{p}.self_attn_layer_norm.bias"]),
+            },
+            "fc1": _linear_tree(sd, f"{p}.fc1"),
+            "fc2": _linear_tree(sd, f"{p}.fc2"),
+            "final_layer_norm": {
+                "scale": _t(sd[f"{p}.final_layer_norm.weight"]),
+                "bias": _t(sd[f"{p}.final_layer_norm.bias"]),
+            },
+        }
+    params["layer_norm"] = {
+        "scale": _t(sd["layer_norm.weight"]),
+        "bias": _t(sd["layer_norm.bias"]),
+    }
+    return {"params": params}

@@ -582,7 +582,8 @@ def _make_get_activation_fn():
 
     gelu = _file_module("fairseq.modules.gelu", f"{REF}/fairseq/modules/gelu.py")
 
-    def get_activation_fn(name):
+    def get_activation_fn(name=None, activation=None):
+        name = activation if name is None else name
         if name == "gelu":
             return gelu.gelu
         if name == "relu":
@@ -1322,3 +1323,94 @@ def load_nat_s2s_task():
         _cache["nat_s2s_task"] = _file_module(
             "ref_nat_s2s_task", f"{REF}/fairseq/tasks/nat_s2s_task.py")
     return _cache["nat_s2s_task"]
+
+
+def load_s2t_transformer():
+    """Exec the REAL fairseq S2T transformer stack verbatim:
+
+    * fairseq/models/speech_to_text/modules/convolution.py (Conv1dSubsampler)
+    * fairseq/modules/transformer_layer.py (TransformerEncoderLayer, on the
+      genuine MultiheadAttention/LayerNorm installed by load_hubert)
+    * fairseq/models/speech_to_text/s2t_transformer.py (S2TTransformerEncoder)
+
+    TransformerConfig.from_namespace is the one piece of config GLUE shimmed
+    (an args->nested-namespace mapping); every module with math is real.
+    """
+    if "s2t_transformer" not in _cache:
+        import types as _types
+
+        import torch
+
+        load_hubert()  # installs real MHA/LayerNorm/etc on fairseq.modules
+
+        class _TransformerConfigShim:
+            @staticmethod
+            def from_namespace(args):
+                if hasattr(args, "encoder"):  # already converted (the real
+                    return args               # from_namespace is idempotent)
+                enc = _types.SimpleNamespace(
+                    embed_dim=args.encoder_embed_dim,
+                    ffn_embed_dim=args.encoder_ffn_embed_dim,
+                    attention_heads=args.encoder_attention_heads,
+                    normalize_before=getattr(
+                        args, "encoder_normalize_before", True),
+                    xformers_att_config=None,
+                )
+                return _types.SimpleNamespace(
+                    encoder=enc,
+                    quant_noise=_types.SimpleNamespace(
+                        pq=0, pq_block_size=8),
+                    dropout=args.dropout,
+                    attention_dropout=getattr(
+                        args, "attention_dropout", args.dropout),
+                    activation_dropout=getattr(
+                        args, "activation_dropout", args.dropout),
+                    relu_dropout=0.0,
+                    activation_fn=getattr(args, "activation_fn", "relu"),
+                    export=False,
+                )
+
+        _stub("fairseq.models.transformer",
+              TransformerConfig=_TransformerConfigShim,
+              Embedding=lambda *a, **k: torch.nn.Embedding(*a),
+              TransformerDecoder=type("TD", (torch.nn.Module,), {}))
+        tl = _file_module(
+            "fairseq.modules.transformer_layer",
+            f"{REF}/fairseq/modules/transformer_layer.py")
+        fm = sys.modules["fairseq.modules"]
+        fm.TransformerEncoderLayer = tl.TransformerEncoderLayer
+        fm.FairseqDropout = sys.modules[
+            "fairseq.modules.fairseq_dropout"].FairseqDropout
+        conv = _file_module(
+            "fairseq.models.speech_to_text.modules.convolution",
+            f"{REF}/fairseq/models/speech_to_text/modules/convolution.py")
+        _stub("fairseq.models.speech_to_text.modules",
+              convolution=conv)
+        _stub("fairseq.models.speech_to_text.hub_interface",
+              S2THubInterface=type("Hub", (), {}))
+        _stub("fairseq.checkpoint_utils")
+        sys.modules["fairseq"].checkpoint_utils = sys.modules[
+            "fairseq.checkpoint_utils"]
+
+        def lengths_to_padding_mask(lens):
+            m = int(lens.max())
+            return torch.arange(m)[None, :].to(lens.device) >= lens[:, None]
+
+        _stub("fairseq.data")
+        _stub("fairseq.data.data_utils",
+              lengths_to_padding_mask=lengths_to_padding_mask)
+
+        class _FairseqEncoder(torch.nn.Module):
+            def __init__(self, dictionary=None):
+                super().__init__()
+
+        _stub("fairseq.models",
+              FairseqEncoder=_FairseqEncoder,
+              FairseqEncoderDecoderModel=type(
+                  "FEDM", (torch.nn.Module,), {}),
+              register_model=_identity_decorator,
+              register_model_architecture=lambda *a, **k: (lambda f: f))
+        _cache["s2t_transformer"] = _file_module(
+            "ref_s2t_transformer",
+            f"{REF}/fairseq/models/speech_to_text/s2t_transformer.py")
+    return _cache["s2t_transformer"]

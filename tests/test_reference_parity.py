@@ -1570,3 +1570,54 @@ def test_random_mask_matches_reference():
     ours = random_mask(tgt, _QueueRng(29, f32=True))
     assert (ours == 3).sum() > 0
     np.testing.assert_array_equal(ours, ref_prev)
+
+
+# ---------------------------------------------------------------------------
+# S2T transformer encoder vs the REAL fairseq S2TTransformerEncoder
+# (s2t_transformer.py:295-376 with the genuine TransformerEncoderLayer,
+# MultiheadAttention, Conv1dSubsampler, and SinusoidalPositionalEmbedding)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_s2t_transformer_encoder_matches_reference():
+    from reference_loader import load_s2t_transformer
+
+    from diffnorm_tpu.models.s2t_transformer import S2TTransformerEncoder
+    from diffnorm_tpu.utils.convert_weights import convert_s2t_encoder_state
+
+    m = load_s2t_transformer()
+    D_IN, DIM, LAYERS = 12, 32, 2
+    args = types.SimpleNamespace(
+        encoder_freezing_updates=0, dropout=0.0, attention_dropout=0.0,
+        activation_dropout=0.0, activation_fn="relu",
+        encoder_embed_dim=DIM, encoder_ffn_embed_dim=64,
+        encoder_layers=LAYERS, encoder_attention_heads=2,
+        encoder_normalize_before=True, no_scale_embedding=False,
+        conv_version="s2t_transformer", conv_kernel_sizes="5,5",
+        conv_channels=24, input_feat_per_channel=D_IN, input_channels=1,
+        max_source_positions=200,
+    )
+    torch.manual_seed(0)
+    ref = m.S2TTransformerEncoder(args).eval()
+
+    rng = np.random.default_rng(0)
+    src = rng.normal(size=(3, 40, D_IN)).astype(np.float32)
+    lengths = np.asarray([40, 33, 21], np.int32)
+    with torch.no_grad():
+        out = ref(torch.from_numpy(src), torch.from_numpy(lengths).long())
+    ref_x = out["encoder_out"][0].transpose(0, 1).numpy()  # [B, T', C]
+
+    variables = convert_s2t_encoder_state(
+        {k: v for k, v in ref.state_dict().items()}, layers=LAYERS)
+    ours = S2TTransformerEncoder(
+        dim=DIM, ffn_dim=64, layers=LAYERS, heads=2, dropout=0.0,
+        conv_channels=24, conv_kernel_sizes=(5, 5),
+    )
+    got, mask = ours.apply(
+        jax.tree_util.tree_map(np.asarray, variables), src, lengths,
+        deterministic=True,
+    )
+    got, mask = np.asarray(got), np.asarray(mask)
+    assert got.shape == ref_x.shape
+    np.testing.assert_allclose(got[mask], ref_x[mask], atol=2e-4, rtol=2e-4)

@@ -38,8 +38,14 @@ _os.environ.setdefault("DIFFNORM_INT8_WSCALAR", "1")
 _os.environ.setdefault("DIFFNORM_INT8_ASCALAR", "1")
 # software-pipelined FF kernel (ops/pallas_ffpipe.py): row b's proj_in/GEGLU
 # overlaps row b-1's conv/proj_out — RTF 332 -> 338 (PERFORMANCE.md); parity
-# pinned by tests/test_pallas_ops.py::test_ffpipe_kernel_matches_module
-_os.environ.setdefault("DIFFNORM_FFPIPE", "1")
+# pinned by tests/test_pallas_ops.py::test_ffpipe_kernel_matches_module.
+# RETIRED as the default by static activation scales (XLA-FF+static 371.7
+# beats ffpipe+static 347.8 — the kernel's raison d'etre was hiding the
+# dynamic max-abs pass); DIFFNORM_FFPIPE=1 re-enables it.
+if _os.environ.get("BENCH_INT8_STATIC", "1") == "1":
+    _os.environ.setdefault("DIFFNORM_FFPIPE", "0")
+else:
+    _os.environ.setdefault("DIFFNORM_FFPIPE", "1")
 
 BATCH = int(__import__("os").environ.get("BENCH_BATCH", 64))  # reference driver batches ~100
 SEQ = 128
@@ -77,6 +83,23 @@ def main():
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
         variables,
     )
+
+    # Calibrated per-site activation scales (default ON; BENCH_INT8_STATIC=0
+    # reverts): removes every max-abs reduce from the scan's quantize
+    # chains — the serialized second elementwise pass the pipelined FF
+    # kernel could only partially hide. Measured B64xT128: XLA-FF dynamic
+    # 331.7 / ffpipe dynamic 339.9 / ffpipe+static 347.8 / XLA-FF+static
+    # 371.7 — so static scales retire ffpipe as the default (parity pinned
+    # by tests/test_variants.py::test_int8_static_scale_parity).
+    use_static = __import__("os").environ.get("BENCH_INT8_STATIC", "1") == "1"
+    if use_int8 and use_static:
+        from diffnorm_tpu.models.diffusion import calibrate_act_scales
+
+        variables = calibrate_act_scales(
+            model, variables, feat, mask, jax.random.PRNGKey(11),
+            start_step=START_STEP,
+        )
+        __import__("os").environ["DIFFNORM_INT8_STATIC"] = "1"
 
     REPEATS = 4
 

@@ -82,6 +82,14 @@ def main(cfg: Optional[Config] = None) -> int:
     variables = {"params": params}
     logger.info("restored diffusion checkpoint from %s", cfg["ckpt"])
 
+    # --quant-int8-static (with --quant-int8): calibrate per-site activation
+    # scales on the first REAL feature batch, then sample with static
+    # scales — no max-abs reduce inside the 49-step scan (measured RTF
+    # 332 -> 372 on v5e, PERFORMANCE.md "Static activation scales"; >95%
+    # unit agreement pinned by
+    # tests/test_variants.py::test_int8_static_scale_parity)
+    want_static = bool(cfg.get("quant_int8") and cfg.get("quant_int8_static"))
+
     # --data-parallel N: shard each normalization batch over a "data" mesh
     # of N chips (params replicated, GSPMD splits the batch; the reference
     # driver is single-GPU with batch 100 — here the 2M-update corpus
@@ -185,6 +193,26 @@ def main(cfg: Optional[Config] = None) -> int:
                 if ptr < len(starts):
                     futs.append(ex.submit(make_batch, starts[ptr]))
                     ptr += 1
+                if want_static and "quant_stats" not in variables:
+                    from diffnorm_tpu.models.diffusion import (
+                        calibrate_act_scales,
+                    )
+
+                    variables = calibrate_act_scales(
+                        model, variables, jnp.asarray(feat_np),
+                        jnp.asarray(mask_np), jax.random.PRNGKey(5),
+                        start_step=start_step,
+                    )
+                    if mesh is not None:
+                        from diffnorm_tpu.parallel.mesh import replicate
+
+                        variables = replicate(variables, mesh)
+                    os.environ["DIFFNORM_INT8_STATIC"] = "1"
+                    logger.info(
+                        "calibrated static int8 activation scales on the "
+                        "first batch (%d sites)", len(
+                            jax.tree_util.tree_leaves(
+                                variables["quant_stats"])))
                 if mesh is not None:
                     feat_dev = jax.device_put(feat_np, feat_sh)
                     mask_dev = jax.device_put(mask_np, mask_sh)

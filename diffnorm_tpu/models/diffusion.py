@@ -466,6 +466,52 @@ class LatentDiffusionModule(nn.Module):
             out["lm_logits"] = lm_logits
         return out
 
+def calibrate_act_scales(model, variables, feature, mask, rng,
+                         start_step: int = 50, n_points: int = 6):
+    """Record per-site activation amax over representative denoise steps
+    for static-scale int8 (ops/quant.py site_quantize / quantize_act_static,
+    DIFFNORM_INT8_STATIC=1). Runs the denoiser at n_points timesteps spread
+    over the reverse trajectory on q-sampled latents of `feature` and
+    returns `variables` with the populated 'quant_stats' collection merged.
+
+    Requires an int8-enabled model (cfg quant_int8 / DIFFNORM_INT8=1);
+    a float model records nothing and the static flag then no-ops."""
+    import os
+
+    module = model.module
+    schedule = DDPMSchedule.create(module.timesteps, module.schedule_name)
+    r_enc, r_noise = jax.random.split(rng)
+    z = module.apply(
+        variables, feature, r_enc, method=LatentDiffusionModule.encode)
+    b = z.shape[0]
+    noise = jax.random.normal(r_noise, z.shape, z.dtype)
+    ts = np.unique(np.linspace(1, start_step - 1, n_points).astype(np.int32))
+    old = os.environ.get("DIFFNORM_INT8_CALIB")
+    os.environ["DIFFNORM_INT8_CALIB"] = "1"
+    try:
+        stats = None
+        for t_int in ts[::-1]:
+            t = jnp.full((b,), int(t_int), jnp.int32)
+            sac = extract(schedule.sqrt_alphas_cumprod, t, z.ndim)
+            s1mac = extract(schedule.sqrt_one_minus_alphas_cumprod, t, z.ndim)
+            x = sac * z + s1mac * noise
+            vars_in = variables if stats is None else {
+                **variables, "quant_stats": stats}
+            _, mut = module.apply(
+                vars_in, x, t, mask, method=LatentDiffusionModule.denoise,
+                mutable=["quant_stats"],
+            )
+            stats = mut.get("quant_stats", stats)
+    finally:
+        if old is None:
+            os.environ.pop("DIFFNORM_INT8_CALIB", None)
+        else:
+            os.environ["DIFFNORM_INT8_CALIB"] = old
+    if stats is None:
+        return variables
+    return {**variables, "quant_stats": stats}
+
+
 def ddim_sample(
     model: "LatentDiffusionModel",
     variables,

@@ -167,9 +167,9 @@ class CausalConv1d(nn.Module):
             # the taps also share the token scale and the k-term sum stays
             # in int32 with a single dequant at the end.
             from diffnorm_tpu.ops import quant as _q
-            from diffnorm_tpu.ops.quant import dequant, quantize_act
+            from diffnorm_tpu.ops.quant import dequant, site_quantize
 
-            xq, ax = quantize_act(xc)
+            xq, ax = site_quantize(self, xc)
             kf = kernel.astype(jnp.float32)
             w_axes = None if _q._W_SCALAR else (0, 1)
             ws = jnp.max(jnp.abs(kf), axis=w_axes, keepdims=True) / 127.0
@@ -265,8 +265,10 @@ class QDense(nn.Module):
             (x.shape[-1], self.features), jnp.float32,
         )
         if self.quant:
-            from diffnorm_tpu.ops.quant import int8_dense
+            from diffnorm_tpu.ops.quant import int8_dense, site_quantize
 
+            if pre_quant is None:
+                pre_quant = site_quantize(self, x.astype(self.dtype))
             y = int8_dense(x.astype(self.dtype), kernel, pre_quant=pre_quant)
         else:
             y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
@@ -337,9 +339,9 @@ class Attention(nn.Module):
             # activations once and let both int8 matmuls reuse the int8
             # tensor + per-token scales (the quant chain is VPU-bound and
             # a visible share of the int8 DDIM step, PERFORMANCE.md)
-            from diffnorm_tpu.ops.quant import quantize_act
+            from diffnorm_tpu.ops.quant import site_quantize
 
-            pq = quantize_act(x.astype(self.dtype))
+            pq = site_quantize(self, x.astype(self.dtype))
         q = QDense(h * d, use_bias=False, quant=self.quant, dtype=self.dtype,
                    name="to_q")(x, pre_quant=pq)
         kv = QDense(2 * h * d, use_bias=False, quant=self.quant,

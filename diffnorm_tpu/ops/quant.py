@@ -97,6 +97,46 @@ def quantize_act(x):
     return xq, ax
 
 
+def _env1(name: str) -> bool:
+    # read at call (=trace) time so one process can calibrate then switch
+    return os.environ.get(name, "0") == "1"
+
+
+def quantize_act_static(x, amax):
+    """Quantize with a pre-calibrated per-tensor amax: NO max-abs reduce.
+
+    The dynamic quantizers above need a full reduction over x before the
+    scale multiply can start, which serializes a second elementwise pass
+    over the tensor; with a static scale the whole quantize chain fuses
+    into the producing op. The int8 DDIM step is VPU-issue-bound on exactly
+    these chains (PERFORMANCE.md roofline), hence DIFFNORM_INT8_STATIC."""
+    ax = jnp.maximum(amax.astype(jnp.float32), 1e-10).reshape(
+        (1,) * x.ndim) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / ax),
+                  -127.0, 127.0).astype(jnp.int8)
+    return xq, ax
+
+
+def site_quantize(mod, x, name: str = "act_amax"):
+    """Module-site activation quantization with calibrated-scale support.
+
+    DIFFNORM_INT8_CALIB=1: dynamic quantize AND record the running
+    per-site amax into the mutable 'quant_stats' collection (apply with
+    mutable=["quant_stats"], e.g. models/diffusion.calibrate_act_scales).
+    DIFFNORM_INT8_STATIC=1: use the calibrated scalar scale when this
+    site has one (falls back to dynamic quantization when absent)."""
+    if _env1("DIFFNORM_INT8_STATIC") and mod.has_variable(
+            "quant_stats", name):
+        return quantize_act_static(x, mod.get_variable("quant_stats", name))
+    xq, ax = quantize_act(x)
+    if _env1("DIFFNORM_INT8_CALIB"):
+        v = mod.variable("quant_stats", name,
+                         lambda: jnp.zeros((), jnp.float32))
+        v.value = jnp.maximum(v.value,
+                              jnp.max(ax).astype(jnp.float32) * 127.0)
+    return xq, ax
+
+
 def int8_matmul(x, wq, ws, pre_quant=None):
     """x: [..., in] float; wq/ws from quantize_weight. Returns [..., out]
     in x.dtype. Per-token dynamic activation quantization; the contraction

@@ -174,3 +174,56 @@ def test_diff_norm_synthesis_data_parallel(built, tmp_path):
                         os.path.join(out_dir, "test.tsv"))}
     assert set(outs[0]) == {"u0", "u1", "u2"}
     assert outs[0] == outs[4], (outs[0], outs[4])
+
+
+def test_diff_norm_synthesis_static_int8(built, tmp_path, monkeypatch):
+    """--quant-int8 --quant-int8-static: first-batch calibration populates
+    quant_stats and the run completes with static activation scales; the
+    normalized manifests stay valid unit strings."""
+    import orbax.checkpoint as ocp
+
+    from diffnorm_tpu.cli import diff_norm_synthesis
+    from diffnorm_tpu.data.manifest import (
+        read_translation_manifest,
+        write_feature_manifest,
+        write_translation_manifest,
+    )
+
+    task, model, crit, batch, variables = built
+    ckpt = str(tmp_path / "ckpt")
+    ocp.StandardCheckpointer().save(ckpt, {"params": variables["params"]})
+
+    rng = np.random.default_rng(0)
+    feat_dir = tmp_path / "feat"
+    feat_dir.mkdir()
+    rows, frows = [], []
+    for i in range(3):
+        t = int(rng.integers(8, 12))
+        units = np.repeat(rng.integers(0, 16, size=t // 2 + 1), 2)[:t]
+        feat = rng.normal(size=(t, 24)).astype(np.float32)
+        np.save(feat_dir / f"u{i}.feat.npy", feat)
+        frows.append((f"u{i}.feat.npy", t))
+        rows.append({"id": f"u{i}", "src_audio": f"u{i}",
+                     "src_n_frames": t,
+                     "tgt_audio": " ".join(map(str, units)),
+                     "tgt_n_frames": t})
+    write_feature_manifest(str(feat_dir / "test.manifest.tsv"),
+                           str(feat_dir), frows)
+    write_translation_manifest(str(tmp_path / "test.tsv"), rows)
+
+    monkeypatch.delenv("DIFFNORM_INT8_STATIC", raising=False)
+    out_dir = str(tmp_path / "out_static")
+    rc = diff_norm_synthesis.main(Config(
+        data=str(tmp_path), ckpt=ckpt, tgt_feat_dir=str(feat_dir),
+        output_dir=out_dir, start_step=4, batch_size=2, cpu=True,
+        splits="test", seed=7, quant_int8=True, quant_int8_static=True,
+        **dict(tiny_cfg()),
+    ))
+    monkeypatch.delenv("DIFFNORM_INT8_STATIC", raising=False)
+    assert rc == 0
+    out = {r["id"]: r["tgt_audio"] for r in read_translation_manifest(
+        os.path.join(out_dir, "test.tsv"))}
+    assert set(out) == {"u0", "u1", "u2"}
+    for units in out.values():  # well-formed unit strings (random weights
+        assert units.split()    # put no bound on argmax-4 values)
+        [int(u) for u in units.split()]

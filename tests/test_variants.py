@@ -186,3 +186,43 @@ def test_int8_nar_decode_parity():
     # rounding flips more argmaxes than at the real 512-dim scale; this
     # bounds gross layout/scale bugs, not production quality
     assert float(jnp.mean(tf == tq)) > 0.75
+
+
+def test_int8_static_scale_parity(monkeypatch):
+    """DIFFNORM_INT8_STATIC: calibrated per-site activation scales (no
+    max-abs reduce in the sampling scan) must track the float path through
+    a full DDIM chain within the dynamic-int8 bounds, and the calibrated
+    variables must carry a populated quant_stats collection."""
+    import os
+
+    from diffnorm_tpu.models.diffusion import (
+        LatentDiffusionModel,
+        calibrate_act_scales,
+        ddim_sample,
+    )
+
+    common = dict(hidden_dim=64, latent_dim=3, feature_dim=24, timesteps=50,
+                  vocab_size=52, denoiser_depth=2, wavenet_layers=3,
+                  wavenet_stacks=2, chan_mults=[4])
+    m_f = LatentDiffusionModel.build_model(Config(**common))
+    m_q = LatentDiffusionModel.build_model(Config(**common, quant_int8=True))
+    rng = jax.random.PRNGKey(0)
+    feat = jnp.asarray(
+        np.random.default_rng(0).normal(size=(4, 32, 24)), jnp.float32)
+    mask = jnp.ones((4, 32), bool)
+    v = m_f.module.init({"params": rng}, feat, mask, rng, deterministic=True)
+    uf, rf = ddim_sample(m_f, v, feat, mask, jax.random.PRNGKey(7),
+                         start_step=12)
+
+    v_cal = calibrate_act_scales(m_q, v, feat, mask, jax.random.PRNGKey(3),
+                                 start_step=12)
+    assert "quant_stats" in v_cal
+    leaves = jax.tree_util.tree_leaves(v_cal["quant_stats"])
+    assert leaves and all(float(a) > 0 for a in leaves)
+
+    monkeypatch.setenv("DIFFNORM_INT8_STATIC", "1")
+    us, rs = ddim_sample(m_q, v_cal, feat, mask, jax.random.PRNGKey(7),
+                         start_step=12)
+    monkeypatch.delenv("DIFFNORM_INT8_STATIC")
+    assert float(jnp.mean(uf == us)) > 0.95
+    assert float(jnp.linalg.norm(rs - rf) / jnp.linalg.norm(rf)) < 0.03

@@ -646,6 +646,11 @@ def load_hubert():
 
         u = sys.modules["fairseq.utils"]
         u.get_available_activation_fns = lambda: ["relu", "gelu", "swish"]
+        u.safe_getattr = lambda obj, k, default=None: getattr(obj, k, default)
+        u.safe_hasattr = lambda obj, k: hasattr(obj, k)
+        # fairseq/utils.py softmax: f32 upcast (onnx_trace path unused)
+        u.softmax = lambda x, dim, onnx_trace=False: (
+            torch.nn.functional.softmax(x, dim=dim, dtype=torch.float32))
         u.get_activation_fn = _make_get_activation_fn()
         u.eval_str_dict = lambda x, type=dict: x
         u.is_xla_tensor = lambda t: False
@@ -1356,8 +1361,21 @@ def load_s2t_transformer():
                         args, "encoder_normalize_before", True),
                     xformers_att_config=None,
                 )
+                dec = _types.SimpleNamespace(
+                    embed_dim=getattr(args, "decoder_embed_dim",
+                                      args.encoder_embed_dim),
+                    ffn_embed_dim=getattr(args, "decoder_ffn_embed_dim",
+                                          args.encoder_ffn_embed_dim),
+                    attention_heads=getattr(args, "decoder_attention_heads",
+                                            args.encoder_attention_heads),
+                    normalize_before=getattr(
+                        args, "decoder_normalize_before", True),
+                    xformers_att_config=None,
+                )
                 return _types.SimpleNamespace(
                     encoder=enc,
+                    decoder=dec,
+                    cross_self_attention=False,
                     quant_noise=_types.SimpleNamespace(
                         pq=0, pq_block_size=8),
                     dropout=args.dropout,

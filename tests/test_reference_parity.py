@@ -1621,3 +1621,77 @@ def test_s2t_transformer_encoder_matches_reference():
     got, mask = np.asarray(got), np.asarray(mask)
     assert got.shape == ref_x.shape
     np.testing.assert_allclose(got[mask], ref_x[mask], atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.slow
+def test_transformer_decoder_layer_matches_reference():
+    """Our causal decoder layer (models/ar_transformer.py ARDecoderLayer —
+    the block inside the AR S2UT/S2T/TTS/translation decoders) vs the REAL
+    fairseq TransformerDecoderLayer (transformer_layer.py:535+ on the
+    genuine MultiheadAttention), pre-LN config, shared weights."""
+    from reference_loader import load_s2t_transformer
+
+    import sys as _sys
+
+    from diffnorm_tpu.models.ar_transformer import ARDecoderLayer
+    from diffnorm_tpu.utils.convert_weights import _linear_tree, _t
+
+    load_s2t_transformer()  # installs the real transformer_layer module
+    tl = _sys.modules["fairseq.modules.transformer_layer"]
+
+    DIM, HEADS, FFN = 32, 2, 64
+    args = types.SimpleNamespace(
+        decoder_embed_dim=DIM, decoder_ffn_embed_dim=FFN,
+        decoder_attention_heads=HEADS, decoder_normalize_before=True,
+        encoder_embed_dim=DIM, encoder_ffn_embed_dim=FFN,
+        encoder_attention_heads=HEADS, encoder_normalize_before=True,
+        dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        activation_fn="relu",
+    )
+    torch.manual_seed(0)
+    ref = tl.TransformerDecoderLayer(args).eval()
+
+    B, T, S = 2, 7, 9
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(B, T, DIM)).astype(np.float32)
+    enc = rng.normal(size=(B, S, DIM)).astype(np.float32)
+    enc_valid = np.arange(S)[None, :] < np.asarray([S, S - 3])[:, None]
+    tgt_valid = np.arange(T)[None, :] < np.asarray([T, T - 2])[:, None]
+
+    future = torch.full((T, T), float("-inf")).triu(1)
+    with torch.no_grad():
+        out, _, _ = ref(
+            torch.from_numpy(x).transpose(0, 1),  # [T, B, C]
+            encoder_out=torch.from_numpy(enc).transpose(0, 1),
+            encoder_padding_mask=torch.from_numpy(~enc_valid),
+            self_attn_mask=future,
+            self_attn_padding_mask=torch.from_numpy(~tgt_valid),
+        )
+    ref_x = out.transpose(0, 1).numpy()
+
+    sd = ref.state_dict()
+    params = {
+        "self_attn": {k: _linear_tree(sd, f"self_attn.{k}")
+                      for k in ("q_proj", "k_proj", "v_proj", "out_proj")},
+        "encoder_attn": {k: _linear_tree(sd, f"encoder_attn.{k}")
+                         for k in ("q_proj", "k_proj", "v_proj",
+                                   "out_proj")},
+        "self_attn_layer_norm": {
+            "scale": _t(sd["self_attn_layer_norm.weight"]),
+            "bias": _t(sd["self_attn_layer_norm.bias"])},
+        "encoder_attn_layer_norm": {
+            "scale": _t(sd["encoder_attn_layer_norm.weight"]),
+            "bias": _t(sd["encoder_attn_layer_norm.bias"])},
+        "final_layer_norm": {
+            "scale": _t(sd["final_layer_norm.weight"]),
+            "bias": _t(sd["final_layer_norm.bias"])},
+        "fc1": _linear_tree(sd, "fc1"),
+        "fc2": _linear_tree(sd, "fc2"),
+    }
+    ours = ARDecoderLayer(dim=DIM, ffn_dim=FFN, heads=HEADS, dropout=0.0)
+    got = np.asarray(ours.apply(
+        {"params": jax.tree_util.tree_map(np.asarray, params)},
+        x, tgt_valid, enc, enc_valid, deterministic=True,
+    ))
+    np.testing.assert_allclose(got[tgt_valid], ref_x[tgt_valid],
+                               atol=2e-4, rtol=2e-4)

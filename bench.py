@@ -157,10 +157,16 @@ def main_nar():
     from diffnorm_tpu.registry import TASKS, _import_all
 
     _import_all()
+    # BENCH_NAR_INT8=1: int8 W8A8 decode (round-1 finding: a WASH at
+    # dynamic scales — the decoder matmuls are too small to pay the quant
+    # chains; re-testable under static scales with BENCH_INT8_STATIC=1)
+    nar_int8 = __import__("os").environ.get("BENCH_NAR_INT8", "0") == "1"
+    nar_static = (nar_int8 and __import__("os").environ.get(
+        "BENCH_INT8_STATIC", "1") == "1")
     cfg = Config(
         arch="nar_s2ut_conformer", criterion="nar_speech_to_unit",
         target_code_size=1000, label_smoothing=0.2, lr=5e-4,
-        dtype="bfloat16",
+        dtype="bfloat16", quant_int8=nar_int8,
     )
     task = TASKS.get("dummy_nar").setup_task(cfg)
     model = task.build_model()
@@ -171,6 +177,18 @@ def main_nar():
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
         variables,
     )
+    if nar_static:
+        from diffnorm_tpu.ops.quant import calibrate_apply
+
+        variables = calibrate_apply(
+            model.module.apply, variables,
+            jnp.asarray(batch["src_tokens"]),
+            jnp.asarray(batch["src_lengths"]),
+            jnp.asarray(batch["prev_target"]),
+            tgt_tokens=jnp.asarray(batch["target"]),
+            deterministic=True,
+        )
+        __import__("os").environ["DIFFNORM_INT8_STATIC"] = "1"
 
     REPEATS = 16
 

@@ -137,6 +137,28 @@ def site_quantize(mod, x, name: str = "act_amax"):
     return xq, ax
 
 
+def calibrate_apply(apply_fn, variables, *args, **kwargs):
+    """Generic static-scale calibration: run `apply_fn(variables, *args,
+    mutable=["quant_stats"], **kwargs)` once with calibration mode on and
+    return `variables` with the recorded per-site amax collection merged
+    (models/diffusion.calibrate_act_scales is the multi-timestep variant
+    for the DDIM denoiser)."""
+    old = os.environ.get("DIFFNORM_INT8_CALIB")
+    os.environ["DIFFNORM_INT8_CALIB"] = "1"
+    try:
+        _, mutated = apply_fn(variables, *args,
+                              mutable=["quant_stats"], **kwargs)
+    finally:
+        if old is None:
+            os.environ.pop("DIFFNORM_INT8_CALIB", None)
+        else:
+            os.environ["DIFFNORM_INT8_CALIB"] = old
+    stats = mutated.get("quant_stats")
+    if not stats:
+        return variables
+    return {**variables, "quant_stats": stats}
+
+
 def int8_matmul(x, wq, ws, pre_quant=None):
     """x: [..., in] float; wq/ws from quantize_weight. Returns [..., out]
     in x.dtype. Per-token dynamic activation quantization; the contraction

@@ -226,3 +226,46 @@ def test_int8_static_scale_parity(monkeypatch):
     monkeypatch.delenv("DIFFNORM_INT8_STATIC")
     assert float(jnp.mean(uf == us)) > 0.95
     assert float(jnp.linalg.norm(rs - rf) / jnp.linalg.norm(rf)) < 0.03
+
+
+def test_int8_static_nar_decode_parity(monkeypatch):
+    """Static activation scales on the NAR decode path: calibrate on a
+    train-style forward (ops/quant.calibrate_apply), decode with
+    DIFFNORM_INT8_STATIC — token agreement with the float decode must stay
+    within the dynamic-int8 bound."""
+    from diffnorm_tpu.generate.mask_predict import mask_predict_decode
+    from diffnorm_tpu.ops.quant import calibrate_apply
+    from diffnorm_tpu.registry import TASKS
+
+    common = dict(
+        arch="nar_s2ut_conformer", criterion="nar_speech_to_unit",
+        encoder_layers=2, decoder_layers=2, encoder_embed_dim=32,
+        encoder_ffn_embed_dim=64, encoder_attention_heads=2,
+        decoder_attention_heads=2, decoder_embed_dim=32,
+        decoder_ffn_embed_dim=64, conv_channels=32,
+        depthwise_conv_kernel_size=7, target_code_size=20,
+        label_smoothing=0.2, lr=5e-4,
+    )
+    task_f = TASKS.get("dummy_nar").setup_task(Config(**common))
+    model_f = task_f.build_model()
+    task_q = TASKS.get("dummy_nar").setup_task(
+        Config(**common, quant_int8=True))
+    model_q = task_q.build_model()
+    batch = task_f.dummy_batch(2, 48)
+    variables = task_f.init_variables(model_f, jax.random.PRNGKey(0), batch)
+    src = jnp.asarray(batch["src_tokens"])
+    lens = jnp.asarray(batch["src_lengths"])
+    tf, _, _ = mask_predict_decode(model_f, variables, src, lens,
+                                   max_iter=3, max_len=16)
+
+    v_cal = calibrate_apply(
+        model_q.module.apply, variables, src, lens,
+        jnp.asarray(batch["prev_target"]),
+        tgt_tokens=jnp.asarray(batch["target"]), deterministic=True,
+    )
+    assert "quant_stats" in v_cal
+    monkeypatch.setenv("DIFFNORM_INT8_STATIC", "1")
+    ts, _, _ = mask_predict_decode(model_q, v_cal, src, lens,
+                                   max_iter=3, max_len=16)
+    monkeypatch.delenv("DIFFNORM_INT8_STATIC")
+    assert float(jnp.mean(tf == ts)) > 0.75

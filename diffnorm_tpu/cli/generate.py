@@ -35,7 +35,7 @@ from diffnorm_tpu.train.checkpoint import (
 
 logger = logging.getLogger("diffnorm_tpu.generate")
 
-PAD, EOS = 1, 2
+PAD, EOS, UNK = 1, 2, 3
 
 
 def strip_special(tokens, dictionary):
@@ -454,6 +454,50 @@ def main(cfg: Optional[Config] = None) -> int:
     base_key = (jax.random.PRNGKey(int(cfg.get("seed", 1)))
                 if needs_rng else None)
 
+    # --quant-int8-static (with --quant-int8): calibrate per-site activation
+    # scales on the first batch's teacher-style forward, then decode with
+    # static scales (no max-abs reduce inside the decode scan). Measured on
+    # the NAR decode: bf16 590.8 / int8-dynamic 606.3 / int8-static 685.3
+    # utts/s (PERFORMANCE.md "Static scales on the NAR decode").
+    want_static = bool(cfg.get("quant_int8") and cfg.get("quant_int8_static")
+                       and (is_ar or not isinstance(task, LevenshteinTask)))
+    static_done = False
+
+    def _calibrate_static(batch):
+        from diffnorm_tpu.ops.quant import calibrate_apply
+
+        src = jnp.asarray(np.asarray(batch["src_tokens"]))
+        lengths = jnp.asarray(np.asarray(batch["src_lengths"]))
+        tgt = batch.get("target")
+        tgt = jnp.asarray(np.asarray(tgt)) if tgt is not None else None
+        if is_ar:
+            if tgt is not None:
+                prev = jnp.full_like(tgt, PAD).at[:, 0].set(EOS)
+                prev = prev.at[:, 1:].set(tgt[:, :-1])
+                prev = jnp.where(tgt == PAD, PAD, prev)
+            else:
+                prev = jnp.full((src.shape[0], 8), EOS, jnp.int32)
+            args, kwargs = (src, lengths, prev), {}
+        else:
+            # CMLM-style: an all-masked canvas (what the decode loop fills)
+            if tgt is not None:
+                canvas = jnp.where(tgt != PAD, UNK, PAD)
+            else:
+                canvas = jnp.full((src.shape[0], 32), UNK, jnp.int32)
+            args = (src, lengths, canvas)
+            kwargs = {"tgt_tokens": tgt} if tgt is not None else {}
+
+        def _one(v):
+            return calibrate_apply(model.module.apply, v, *args,
+                                   deterministic=True, **kwargs)
+
+        out = ([_one(v) for v in variables]
+               if isinstance(variables, list) else _one(variables))
+        os.environ["DIFFNORM_INT8_STATIC"] = "1"
+        logger.info("calibrated static int8 activation scales on the "
+                    "first batch")
+        return out
+
     # --post-process / --remove-bpe: detokenize the D- lines and score on
     # the processed text (reference fairseq_cli/generate.py + data_utils
     # .post_process; e.g. `--post-process subword_nmt` or `--remove-bpe "@@ "`)
@@ -463,6 +507,9 @@ def main(cfg: Optional[Config] = None) -> int:
     for batch_i, batch in enumerate(read_ahead(itr, _upload_src, depth=2)):
         if "id" not in batch:
             batch["id"] = np.arange(n_sent, n_sent + len(batch["src_lengths"]))
+        if want_static and not static_done:
+            variables = _calibrate_static(batch)
+            static_done = True
         kw = {"rng": jax.random.fold_in(base_key, batch_i)} if needs_rng else {}
         if init_lengths is not None:
             def _lookup(bid):

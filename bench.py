@@ -544,15 +544,31 @@ def main_e2e():
     _import_all()
     b = int(os.environ.get("BENCH_BATCH", 16))
     frames = int(os.environ.get("BENCH_SEQ", 480))  # 4.8 s at 10 ms shift
+    # BENCH_E2E_INT8=1: static-int8 NAR decode inside the fused chain (the
+    # +16% standalone decode win — PERFORMANCE.md "Static scales on the
+    # NAR decode"); vocoder stays bf16 (int8 measured -7% there)
+    e2e_int8 = os.environ.get("BENCH_E2E_INT8", "0") == "1"
     cfg = Config(
         arch="nar_s2ut_conformer", criterion="nar_speech_to_unit",
         target_code_size=1000, label_smoothing=0.2, lr=5e-4,
-        dtype="bfloat16",
+        dtype="bfloat16", quant_int8=e2e_int8,
     )
     task = TASKS.get("dummy_nar").setup_task(cfg)
     model = task.build_model()
     batch = task.dummy_batch(b, frames)
     nar_vars = task.init_variables(model, jax.random.PRNGKey(0), batch)
+    if e2e_int8:
+        from diffnorm_tpu.ops.quant import calibrate_apply
+
+        nar_vars = calibrate_apply(
+            model.module.apply, nar_vars,
+            jnp.asarray(batch["src_tokens"]),
+            jnp.asarray(batch["src_lengths"]),
+            jnp.asarray(batch["prev_target"]),
+            tgt_tokens=jnp.asarray(batch["target"]),
+            deterministic=True,
+        )
+        os.environ["DIFFNORM_INT8_STATIC"] = "1"
 
     voc = CodeGenerator(num_embeddings=1000, embedding_dim=128,
                         dur_predictor=True, dtype=jnp.bfloat16)

@@ -459,8 +459,10 @@ def main(cfg: Optional[Config] = None) -> int:
     # static scales (no max-abs reduce inside the decode scan). Measured on
     # the NAR decode: bf16 590.8 / int8-dynamic 606.3 / int8-static 685.3
     # utts/s (PERFORMANCE.md "Static scales on the NAR decode").
-    want_static = bool(cfg.get("quant_int8") and cfg.get("quant_int8_static")
-                       and (is_ar or not isinstance(task, LevenshteinTask)))
+    want_static = bool(
+        cfg.get("quant_int8") and cfg.get("quant_int8_static")
+        and not isinstance(task, LevenshteinTask)
+        and not getattr(task, "ctc_generation", False))
     static_done = False
 
     def _calibrate_static(batch):

@@ -52,10 +52,14 @@ def ar_speech_generate(
     k = module.n_frames_per_step
     raw_dim = out_dim // k
 
-    # speech-input encoders (s2spect) need the true source lengths; the
-    # text-input TTS encoder derives its mask from the pad id
-    enc_args = ((jnp.asarray(src_tokens),) if src_lengths is None
-                else (jnp.asarray(src_tokens), jnp.asarray(src_lengths)))
+    # speech-input encoders (s2spect, encode_needs_lengths=True) take the
+    # true source lengths; the text-input TTS encoder derives its mask from
+    # the pad id and must NOT receive a lengths positional (it would land
+    # in `deterministic`)
+    enc_args = (jnp.asarray(src_tokens),)
+    if getattr(module, "encode_needs_lengths", False):
+        assert src_lengths is not None, "this encoder needs src_lengths"
+        enc_args = enc_args + (jnp.asarray(src_lengths),)
     enc, enc_mask = module.apply(
         variables, *enc_args, method="encode",
         rngs={"dropout": jax.random.fold_in(rng, 0)},

@@ -43,6 +43,8 @@ class S2SpecTModule(TTSTransformerModule):
     conv_channels: int = 1024
     conv_kernel_sizes: tuple = (5, 5)
     depthwise_kernel_size: int = 31
+    # generate/speech_ar.py passes src_lengths to encode on this marker
+    encode_needs_lengths: bool = True
 
     def setup(self):
         common = dict(

@@ -544,10 +544,10 @@ def main_e2e():
     _import_all()
     b = int(os.environ.get("BENCH_BATCH", 16))
     frames = int(os.environ.get("BENCH_SEQ", 480))  # 4.8 s at 10 ms shift
-    # BENCH_E2E_INT8=1: static-int8 NAR decode inside the fused chain (the
-    # +16% standalone decode win — PERFORMANCE.md "Static scales on the
-    # NAR decode"); vocoder stays bf16 (int8 measured -7% there)
-    e2e_int8 = os.environ.get("BENCH_E2E_INT8", "0") == "1"
+    # Static-int8 NAR decode inside the fused chain, default ON
+    # (BENCH_E2E_INT8=0 reverts): bf16 889.1 -> int8-static 935.1 RTF
+    # (+5.2%); the vocoder stays bf16 (int8 measured -7% there)
+    e2e_int8 = os.environ.get("BENCH_E2E_INT8", "1") == "1"
     cfg = Config(
         arch="nar_s2ut_conformer", criterion="nar_speech_to_unit",
         target_code_size=1000, label_smoothing=0.2, lr=5e-4,
@@ -638,7 +638,8 @@ def main_e2e():
         "value": round(rtf, 3),
         "unit": f"input_audio_s/wall_s (B{b}x{frames} fbank frames, "
                 "15 decode iters + dur-expanded HiFi-GAN, one jitted "
-                "program, bf16, 1 chip)",
+                f"program, {'int8-static decode + bf16 vocoder' if e2e_int8 else 'bf16'}, "
+                "1 chip)",
         "vs_baseline": round(rtf / 5.0, 3),
     }))
 

@@ -112,6 +112,12 @@ def quantize_act_static(x, amax):
     these chains (PERFORMANCE.md roofline), hence DIFFNORM_INT8_STATIC."""
     ax = jnp.maximum(amax.astype(jnp.float32), 1e-10).reshape(
         (1,) * x.ndim) / 127.0
+    if _QUANT_BF16 and x.dtype == jnp.bfloat16:
+        # bf16 divide/round chain (same DIFFNORM_INT8_QUANT_BF16 semantics
+        # and clamp rationale as the dynamic path above)
+        xq = jnp.clip(jnp.round(x / ax.astype(jnp.bfloat16)),
+                      -127.0, 127.0).astype(jnp.int8)
+        return xq, ax
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / ax),
                   -127.0, 127.0).astype(jnp.int8)
     return xq, ax

@@ -65,3 +65,27 @@ def test_unit_to_speech_task_dispatches_to_gan_cli(monkeypatch):
     assert rc == 0 and seen["input_type"] == "code"
     rc = train.main(Config(task="repr_to_speech", cpu=True))
     assert rc == 0 and seen["input_type"] == "features"
+
+
+def test_hydra_train_shim_rewrites_overrides(monkeypatch):
+    """cli/hydra_train.py: hydra-style dotted key=value overrides become
+    --key value flags before delegating to the train CLI."""
+    import sys
+
+    from diffnorm_tpu.cli import hydra_train, train
+
+    seen = {}
+
+    def fake_main(cfg=None):
+        seen["argv"] = list(sys.argv[1:])
+        return 0
+
+    monkeypatch.setattr(train, "main", fake_main)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["prog", "task.data=/x", "optimization.lr=[5e-4]",
+         "--cpu", "criterion=ctc"],
+    )
+    assert hydra_train.main() == 0
+    assert seen["argv"] == ["--data", "/x", "--lr", "5e-4",
+                            "--cpu", "--criterion", "ctc"]

@@ -488,6 +488,16 @@ def main_vocoder():
         lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, variables
     )
 
+    # DIFFNORM_INT8_VOCODER=1 + BENCH_INT8_STATIC=1: calibrate the packed
+    # convs' activation scales (the dynamic max-abs pass made int8 a 7%
+    # loss here; static scales remove it — PERFORMANCE.md)
+    if (os.environ.get("DIFFNORM_INT8_VOCODER", "0") == "1"
+            and os.environ.get("BENCH_INT8_STATIC", "1") == "1"):
+        from diffnorm_tpu.ops.quant import calibrate_apply
+
+        variables = calibrate_apply(module.apply, variables, code)
+        os.environ["DIFFNORM_INT8_STATIC"] = "1"
+
     REPEATS = 8
 
     def run_many(v, c):

@@ -86,6 +86,20 @@ class HifiGanGenerator(nn.Module):
             unpack,
         )
 
+        import os as _os
+
+        from diffnorm_tpu.ops import packed_conv as _pc
+
+        # static int8 (DIFFNORM_INT8_VOCODER + DIFFNORM_INT8_STATIC):
+        # calibrated per-conv activation amaxes remove the max-abs pass
+        # over the waveform-rate activations — the pass that made dynamic
+        # int8 a 7% LOSS here (PERFORMANCE.md). Calibration mode
+        # (DIFFNORM_INT8_CALIB, mutable=["quant_stats"]) records them.
+        calib = _pc._INT8 and _os.environ.get(
+            "DIFFNORM_INT8_CALIB", "0") == "1"
+        static = _pc._INT8 and _os.environ.get(
+            "DIFFNORM_INT8_STATIC", "0") == "1"
+
         p = 128 // ch
         t = x.shape[1]
         pad_t = (-t) % p
@@ -97,8 +111,23 @@ class HifiGanGenerator(nn.Module):
             zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
         ):
             params = self.variables["params"][f"resblock_{i}_{j}"]
-            r = packed_resblock(xp, params, rk, tuple(rd), p,
-                                valid_len=t if pad_t else None)
+            name = f"packed_{i}_{j}"
+            amaxes = None
+            if static and self.has_variable("quant_stats", name):
+                amaxes = self.get_variable("quant_stats", name)
+            if calib:
+                r, observed = packed_resblock(
+                    xp, params, rk, tuple(rd), p,
+                    valid_len=t if pad_t else None, observe=True)
+                n_conv = 2 * len(rd)
+                v = self.variable(
+                    "quant_stats", name,
+                    lambda n=n_conv: jnp.zeros((n,), jnp.float32))
+                v.value = jnp.maximum(v.value, observed)
+            else:
+                r = packed_resblock(xp, params, rk, tuple(rd), p,
+                                    valid_len=t if pad_t else None,
+                                    amaxes=amaxes)
             acc = r if acc is None else acc + r
         x = unpack(acc / len(self.resblock_kernel_sizes), p)
         return x[:, :t] if pad_t else x

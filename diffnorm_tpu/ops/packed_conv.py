@@ -85,8 +85,13 @@ def packed_conv_matrices(kernel: jnp.ndarray, p: int, dilation: int):
 
 def packed_same_conv(xp: jnp.ndarray, kernel: jnp.ndarray,
                      bias: jnp.ndarray | None, p: int,
-                     dilation: int, quant: bool | None = None) -> jnp.ndarray:
-    """SAME dilated conv on packed input xp [B, Q, P*C] -> [B, Q, P*C]."""
+                     dilation: int, quant: bool | None = None,
+                     act_amax=None) -> jnp.ndarray:
+    """SAME dilated conv on packed input xp [B, Q, P*C] -> [B, Q, P*C].
+
+    `act_amax`: pre-calibrated per-tensor activation amax — skips the
+    max-abs reduce (the extra full pass over the waveform-rate activations
+    that made dynamic int8 a 7% LOSS here; see PERFORMANCE.md)."""
     q = xp.shape[1]
     quant = _INT8 if quant is None else quant
     out_dtype = xp.dtype
@@ -96,9 +101,14 @@ def packed_same_conv(xp: jnp.ndarray, kernel: jnp.ndarray,
         k_scale = jnp.maximum(jnp.max(jnp.abs(kernel)) / 127.0, 1e-12)
         kernel = jnp.round(kernel.astype(jnp.float32) / k_scale
                            ).astype(jnp.int8)
-        a_scale = jnp.maximum(
-            jnp.max(jnp.abs(xp.astype(jnp.float32))) / 127.0, 1e-12)
-        xp = jnp.round(xp.astype(jnp.float32) / a_scale).astype(jnp.int8)
+        if act_amax is not None:
+            a_scale = jnp.maximum(act_amax.astype(jnp.float32), 1e-10) / 127.0
+            xp = jnp.clip(jnp.round(xp.astype(jnp.float32) / a_scale),
+                          -127.0, 127.0).astype(jnp.int8)
+        else:
+            a_scale = jnp.maximum(
+                jnp.max(jnp.abs(xp.astype(jnp.float32))) / 127.0, 1e-12)
+            xp = jnp.round(xp.astype(jnp.float32) / a_scale).astype(jnp.int8)
     acc = None
     for s, w in packed_conv_matrices(kernel, p, dilation):
         if s == 0:
@@ -131,30 +141,46 @@ def _lrelu(x):
 
 def packed_resblock(xp: jnp.ndarray, params, kernel_size: int,
                     dilations, p: int,
-                    valid_len: int | None = None) -> jnp.ndarray:
+                    valid_len: int | None = None,
+                    amaxes=None, observe: bool = False):
     """HiFi-GAN ResBlock (models/hifigan.py:37-60) on packed activations:
     for each dilation d: x += conv2(lrelu(conv1_d(lrelu(x)))).
 
     `valid_len` (unpacked frames) must be passed when the input was padded
     to a multiple of P: conv biases make padded frames non-zero, and the
     next conv's left taps would leak them back into valid frames — zeroing
-    the tail after every conv reproduces SAME-padding semantics exactly."""
+    the tail after every conv reproduces SAME-padding semantics exactly.
+
+    Static int8 support: `amaxes` [2*len(dilations)] supplies calibrated
+    per-conv activation amaxes; `observe=True` instead returns
+    (xp, observed_amaxes) for calibration."""
     mask = None
     if valid_len is not None and valid_len < xp.shape[1] * p:
         c = xp.shape[-1] // p
         flat = jnp.arange(xp.shape[1] * p) < valid_len
         mask = jnp.repeat(flat, c).reshape(xp.shape[1], p * c)[None]
         mask = mask.astype(xp.dtype)
+    observed = [] if observe else None
     for j, d in enumerate(dilations):
         h = _lrelu(xp)
+        if observe:
+            observed.append(jnp.max(jnp.abs(h.astype(jnp.float32))))
         c1 = params[f"conv1_{j}"]
-        h = packed_same_conv(h, c1["kernel"], c1["bias"], p, d)
+        h = packed_same_conv(
+            h, c1["kernel"], c1["bias"], p, d,
+            act_amax=None if amaxes is None else amaxes[2 * j])
         if mask is not None:
             h = h * mask
         h = _lrelu(h)
+        if observe:
+            observed.append(jnp.max(jnp.abs(h.astype(jnp.float32))))
         c2 = params[f"conv2_{j}"]
-        h = packed_same_conv(h, c2["kernel"], c2["bias"], p, 1)
+        h = packed_same_conv(
+            h, c2["kernel"], c2["bias"], p, 1,
+            act_amax=None if amaxes is None else amaxes[2 * j + 1])
         if mask is not None:
             h = h * mask
         xp = xp + h
+    if observe:
+        return xp, jnp.stack(observed)
     return xp

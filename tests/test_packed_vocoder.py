@@ -122,3 +122,39 @@ def test_packed_same_conv_int8_parity():
     # quantization error bound vs the float path
     denom = np.abs(ref).max()
     assert np.abs(q - ref).max() / denom < 0.02
+
+
+def test_packed_vocoder_static_int8_parity(monkeypatch):
+    """Static calibrated scales on the packed int8 vocoder convs
+    (DIFFNORM_INT8_VOCODER + DIFFNORM_INT8_STATIC): calibrate with a
+    mutable apply, then the static synthesis must track the float path
+    within the dynamic-int8 bound."""
+    from diffnorm_tpu.models.hifigan import HifiGanGenerator
+    from diffnorm_tpu.ops import packed_conv
+    from diffnorm_tpu.ops.quant import calibrate_apply
+
+    gen = HifiGanGenerator(
+        upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=64, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 2),),
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 40, 16)), jnp.float32)
+    variables = gen.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(gen.apply(variables, x))
+
+    monkeypatch.setattr(packed_conv, "_INT8", True)
+    dyn = np.asarray(gen.apply(variables, x))
+    v_cal = calibrate_apply(gen.apply, variables, x)
+    assert "quant_stats" in v_cal
+    monkeypatch.setenv("DIFFNORM_INT8_STATIC", "1")
+    stat = np.asarray(gen.apply(v_cal, x))
+    monkeypatch.delenv("DIFFNORM_INT8_STATIC")
+
+    def rel(a, b):
+        return float(np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-9))
+
+    assert rel(dyn, ref) < 0.05
+    # calibrated on the same batch, the static path sees exact amaxes —
+    # stays within ~the dynamic error
+    assert rel(stat, ref) < 0.06

@@ -81,15 +81,22 @@ class ConvPositionalEmbedding(nn.Module):
 
 class TransformerSentenceEncoderLayer(nn.Module):
     """Post-norm transformer layer (wav2vec2/HuBERT-base default:
-    layer_norm_first=False)."""
+    layer_norm_first=False). Dropouts follow the reference layer
+    (wav2vec2.py TransformerSentenceEncoderLayer): attention-prob dropout
+    inside MHA, activation dropout after the fc1 GELU, residual dropout
+    after out_proj and fc2 — all 0 by default so the inference-only users
+    (feature dump, CTC head) are unchanged."""
 
     dim: int = 768
     heads: int = 12
     ffn_dim: int = 3072
+    dropout: float = 0.0
+    attention_dropout: float = 0.0
+    activation_dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, deterministic: bool = True):
         from diffnorm_tpu.ops.attention import masked_attention
 
         h = self.heads
@@ -102,13 +109,23 @@ class TransformerSentenceEncoderLayer(nn.Module):
         def heads_of(z):
             return z.reshape(b, t, h, d).transpose(0, 2, 1, 3)
 
-        attn = masked_attention(heads_of(q), heads_of(k), heads_of(v), mask=mask)
+        attn_rng = None
+        if not deterministic and self.attention_dropout > 0.0:
+            attn_rng = self.make_rng("dropout")
+        attn = masked_attention(
+            heads_of(q), heads_of(k), heads_of(v), mask=mask,
+            dropout=0.0 if deterministic else self.attention_dropout,
+            dropout_rng=attn_rng,
+        )
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, self.dim)
         attn = nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(attn)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         x = nn.LayerNorm(dtype=self.dtype, name="self_attn_layer_norm")(x + attn)
         h2 = nn.Dense(self.ffn_dim, dtype=self.dtype, name="fc1")(x)
         h2 = jax.nn.gelu(h2, approximate=False)
+        h2 = nn.Dropout(self.activation_dropout)(h2, deterministic=deterministic)
         h2 = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h2)
+        h2 = nn.Dropout(self.dropout)(h2, deterministic=deterministic)
         return nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")(x + h2)
 
 
@@ -121,31 +138,79 @@ class HubertEncoder(nn.Module):
     # --conv-feature-layers (fairseq wav2vec2/hubert flag): the extractor's
     # (channels, kernel, stride) spec; None = the released-model default
     conv_feature_layers: Optional[Sequence[Tuple[int, int, int]]] = None
+    # training-time knobs (reference hubert.py/wav2vec2.py defaults are
+    # nonzero only for pretraining; 0 keeps the inference users unchanged)
+    dropout: float = 0.0
+    attention_dropout: float = 0.0
+    activation_dropout: float = 0.0
+    dropout_input: float = 0.0
+    layerdrop: float = 0.0
+    feature_grad_mult: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, wav, output_layer: Optional[int] = None, mask=None):
+    def __call__(self, wav, output_layer: Optional[int] = None, mask=None,
+                 deterministic: bool = True, mask_indices=None, mask_emb=None,
+                 return_features: bool = False):
         """wav: [B, T] float32 (16 kHz). Returns [B, frames, dim] features
-        from `output_layer` (1-based; None = final)."""
+        from `output_layer` (1-based; None = final).
+
+        Pretraining hooks (reference hubert.py forward :432-470):
+        `mask_indices` [B, frames] bool + `mask_emb` [dim] replace masked
+        frames with the learned mask embedding after post_extract_proj;
+        `return_features` additionally returns the raw conv-extractor
+        output (for the features_pen penalty); `feature_grad_mult` scales
+        the gradient flowing into the conv extractor (GradMultiply)."""
         feats = ConvFeatureExtractor(
             conv_layers=tuple(self.conv_feature_layers or CONV_LAYERS),
             dtype=self.dtype, name="feature_extractor")(wav)
+        if self.feature_grad_mult != 1.0:
+            if self.feature_grad_mult == 0.0:
+                feats = jax.lax.stop_gradient(feats)
+            else:
+                # GradMultiply: identity forward, scaled backward
+                g = self.feature_grad_mult
+                feats = feats * g + jax.lax.stop_gradient(feats * (1.0 - g))
+        raw_features = feats
         feats = nn.LayerNorm(dtype=self.dtype, name="layer_norm")(feats)
         x = nn.Dense(self.dim, dtype=self.dtype, name="post_extract_proj")(feats)
+        x = nn.Dropout(self.dropout_input)(x, deterministic=deterministic)
+        if mask_indices is not None:
+            x = jnp.where(mask_indices[:, :, None],
+                          mask_emb.astype(x.dtype)[None, None, :], x)
 
+        if mask is not None:
+            # reference wav2vec2.py TransformerEncoder forward :1017-1018
+            # zeroes padded positions before the conv positional embedding
+            # (otherwise pos_conv smears tail garbage into valid frames)
+            x = jnp.where(mask[:, :, None], x, 0.0)
         x = x + ConvPositionalEmbedding(
             dim=self.dim, dtype=self.dtype, name="pos_conv"
         )(x)
         x = nn.LayerNorm(dtype=self.dtype, name="encoder_layer_norm")(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
         n = self.layers if output_layer is None else min(output_layer, self.layers)
         for i in range(self.layers):
             if i >= n:
                 break
-            x = TransformerSentenceEncoderLayer(
+            y = TransformerSentenceEncoderLayer(
                 dim=self.dim, heads=self.heads, ffn_dim=self.ffn_dim,
+                dropout=self.dropout,
+                attention_dropout=self.attention_dropout,
+                activation_dropout=self.activation_dropout,
                 dtype=self.dtype, name=f"layer_{i}",
-            )(x, mask=mask)
+            )(x, mask=mask, deterministic=deterministic)
+            if self.layerdrop > 0.0 and not deterministic:
+                # fairseq LayerDrop: drop the whole layer with prob p (no
+                # rescale at train; eval keeps all layers)
+                keep = jax.random.bernoulli(
+                    self.make_rng("dropout"), 1.0 - self.layerdrop)
+                x = jnp.where(keep, y, x)
+            else:
+                x = y
+        if return_features:
+            return x, raw_features
         return x
 
 
@@ -200,6 +265,139 @@ class HubertCTCModule(nn.Module):
         x = self.dropout(x, deterministic=deterministic)
         logits = self.proj(x)
         return dict(logits=logits, logit_lengths=out_lengths, mask=mask)
+
+
+class HubertPretrainModule(nn.Module):
+    """HuBERT masked-unit pretraining (reference hubert.py HubertModel
+    forward :432-527 + compute_nce :384-395).
+
+    TPU-first redesign: the reference gathers masked frames into
+    dynamic-shaped [n_masked, D] tensors and builds (K+1)-way NCE logits
+    [positive; all K label embeddings] with duplicate-of-positive rows
+    masked to -inf. Since the "negatives" are ALWAYS the full embedding
+    table and the positive row is masked out of it, that softmax is
+    mathematically identical to a K-way softmax over the label-embedding
+    cosines with target = the true label. We therefore compute ONE
+    static-shaped [B, T, K] cosine logit tensor (an MXU matmul over all
+    frames) and let the criterion weight the cross-entropy by
+    masked/unmasked validity — no dynamic shapes, no gathers
+    (equivalence pinned against the real reference model in
+    tests/test_hubert_pretrain.py).
+
+    Single-target only: the multi-label `target_list` generality is unused
+    by every released HuBERT recipe (one k-means label set per iteration);
+    `untie_final_proj`/`target_glu` likewise default off and are omitted.
+    """
+
+    num_classes: int
+    dim: int = 768
+    layers: int = 12
+    heads: int = 12
+    ffn_dim: int = 3072
+    final_dim: int = 256
+    logit_temp: float = 0.1
+    feature_grad_mult: float = 0.1
+    dropout_input: float = 0.1
+    dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.0
+    layerdrop: float = 0.05
+    conv_feature_layers: Optional[Sequence[Tuple[int, int, int]]] = None
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = HubertEncoder(
+            dim=self.dim, layers=self.layers, heads=self.heads,
+            ffn_dim=self.ffn_dim,
+            conv_feature_layers=self.conv_feature_layers,
+            dropout=self.dropout,
+            attention_dropout=self.attention_dropout,
+            activation_dropout=self.activation_dropout,
+            dropout_input=self.dropout_input,
+            layerdrop=self.layerdrop,
+            feature_grad_mult=self.feature_grad_mult,
+            dtype=self.dtype, name="encoder",
+        )
+        # reference inits: mask_emb ~ U[0,1); label_embs_concat ~ U[0,1)
+        self.mask_emb = self.param(
+            "mask_emb", nn.initializers.uniform(scale=1.0), (self.dim,))
+        self.final_proj = nn.Dense(
+            self.final_dim, dtype=self.dtype, name="final_proj")
+        self.label_embs_concat = self.param(
+            "label_embs_concat", nn.initializers.uniform(scale=1.0),
+            (self.num_classes, self.final_dim))
+
+    def __call__(self, src, src_lengths, mask_indices,
+                 deterministic: bool = True):
+        """src: [B, T(, 1)] 16 kHz waveform; mask_indices: [B, frames] bool
+        (drawn host-side by the task with utils.masking.compute_mask_indices
+        — reference apply_mask :337-358). Returns frame logits [B, F, K]
+        (cosine / logit_temp, f32), the conv feature penalty, and the valid
+        frame mask."""
+        wav = src[..., 0] if src.ndim == 3 else src
+        out_lengths = frame_lengths(src_lengths, self.conv_feature_layers)
+        n_frames = frames_for_samples(wav.shape[1], self.conv_feature_layers)
+        valid = jnp.arange(n_frames)[None, :] < out_lengths[:, None]
+        x, raw_features = self.encoder(
+            wav, mask=valid, deterministic=deterministic,
+            mask_indices=mask_indices, mask_emb=self.mask_emb,
+            return_features=True,
+        )
+        # reference :441: features.float().pow(2).mean() over ALL positions
+        features_pen = jnp.mean(
+            jnp.square(raw_features.astype(jnp.float32)))
+        proj = self.final_proj(x).astype(jnp.float32)
+        embs = self.label_embs_concat.astype(jnp.float32)
+        proj = proj / jnp.maximum(
+            jnp.linalg.norm(proj, axis=-1, keepdims=True), 1e-8)
+        embs = embs / jnp.maximum(
+            jnp.linalg.norm(embs, axis=-1, keepdims=True), 1e-8)
+        logits = jnp.einsum(
+            "bfd,kd->bfk", proj, embs,
+            preferred_element_type=jnp.float32) / self.logit_temp
+        return dict(
+            logits=logits, features_pen=features_pen, mask=valid,
+            mask_indices=mask_indices, logit_lengths=out_lengths,
+        )
+
+
+@register_model("hubert")
+class HubertPretrainModel(ModelHolder):
+    @classmethod
+    def build_model(cls, cfg, task=None) -> "HubertPretrainModel":
+        num_classes = cfg.get("num_classes")
+        if num_classes is None and task is not None and (
+                task.target_dictionary is not None):
+            num_classes = len(task.target_dictionary)
+        module = HubertPretrainModule(
+            num_classes=num_classes or 504,
+            dim=cfg.get("encoder_embed_dim", 768),
+            layers=cfg.get("encoder_layers", 12),
+            heads=cfg.get("encoder_attention_heads", 12),
+            ffn_dim=cfg.get("encoder_ffn_embed_dim", 3072),
+            final_dim=cfg.get("final_dim", 256),
+            logit_temp=cfg.get("logit_temp", 0.1),
+            feature_grad_mult=cfg.get("feature_grad_mult", 0.1),
+            dropout_input=cfg.get("dropout_input", 0.1),
+            dropout=cfg.get("dropout", 0.1),
+            attention_dropout=cfg.get("attention_dropout", 0.1),
+            activation_dropout=cfg.get("activation_dropout", 0.0),
+            layerdrop=cfg.get("encoder_layerdrop", 0.05),
+            conv_feature_layers=_parse_conv_spec(
+                cfg.get("conv_feature_layers")),
+            dtype=jnp.dtype(cfg.get("dtype", "float32")),
+        )
+        return cls(module=module, cfg=cfg)
+
+
+@register_architecture("hubert", "hubert")
+@register_architecture("hubert", "hubert_base")
+def hubert_base_arch(cfg):
+    cfg.setdefault("encoder_embed_dim", 768)
+    cfg.setdefault("encoder_layers", 12)
+    cfg.setdefault("encoder_attention_heads", 12)
+    cfg.setdefault("encoder_ffn_embed_dim", 3072)
+    cfg.setdefault("final_dim", 256)
 
 
 def _parse_conv_spec(spec):

@@ -160,6 +160,31 @@ def convert_hubert_ctc_checkpoint(path: str, layers: int = 12) -> Dict:
     }}
 
 
+def convert_hubert_pretrain_state(sd: Dict, layers: int = 12) -> Dict:
+    """Full HubertModel pretraining state dict (hubert.py: the encoder
+    backbone + mask_emb / final_proj / label_embs_concat) ->
+    HubertPretrainModule variables (models/hubert.py)."""
+    backbone = {k: v for k, v in sd.items()
+                if k not in ("mask_emb", "label_embs_concat")
+                and not k.startswith("final_proj.")}
+    enc = convert_hubert_state(backbone, layers=layers)
+    return {"params": {
+        "encoder": enc["params"],
+        "mask_emb": _t(sd["mask_emb"]),
+        "final_proj": {"kernel": dense_w(sd["final_proj.weight"]),
+                       "bias": _t(sd["final_proj.bias"])},
+        "label_embs_concat": _t(sd["label_embs_concat"]),
+    }}
+
+
+def convert_hubert_pretrain_checkpoint(path: str, layers: int = 12) -> Dict:
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt)
+    return convert_hubert_pretrain_state(sd, layers=layers)
+
+
 def convert_hubert_state(sd: Dict, layers: int = 12) -> Dict:
     sd = {k.removeprefix("encoder."): v for k, v in sd.items()} if all(
         k.startswith("encoder.") for k in sd

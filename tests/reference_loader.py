@@ -1432,3 +1432,31 @@ def load_s2t_transformer():
             "ref_s2t_transformer",
             f"{REF}/fairseq/models/speech_to_text/s2t_transformer.py")
     return _cache["s2t_transformer"]
+
+
+def load_data_utils():
+    """Exec the REAL fairseq/data/data_utils.py verbatim (for
+    compute_mask_indices — the wav2vec2/HuBERT span-mask draw,
+    data_utils.py:393-527). Loaded under its own module name so it never
+    collides with the tiny fairseq.data.data_utils attribute stubs other
+    loaders install."""
+    if "data_utils" not in _cache:
+        install_fairseq_stubs()
+        import os
+
+        _builtin_open = open
+
+        class _PathManager:
+            @staticmethod
+            def ls(path):
+                return os.listdir(path)
+
+            @staticmethod
+            def open(path, mode="r", **kw):
+                kw.pop("encoding", None)
+                return _builtin_open(path, mode)
+
+        _stub("fairseq.file_io", PathManager=_PathManager)
+        _cache["data_utils"] = _file_module(
+            "ref_data_utils", f"{REF}/fairseq/data/data_utils.py")
+    return _cache["data_utils"]

@@ -220,6 +220,10 @@ def main(cfg: Optional[Config] = None) -> int:
     best_metric = None
     patience_left = tcfg.patience
     step = int(jax.device_get(state.step))
+    if hasattr(task, "set_num_updates"):
+        # step-annealed host-side schedules (e.g. the wav2vec2 gumbel
+        # temperature) — resume-aware
+        task.set_num_updates(step)
 
     from diffnorm_tpu.train.progress import ProgressWriter
     from diffnorm_tpu.utils.watchdog import Watchdog
@@ -312,6 +316,8 @@ def main(cfg: Optional[Config] = None) -> int:
                 rng, step_rng = jax.random.split(rng)
                 state, mets = trainer.train_step(state, microbatches, step_rng)
                 step += 1
+                if hasattr(task, "set_num_updates"):
+                    task.set_num_updates(step)
                 if epoch_itr is not None:
                     # resume offset = batches TRAINED, not batches pulled
                     # (prefetch_to_device reads ahead of the step)

@@ -11,3 +11,4 @@ from diffnorm_tpu.criterions import aliases  # noqa: F401
 from diffnorm_tpu.criterions.label_smoothing import label_smoothed_nll_loss  # noqa: F401
 from diffnorm_tpu.criterions import ctc_loss  # noqa: F401
 from diffnorm_tpu.criterions import hubert_loss  # noqa: F401
+from diffnorm_tpu.criterions import wav2vec_loss  # noqa: F401

@@ -35,7 +35,7 @@ class HubertPretrainDataset:
         self,
         audio_paths: List[str],
         n_samples: List[int],
-        labels: List[np.ndarray],
+        labels: Optional[List[np.ndarray]] = None,
         max_sample_size: int = 250_000,
         min_sample_size: int = 32_000,
         sample_rate: int = 16_000,
@@ -48,7 +48,8 @@ class HubertPretrainDataset:
         keep = [i for i, n in enumerate(n_samples) if n >= min_sample_size]
         self.audio_paths = [audio_paths[i] for i in keep]
         self.n_samples = [n_samples[i] for i in keep]
-        self.labels = [labels[i] for i in keep]
+        # labels=None -> raw-audio pretraining (wav2vec2: no frame targets)
+        self.labels = None if labels is None else [labels[i] for i in keep]
         self.max_sample_size = max_sample_size
         self.sample_rate = sample_rate
         self.label_rate = label_rate
@@ -91,6 +92,13 @@ class HubertPretrainDataset:
         n_valid = len(wav)
         if n_valid < canvas:
             wav = np.pad(wav, (0, canvas - n_valid))
+        out = {
+            "index": index,
+            "wav": np.asarray(wav, np.float32),
+            "length": n_valid,
+        }
+        if self.labels is None:
+            return out
         # frame-aligned label window for the crop
         label = self.labels[index]
         lab_start = int(round(start / self.sample_rate * self.label_rate))
@@ -103,31 +111,34 @@ class HubertPretrainDataset:
         # frames beyond the valid waveform are invalid regardless of labels
         valid_frames = _host_frames_for_samples(n_valid)
         target[valid_frames:] = -1
-        return {
-            "index": index,
-            "wav": np.asarray(wav, np.float32),
-            "length": n_valid,
-            "target": target,
-        }
+        out["target"] = target
+        return out
 
     def collater(self, samples: List[Dict]) -> Dict:
-        return {
+        batch = {
             "id": np.asarray([s["index"] for s in samples], np.int64),
             "src_tokens": np.stack([s["wav"] for s in samples]),
             "src_lengths": np.asarray(
                 [s["length"] for s in samples], np.int32),
-            "target": np.stack([s["target"] for s in samples]),
-            "ntokens": int(sum(
-                (np.asarray(s["target"]) >= 0).sum() for s in samples)),
             "nsentences": len(samples),
         }
+        if self.labels is None:
+            # masked-frame count isn't known until prepare_batch draws the
+            # span mask; valid frames is the stable token measure
+            batch["ntokens"] = int(sum(
+                _host_frames_for_samples(int(s["length"])) for s in samples))
+            return batch
+        batch["target"] = np.stack([s["target"] for s in samples])
+        batch["ntokens"] = int(sum(
+            (np.asarray(s["target"]) >= 0).sum() for s in samples))
+        return batch
 
     @classmethod
     def from_manifest(
         cls,
         manifest: str,
-        label_file: str,
-        tgt_dict,
+        label_file: Optional[str] = None,
+        tgt_dict=None,
         **kwargs,
     ) -> "HubertPretrainDataset":
         with open(manifest) as f:
@@ -139,6 +150,8 @@ class HubertPretrainDataset:
                 p, n = line.rstrip("\n").split("\t")
                 paths.append(os.path.join(root, p) if root else p)
                 ns.append(int(n))
+        if label_file is None:
+            return cls(paths, ns, None, **kwargs)
         labels = []
         with open(label_file) as f:
             for line in f:

@@ -13,4 +13,5 @@ from diffnorm_tpu.models import unit_lm  # noqa: F401
 from diffnorm_tpu.models import transformer_text  # noqa: F401
 from diffnorm_tpu.models import s2t_transformer  # noqa: F401
 from diffnorm_tpu.models import hubert  # noqa: F401
+from diffnorm_tpu.models import wav2vec2  # noqa: F401
 from diffnorm_tpu.models import s2spect  # noqa: F401

@@ -151,7 +151,7 @@ class HubertEncoder(nn.Module):
     @nn.compact
     def __call__(self, wav, output_layer: Optional[int] = None, mask=None,
                  deterministic: bool = True, mask_indices=None, mask_emb=None,
-                 return_features: bool = False):
+                 return_features: bool = False, return_normed: bool = False):
         """wav: [B, T] float32 (16 kHz). Returns [B, frames, dim] features
         from `output_layer` (1-based; None = final).
 
@@ -173,6 +173,9 @@ class HubertEncoder(nn.Module):
                 feats = feats * g + jax.lax.stop_gradient(feats * (1.0 - g))
         raw_features = feats
         feats = nn.LayerNorm(dtype=self.dtype, name="layer_norm")(feats)
+        # wav2vec2's contrastive targets are the layer-normed (pre-proj)
+        # features ("unmasked_features", wav2vec2.py:603-604)
+        normed_features = feats
         x = nn.Dense(self.dim, dtype=self.dtype, name="post_extract_proj")(feats)
         x = nn.Dropout(self.dropout_input)(x, deterministic=deterministic)
         if mask_indices is not None:
@@ -209,6 +212,8 @@ class HubertEncoder(nn.Module):
                 x = jnp.where(keep, y, x)
             else:
                 x = y
+        if return_normed:
+            return x, raw_features, normed_features
         if return_features:
             return x, raw_features
         return x

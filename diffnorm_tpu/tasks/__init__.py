@@ -13,5 +13,6 @@ from diffnorm_tpu.tasks import translation_task  # noqa: F401
 from diffnorm_tpu.tasks import s2t_task  # noqa: F401
 from diffnorm_tpu.tasks import s2spect_task  # noqa: F401
 from diffnorm_tpu.tasks import hubert_pretrain_task  # noqa: F401
+from diffnorm_tpu.tasks import audio_pretrain_task  # noqa: F401
 from diffnorm_tpu.tasks import aliases  # noqa: F401
 from diffnorm_tpu.tasks.base import Task  # noqa: F401

@@ -177,6 +177,40 @@ def convert_hubert_pretrain_state(sd: Dict, layers: int = 12) -> Dict:
     }}
 
 
+def convert_wav2vec2_pretrain_state(sd: Dict, layers: int = 12) -> Dict:
+    """Full Wav2Vec2Model pretraining state dict (wav2vec2.py: backbone +
+    mask_emb / quantizer / project_q / final_proj) ->
+    Wav2Vec2PretrainModule variables (models/wav2vec2.py)."""
+    heads = ("mask_emb", "quantizer.vars", "quantizer.weight_proj.weight",
+             "quantizer.weight_proj.bias", "project_q.weight",
+             "project_q.bias", "final_proj.weight", "final_proj.bias")
+    backbone = {k: v for k, v in sd.items() if k not in heads}
+    enc = convert_hubert_state(backbone, layers=layers)
+    return {"params": {
+        "encoder": enc["params"],
+        "mask_emb": _t(sd["mask_emb"]),
+        "quantizer": {
+            "vars": _t(sd["quantizer.vars"]),
+            "weight_proj": {
+                "kernel": dense_w(sd["quantizer.weight_proj.weight"]),
+                "bias": _t(sd["quantizer.weight_proj.bias"]),
+            },
+        },
+        "project_q": {"kernel": dense_w(sd["project_q.weight"]),
+                      "bias": _t(sd["project_q.bias"])},
+        "final_proj": {"kernel": dense_w(sd["final_proj.weight"]),
+                       "bias": _t(sd["final_proj.bias"])},
+    }}
+
+
+def convert_wav2vec2_pretrain_checkpoint(path: str, layers: int = 12) -> Dict:
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt)
+    return convert_wav2vec2_pretrain_state(sd, layers=layers)
+
+
 def convert_hubert_pretrain_checkpoint(path: str, layers: int = 12) -> Dict:
     import torch
 

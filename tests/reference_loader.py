@@ -1460,3 +1460,10 @@ def load_data_utils():
         _cache["data_utils"] = _file_module(
             "ref_data_utils", f"{REF}/fairseq/data/data_utils.py")
     return _cache["data_utils"]
+
+
+def load_wav2vec2():
+    """The REAL fairseq/models/wav2vec/wav2vec2.py (exec'd verbatim by
+    load_hubert, Wav2Vec2Model + Wav2Vec2Config + GumbelVectorQuantizer)."""
+    load_hubert()
+    return sys.modules["fairseq.models.wav2vec.wav2vec2"]

@@ -1,0 +1,218 @@
+"""wav2vec 2.0 pretraining parity against the REAL reference model.
+
+The reference Wav2Vec2Model (wav2vec2.py, exec'd verbatim) runs its full
+contrastive forward — conv extractor, span-mask substitution, transformer
+encoder, gumbel quantizer (eval: hard argmax), project_q/final_proj,
+cosine logits over [positive; 100 negatives] with duplicate-of-positive
+-inf masking — and our static-shaped Wav2Vec2PretrainModule must reproduce
+the logits, perplexities, features_pen and criterion loss after checkpoint
+conversion. Mask indices are injected (the ref forward accepts them);
+negatives are injected by patching sample_negatives with the indices our
+task drew, so the comparison pins the MATH with shared randomness.
+"""
+
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from reference_loader import load_wav2vec2
+
+from diffnorm_tpu.config import Config, make_trainer_config
+from diffnorm_tpu.registry import TASKS
+from diffnorm_tpu.utils.masking import compute_mask_indices
+
+B, T_WAV = 2, 2010  # -> 100 conv frames (even: no seq-multiple pad)
+CONV_SPEC = ((64, 10, 5), (64, 3, 2), (64, 2, 2))
+N_NEG = 10
+
+
+def _build_ref_model():
+    w2v = load_wav2vec2()
+    cfg = w2v.Wav2Vec2Config()
+    cfg.conv_feature_layers = str(list(CONV_SPEC))
+    cfg.encoder_embed_dim = 96
+    cfg.encoder_layers = 2
+    cfg.encoder_attention_heads = 4
+    cfg.encoder_ffn_embed_dim = 192
+    cfg.final_dim = 32
+    cfg.quantize_targets = True
+    cfg.latent_vars = 24
+    cfg.latent_groups = 2
+    cfg.latent_temp = (2.0, 0.5, 0.999995)
+    cfg.num_negatives = N_NEG
+    cfg.dropout = 0.0
+    cfg.attention_dropout = 0.0
+    cfg.activation_dropout = 0.0
+    cfg.dropout_input = 0.0
+    cfg.dropout_features = 0.0
+    cfg.encoder_layerdrop = 0.0
+    cfg.feature_grad_mult = 1.0
+    torch.manual_seed(0)
+    model = w2v.Wav2Vec2Model(cfg)
+    model.eval()
+    return model
+
+
+def test_wav2vec2_forward_matches_reference():
+    from diffnorm_tpu.models.wav2vec2 import Wav2Vec2PretrainModule
+    from diffnorm_tpu.utils.convert_weights import (
+        convert_wav2vec2_pretrain_state,
+    )
+
+    model = _build_ref_model()
+    rng = np.random.default_rng(0)
+    wav = (rng.normal(size=(B, T_WAV)) * 0.1).astype(np.float32)
+    n_frames = 100
+
+    # shared mask (equal count per row -> the ref's masked view works)
+    np.random.seed(5)
+    mask = compute_mask_indices(
+        (B, n_frames), np.zeros((B, n_frames), bool),
+        mask_prob=0.5, mask_length=4, min_masks=2, rng=None,
+    )
+    m = int(mask.sum(1)[0])
+    assert (mask.sum(1) == m).all() and 1 < m < n_frames
+
+    masked_pos = np.stack([np.nonzero(mask[b])[0] for b in range(B)]
+                          ).astype(np.int32)
+    neg_idxs = rng.integers(0, m - 1, size=(B, m, N_NEG))
+    neg_idxs = (neg_idxs + (neg_idxs >= np.arange(m)[None, :, None])
+                ).astype(np.int32)
+
+    # inject our negatives into the reference (its draw is torch-RNG)
+    def fake_sample_negatives(y, num, padding_count=None):
+        # y: [B, M, D] -> negs [N, B, M, D] with negs[n,b,m]=y[b,idx[b,m,n]]
+        idx = torch.from_numpy(neg_idxs.astype(np.int64))  # [B, M, N]
+        gathered = torch.stack(
+            [y[b][idx[b].reshape(-1)].reshape(num, N_NEG, -1)
+             for b in range(y.size(0))])  # [B, M, N, D]
+        return gathered.permute(2, 0, 1, 3), None
+
+    model.sample_negatives = fake_sample_negatives
+    with torch.no_grad():
+        ref = model(
+            source=torch.from_numpy(wav),
+            padding_mask=torch.zeros((B, T_WAV), dtype=torch.bool),
+            mask=True,
+            mask_indices=torch.from_numpy(mask),
+        )
+    ref_logits = ref["x"].numpy()  # [1+N, B, M]
+
+    module = Wav2Vec2PretrainModule(
+        dim=96, layers=2, heads=4, ffn_dim=192, final_dim=32,
+        latent_vars=24, latent_groups=2, conv_feature_layers=CONV_SPEC,
+        feature_grad_mult=1.0, dropout_input=0.0, dropout_features=0.0,
+        dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        layerdrop=0.0,
+    )
+    variables = convert_wav2vec2_pretrain_state(model.state_dict(), layers=2)
+    out = module.apply(
+        variables, jnp.asarray(wav), jnp.full((B,), T_WAV, jnp.int32),
+        jnp.asarray(mask), jnp.asarray(masked_pos),
+        jnp.ones((B, m), bool), jnp.asarray(neg_idxs),
+        temp=2.0, deterministic=True,
+    )
+    logits = np.asarray(out["logits"])  # [B, M, 1+N]
+    assert logits.shape == (B, m, 1 + N_NEG)
+
+    ref_bmk = np.transpose(ref_logits, (1, 2, 0))  # [B, M, 1+N]
+    finite = np.isfinite(ref_bmk)
+    # duplicate-of-positive -inf masking agrees exactly
+    np.testing.assert_array_equal(np.isfinite(logits), finite)
+    np.testing.assert_allclose(
+        logits[finite], ref_bmk[finite], atol=2e-3)
+
+    np.testing.assert_allclose(
+        float(out["features_pen"]), float(ref["features_pen"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(out["prob_perplexity"]), float(ref["prob_perplexity"]),
+        rtol=1e-4)
+    np.testing.assert_allclose(
+        float(out["code_perplexity"]), float(ref["code_perplexity"]),
+        rtol=1e-4)
+
+    # criterion parity: infonce CE(target 0) + [0.1, 10] extra losses
+    # (wav2vec_criterion.py:68-110), normalized by sample_size
+    from diffnorm_tpu.criterions.wav2vec_loss import Wav2VecLoss
+
+    ce_ref = torch.nn.functional.cross_entropy(
+        torch.from_numpy(ref_logits).permute(1, 2, 0).reshape(-1, 1 + N_NEG),
+        torch.zeros(B * m, dtype=torch.long), reduction="sum").item()
+    sample_size = B * m
+    nvars = 24 * 2
+    loss_ref = (
+        ce_ref
+        + 0.1 * (nvars - float(ref["prob_perplexity"])) / nvars * sample_size
+        + 10.0 * float(ref["features_pen"]) * sample_size
+    ) / sample_size
+
+    class _Holder:
+        apply = staticmethod(module.apply)
+
+    crit = Wav2VecLoss(Config())
+    batch = {
+        "src_tokens": jnp.asarray(wav),
+        "src_lengths": jnp.full((B,), T_WAV, jnp.int32),
+        "mask_indices": jnp.asarray(mask),
+        "masked_pos": jnp.asarray(masked_pos),
+        "masked_valid": jnp.ones((B, m), bool),
+        "neg_idxs": jnp.asarray(neg_idxs),
+        "gumbel_temp": jnp.float32(2.0),
+    }
+    loss, metrics, _ = crit(_Holder(), variables, batch,
+                            jax.random.PRNGKey(0), train=False)
+    assert int(metrics["sample_size"]) == sample_size
+    np.testing.assert_allclose(float(loss), loss_ref, rtol=1e-4)
+
+
+def test_wav2vec2_trainer_step_trains():
+    """dummy_wav2vec2 through the Trainer: host-side mask/negative draws,
+    gumbel ST estimator — one step is finite and moves the codebook,
+    the weight_proj, and a deep encoder weight."""
+    from diffnorm_tpu.train.trainer import Trainer
+
+    cfg = Config(
+        arch="wav2vec2", criterion="wav2vec", task="dummy_wav2vec2",
+        conv_feature_layers="[(32,10,5),(32,3,2)]",
+        encoder_embed_dim=48, encoder_layers=1, encoder_attention_heads=2,
+        encoder_ffn_embed_dim=96, final_dim=16, latent_vars=12,
+        latent_groups=2, num_negatives=8, lr=1e-3,
+        tokens_per_sample=2000, batch_size=2,
+    )
+    task = TASKS.get("dummy_wav2vec2").setup_task(cfg)
+    model = task.build_model()
+    crit = task.build_criterion()
+    trainer = Trainer(make_trainer_config(cfg), task, model, crit)
+    batch = task.dummy_batch(2, 2000)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    p0 = jax.device_get(state.params)
+    state, mets = trainer.train_step(state, [batch], jax.random.PRNGKey(1))
+    assert np.isfinite(float(mets["loss"]))
+    p1 = jax.device_get(state.params)
+
+    def leaf(tree, *path):
+        node = tree.get("params", tree)
+        for p in path:
+            node = node[p]
+        return node
+
+    for path in (("quantizer", "vars"),
+                 ("quantizer", "weight_proj", "kernel"),
+                 ("encoder", "layer_0", "fc1", "kernel"),
+                 ("project_q", "kernel")):
+        assert float(np.abs(leaf(p1, *path) - leaf(p0, *path)).max()) > 0, path
+
+
+def test_wav2vec2_gumbel_temp_annealing():
+    """set_num_updates drives the reference's max(max*decay^n, min)
+    schedule (gumbel_vector_quantizer.py:88-91)."""
+    cfg = Config(task="dummy_wav2vec2", latent_temp=(2.0, 0.5, 0.9))
+    task = TASKS.get("dummy_wav2vec2").setup_task(cfg)
+    assert task.gumbel_temp == 2.0
+    task.set_num_updates(3)
+    np.testing.assert_allclose(task.gumbel_temp, 2.0 * 0.9 ** 3)
+    task.set_num_updates(1000)
+    assert task.gumbel_temp == 0.5

@@ -124,11 +124,26 @@ class AudioFinetuningTask(S2TTask):
 
     def init_variables(self, model, rng, batch):
         r_p, r_d = jax.random.split(rng)
-        return model.init(
+        variables = model.init(
             {"params": r_p, "dropout": r_d},
             batch["src_tokens"], batch["src_lengths"],
             deterministic=True,
         )
+        w2v = self.cfg.get("w2v_path")
+        if w2v:
+            # fairseq --w2v-path: warm-start the backbone from a
+            # pretraining checkpoint (hubert_asr.py:334-368) — ours
+            # (orbax dir from hubert_pretraining / audio_pretraining)
+            # or a torch .pt
+            from diffnorm_tpu.utils.convert_weights import (
+                graft_encoder_params,
+                load_pretrained_encoder,
+            )
+
+            enc = load_pretrained_encoder(
+                str(w2v), layers=self.cfg.get("encoder_layers", 12))
+            variables = graft_encoder_params(variables, enc)
+        return variables
 
     def dummy_batch(self, batch_size: int = 2, seq_len: int = 2000) -> Dict:
         rng = np.random.default_rng(0)

@@ -219,6 +219,68 @@ def convert_hubert_pretrain_checkpoint(path: str, layers: int = 12) -> Dict:
     return convert_hubert_pretrain_state(sd, layers=layers)
 
 
+def load_pretrained_encoder(path: str, layers: int = 12) -> Dict:
+    """fairseq `--w2v-path` (hubert_asr.py:334-368 HubertEncoder.__init__):
+    pull the encoder backbone params out of a pretraining checkpoint for
+    fine-tune warm starts. Accepts a torch .pt (fairseq HubertModel /
+    Wav2Vec2Model state dict, converted) or an orbax checkpoint directory
+    saved by OUR hubert_pretraining / audio_pretraining trainer."""
+    import os
+
+    if os.path.isdir(path):
+        from diffnorm_tpu.train.checkpoint import (
+            load_checkpoint_params,
+            restored_to_variables,
+        )
+
+        restored = load_checkpoint_params(path)
+        variables = restored_to_variables(restored) or restored
+        params = variables.get("params", variables)
+        if "encoder" not in params:
+            raise ValueError(
+                f"no 'encoder' subtree in pretraining checkpoint {path}; "
+                f"top-level keys: {sorted(params)}")
+        return params["encoder"]
+
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt)
+    if any(k.startswith("quantizer.") for k in sd):
+        return convert_wav2vec2_pretrain_state(
+            sd, layers=layers)["params"]["encoder"]
+    if "label_embs_concat" in sd:
+        return convert_hubert_pretrain_state(
+            sd, layers=layers)["params"]["encoder"]
+    # a bare backbone (extract_features-style) state dict
+    return convert_hubert_state(sd, layers=layers)["params"]
+
+
+def graft_encoder_params(variables: Dict, encoder_params: Dict,
+                         name: str = "w2v_model") -> Dict:
+    """Replace `variables['params'][name]` with pretrained encoder params,
+    asserting the tree shapes line up (loud failure on config mismatch)."""
+    import jax
+    import numpy as np
+
+    target = variables["params"].get(name)
+    if target is None:
+        raise ValueError(
+            f"model has no '{name}' subtree; keys: "
+            f"{sorted(variables['params'])}")
+    t_shapes = jax.tree_util.tree_map(lambda x: tuple(np.shape(x)), target)
+    s_shapes = jax.tree_util.tree_map(
+        lambda x: tuple(np.shape(x)), encoder_params)
+    if t_shapes != s_shapes:
+        raise ValueError(
+            "pretrained encoder does not match the fine-tune model "
+            f"(check encoder dims/conv spec/layers):\nmodel:  {t_shapes}\n"
+            f"ckpt:   {s_shapes}")
+    params = dict(variables["params"])
+    params[name] = encoder_params
+    return {**variables, "params": params}
+
+
 def convert_hubert_state(sd: Dict, layers: int = 12) -> Dict:
     sd = {k.removeprefix("encoder."): v for k, v in sd.items()} if all(
         k.startswith("encoder.") for k in sd

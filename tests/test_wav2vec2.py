@@ -216,3 +216,65 @@ def test_wav2vec2_gumbel_temp_annealing():
     np.testing.assert_allclose(task.gumbel_temp, 2.0 * 0.9 ** 3)
     task.set_num_updates(1000)
     assert task.gumbel_temp == 0.5
+
+
+def test_w2v_path_warm_start(tmp_path):
+    """fairseq --w2v-path: the CTC fine-tune model warm-starts its backbone
+    from (a) an orbax pretraining checkpoint saved by OUR trainer and
+    (b) a torch HubertModel/Wav2Vec2Model .pt; dim mismatches fail loud
+    (hubert_asr.py:334-368 semantics)."""
+    import pytest
+
+    from diffnorm_tpu.train.checkpoint import CheckpointManager
+    from diffnorm_tpu.utils.convert_weights import (
+        graft_encoder_params,
+        load_pretrained_encoder,
+    )
+
+    # --- pretrain one wav2vec2 step and save -----------------------------
+    cfg = Config(
+        arch="wav2vec2", criterion="wav2vec", task="dummy_wav2vec2",
+        conv_feature_layers="[(32,10,5),(32,3,2)]",
+        encoder_embed_dim=48, encoder_layers=1, encoder_attention_heads=2,
+        encoder_ffn_embed_dim=96, final_dim=16, latent_vars=12,
+        latent_groups=2, num_negatives=8, lr=1e-3, tokens_per_sample=2000,
+    )
+    task = TASKS.get("dummy_wav2vec2").setup_task(cfg)
+    model = task.build_model()
+    batch = task.dummy_batch(2, 2000)
+    variables = task.init_variables(model, jax.random.PRNGKey(0), batch)
+    mgr = CheckpointManager(str(tmp_path / "pt"), keep_last=1, keep_best=1)
+    mgr.save(3, {"step": 3, "params": jax.device_get(variables["params"])})
+    mgr.finalize()
+
+    # --- fine-tune model pulls the encoder from it ------------------------
+    ft_cfg = Config(
+        arch="hubert_ctc", criterion="ctc", task="dummy_ctc",
+        conv_feature_layers="[(32,10,5),(32,3,2)]",
+        encoder_embed_dim=48, encoder_layers=1, encoder_attention_heads=2,
+        encoder_ffn_embed_dim=96, vocab_size=30,
+        w2v_path=str(tmp_path / "pt" / "step_000000003"),
+    )
+    ft_task = TASKS.get("dummy_ctc").setup_task(ft_cfg)
+    ft_model = ft_task.build_model()
+    ft_batch = ft_task.dummy_batch(2, 2000)
+    ft_vars = ft_task.init_variables(ft_model, jax.random.PRNGKey(1), ft_batch)
+    np.testing.assert_array_equal(
+        np.asarray(ft_vars["params"]["w2v_model"]["post_extract_proj"]["kernel"]),
+        np.asarray(variables["params"]["encoder"]["post_extract_proj"]["kernel"]),
+    )
+    # forward still works with the grafted params
+    out = ft_model.apply(ft_vars, ft_batch["src_tokens"],
+                         ft_batch["src_lengths"], deterministic=True)
+    assert np.isfinite(np.asarray(out["logits"])).all()
+
+    # --- torch .pt path ----------------------------------------------------
+    ref = _build_ref_model()
+    pt = tmp_path / "w2v.pt"
+    torch.save({"model": ref.state_dict()}, pt)
+    enc = load_pretrained_encoder(str(pt), layers=2)
+    assert "layer_1" in enc and "post_extract_proj" in enc
+
+    # --- mismatch fails loud ------------------------------------------------
+    with pytest.raises(ValueError, match="does not match"):
+        graft_encoder_params(ft_vars, enc)

@@ -240,6 +240,34 @@ def main_nar():
     }))
 
 
+def _measure_train_ups(trainer, state, batch, n: int = 8):
+    """Shared train-step timing scaffold: pre-shard the (constant) batch
+    (measures chip step throughput, not tunnel H2D — real training overlaps
+    uploads via parallel.mesh.prefetch_to_device), compile+warm, calibrate
+    the tunnel round-trip with a tiny program, then time n steps with one
+    final scalar sync. Returns (updates/s, final state)."""
+    from diffnorm_tpu.parallel.mesh import shard_batch
+
+    batch = shard_batch(batch, trainer.mesh)
+    rng = jax.random.PRNGKey(1)
+    for i in range(2):  # compile + warm
+        state, m = trainer.train_step(state, [batch],
+                                      jax.random.fold_in(rng, i))
+    tiny = jax.jit(lambda x: jnp.sum(x))
+    _ = float(tiny(jnp.ones((8,))))
+    t0 = time.perf_counter()
+    _ = float(tiny(jnp.ones((8,))))
+    latency = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, m = trainer.train_step(state, [batch],
+                                      jax.random.fold_in(rng, 100 + i))
+    _ = float(m["loss"])  # sync
+    wall = max(time.perf_counter() - t0 - latency, 1e-9)
+    return n / wall, state
+
+
 def main_train():
     """Tertiary metric: latent-diffusion train-step throughput (the stage-2
     training workload, scripts/diffusion/train.sh config at latent 128) —
@@ -268,30 +296,7 @@ def main_train():
     trainer = Trainer(make_trainer_config(cfg), task, model, crit)
     batch = task.dummy_batch(b, seq)
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
-    rng = jax.random.PRNGKey(1)
-    # pre-shard the (constant) batch: measures chip step throughput, not
-    # the tunnel's H2D bandwidth (real training overlaps uploads via
-    # parallel.mesh.prefetch_to_device)
-    from diffnorm_tpu.parallel.mesh import shard_batch
-
-    batch = shard_batch(batch, trainer.mesh)
-
-    for i in range(2):  # compile + warm
-        state, m = trainer.train_step(state, [batch], jax.random.fold_in(rng, i))
-    tiny = jax.jit(lambda x: jnp.sum(x))
-    _ = float(tiny(jnp.ones((8,))))
-    t0 = time.perf_counter()
-    _ = float(tiny(jnp.ones((8,))))
-    latency = time.perf_counter() - t0
-
-    n = 8
-    t0 = time.perf_counter()
-    for i in range(n):
-        state, m = trainer.train_step(state, [batch],
-                                      jax.random.fold_in(rng, 100 + i))
-    _ = float(m["loss"])  # sync
-    wall = max(time.perf_counter() - t0 - latency, 1e-9)
-    ups = n / wall
+    ups, _state = _measure_train_ups(trainer, state, batch)
     print(json.dumps({
         "metric": "diffusion_train_step_throughput",
         "value": round(ups * b * seq, 1),
@@ -326,25 +331,7 @@ def main_vae_train():
                       task.build_criterion())
     batch = task.dummy_batch(b, seq)
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
-    rng = jax.random.PRNGKey(1)
-    from diffnorm_tpu.parallel.mesh import shard_batch
-
-    batch = shard_batch(batch, trainer.mesh)
-    for i in range(2):
-        state, m = trainer.train_step(state, [batch], jax.random.fold_in(rng, i))
-    tiny = jax.jit(lambda x: jnp.sum(x))
-    _ = float(tiny(jnp.ones((8,))))
-    t0 = time.perf_counter()
-    _ = float(tiny(jnp.ones((8,))))
-    latency = time.perf_counter() - t0
-    n = 8
-    t0 = time.perf_counter()
-    for i in range(n):
-        state, m = trainer.train_step(state, [batch],
-                                      jax.random.fold_in(rng, 100 + i))
-    _ = float(m["loss"])
-    wall = max(time.perf_counter() - t0 - latency, 1e-9)
-    ups = n / wall
+    ups, _state = _measure_train_ups(trainer, state, batch)
     print(json.dumps({
         "metric": "vae_train_step_throughput",
         "value": round(ups * b * seq, 1),
@@ -441,30 +428,57 @@ def main_nar_train():
     trainer = Trainer(make_trainer_config(cfg), task, model, crit)
     batch = task.dummy_batch(b, seq)
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
-    rng = jax.random.PRNGKey(1)
-    from diffnorm_tpu.parallel.mesh import shard_batch
-
-    batch = shard_batch(batch, trainer.mesh)
-    for i in range(2):  # compile + warm
-        state, m = trainer.train_step(state, [batch], jax.random.fold_in(rng, i))
-    tiny = jax.jit(lambda x: jnp.sum(x))
-    _ = float(tiny(jnp.ones((8,))))
-    t0 = time.perf_counter()
-    _ = float(tiny(jnp.ones((8,))))
-    latency = time.perf_counter() - t0
-
-    n = 8
-    t0 = time.perf_counter()
-    for i in range(n):
-        state, m = trainer.train_step(state, [batch],
-                                      jax.random.fold_in(rng, 100 + i))
-    _ = float(m["loss"])  # sync
-    wall = max(time.perf_counter() - t0 - latency, 1e-9)
-    ups = n / wall
+    ups, _state = _measure_train_ups(trainer, state, batch)
     print(json.dumps({
         "metric": "nar_s2ut_train_step_throughput",
         "value": round(ups * b * seq, 1),
         "unit": f"src_frames/s (B{b}xT{seq} fwd+bwd+adam, bf16, 1 chip)",
+        "vs_baseline": round(ups, 3),
+    }))
+
+
+def _pretrain_train_bench(family: str):
+    """Self-supervised pretraining train-step throughput (fwd+bwd+adam,
+    bf16 compute, rbg dropout RNG like the other train benches).
+
+    family='hubert': base-size masked-unit prediction (hubert.py recipe:
+    12 layers/768d, K=504 targets). family='wav2vec2': base-size
+    contrastive (gumbel VQ + 100 negatives,
+    wav2vec2_base_librispeech.yaml). Reports audio seconds consumed per
+    wall second. BENCH_BATCH / BENCH_SEQ (waveform samples) override
+    shapes (default 8 x 10 s)."""
+    import os
+
+    from diffnorm_tpu.config import Config, make_trainer_config
+    from diffnorm_tpu.registry import TASKS, _import_all
+    from diffnorm_tpu.train.trainer import Trainer
+
+    _import_all()
+    b = int(os.environ.get("BENCH_BATCH", 8))
+    seq = int(os.environ.get("BENCH_SEQ", 160_000))  # 10 s at 16 kHz
+    if os.environ.get("BENCH_PRNG", "rbg") == "rbg":
+        jax.config.update("jax_default_prng_impl", "rbg")
+    if family == "hubert":
+        cfg = Config(arch="hubert", criterion="hubert",
+                     target_code_size=500, dtype="bfloat16",
+                     lr=5e-4, warmup_updates=10)
+        task = TASKS.get("dummy_hubert").setup_task(cfg)
+    else:
+        cfg = Config(arch="wav2vec2", criterion="wav2vec",
+                     dtype="bfloat16", lr=5e-4, warmup_updates=10)
+        task = TASKS.get("dummy_wav2vec2").setup_task(cfg)
+    model = task.build_model()
+    crit = task.build_criterion()
+    trainer = Trainer(make_trainer_config(cfg), task, model, crit)
+    batch = task.dummy_batch(b, seq)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    ups, _state = _measure_train_ups(trainer, state, batch)
+    audio_s = b * seq / 16_000.0
+    print(json.dumps({
+        "metric": f"{family}_pretrain_step_throughput",
+        "value": round(ups * audio_s, 2),
+        "unit": f"audio_s/s (B{b}x{seq / 16000:.0f}s fwd+bwd+adam, "
+                f"base size, bf16, 1 chip)",
         "vs_baseline": round(ups, 3),
     }))
 
@@ -743,5 +757,9 @@ if __name__ == "__main__":
         main_e2e()
     elif "--gan-train" in sys.argv:
         main_gan_train()
+    elif "--hubert-train" in sys.argv:
+        _pretrain_train_bench("hubert")
+    elif "--w2v-train" in sys.argv:
+        _pretrain_train_bench("wav2vec2")
     else:
         main()

@@ -21,13 +21,11 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from diffnorm_tpu.data.audio import read_audio
-from diffnorm_tpu.models.hubert import CONV_LAYERS
+from diffnorm_tpu.models.hubert import CONV_LAYERS, frames_for_samples
 
 
 def _host_frames_for_samples(n: int, conv_layers=None) -> int:
-    for _, k, s in (conv_layers or CONV_LAYERS):
-        n = (n - k) // s + 1
-    return max(n, 0)
+    return max(frames_for_samples(n, conv_layers), 0)
 
 
 class HubertPretrainDataset:
@@ -44,6 +42,7 @@ class HubertPretrainDataset:
         is_train: bool = True,
         random_crop: bool = True,
         seed: int = 1,
+        conv_layers=None,
     ):
         keep = [i for i, n in enumerate(n_samples) if n >= min_sample_size]
         self.audio_paths = [audio_paths[i] for i in keep]
@@ -57,11 +56,14 @@ class HubertPretrainDataset:
         self.is_train = is_train
         self.random_crop = random_crop
         self._rng = np.random.default_rng(seed)
-        # 320x conv downsample at 16 kHz -> 50 Hz frames; labels per frame
+        # the conv spec must match the model's --conv-feature-layers
+        # (default: 320x downsample at 16 kHz -> 50 Hz frames)
+        self.conv_layers = tuple(conv_layers) if conv_layers else CONV_LAYERS
         self.feat2tar_ratio = (
-            label_rate * int(np.prod([s for _, _, s in CONV_LAYERS]))
+            label_rate * int(np.prod([s for _, _, s in self.conv_layers]))
             / sample_rate)
-        self.n_frames = _host_frames_for_samples(max_sample_size)
+        self.n_frames = _host_frames_for_samples(
+            max_sample_size, self.conv_layers)
 
     def __len__(self):
         return len(self.audio_paths)
@@ -109,7 +111,7 @@ class HubertPretrainDataset:
         ok = inds < len(label)
         target[ok] = label[inds[ok]]
         # frames beyond the valid waveform are invalid regardless of labels
-        valid_frames = _host_frames_for_samples(n_valid)
+        valid_frames = _host_frames_for_samples(n_valid, self.conv_layers)
         target[valid_frames:] = -1
         out["target"] = target
         return out
@@ -126,7 +128,8 @@ class HubertPretrainDataset:
             # masked-frame count isn't known until prepare_batch draws the
             # span mask; valid frames is the stable token measure
             batch["ntokens"] = int(sum(
-                _host_frames_for_samples(int(s["length"])) for s in samples))
+                _host_frames_for_samples(int(s["length"]), self.conv_layers)
+                for s in samples))
             return batch
         batch["target"] = np.stack([s["target"] for s in samples])
         batch["ntokens"] = int(sum(

@@ -75,6 +75,7 @@ class AudioPretrainingTask(Task):
         root = self.data_path(epoch)
         self.datasets[split] = HubertPretrainDataset.from_manifest(
             manifest=os.path.join(root, f"{split}.tsv"),
+            conv_layers=self._conv_spec(),
             max_sample_size=self.cfg.get("max_sample_size", 250_000),
             min_sample_size=self.cfg.get("min_sample_size", 32_000),
             sample_rate=self.cfg.get("sample_rate", 16_000),
@@ -85,9 +86,18 @@ class AudioPretrainingTask(Task):
 
     def mask_budget(self, n_frames: int) -> int:
         """Static upper bound on the per-row masked count: at most
-        int(prob*F/L)+1 span starts of length L survive clipping/dedup."""
-        spans = int(self.mask_prob * n_frames / self.mask_length) + 1
-        return min(spans * self.mask_length, n_frames)
+        max(int(prob*F/L)+1, min_masks=2) span starts survive
+        clipping/dedup, each at most L (static) / 2L (uniform) long;
+        normal/poisson draw unbounded lengths so the bound is F."""
+        spans = max(int(self.mask_prob * n_frames / self.mask_length) + 1, 2)
+        sel = self.cfg.get("mask_selection", "static")
+        if sel == "static":
+            span_len = self.mask_length
+        elif sel == "uniform":
+            span_len = 2 * self.mask_length
+        else:  # normal / poisson: unbounded draws
+            return n_frames
+        return min(spans * span_len, n_frames)
 
     def prepare_batch(self, batch: Dict[str, np.ndarray],
                       rng: np.random.Generator):
@@ -116,9 +126,18 @@ class AudioPretrainingTask(Task):
         ) & ~padding
 
         m_pad = self.mask_budget(n_frames)
+        counts = mask.sum(1)
+        if counts.max() > m_pad:
+            # defensive: the budget bound should cover every draw; if a
+            # pathological config exceeds it, subsample every row to the
+            # budget (preserves the equal-count invariant) rather than crash
+            for b in range(bsz):
+                idx = np.nonzero(mask[b])[0]
+                drop = rng.choice(idx, len(idx) - m_pad, replace=False)
+                mask[b, drop] = False
+            counts = mask.sum(1)
         masked_pos = np.zeros((bsz, m_pad), np.int32)
         masked_valid = np.zeros((bsz, m_pad), bool)
-        counts = mask.sum(1)
         for b in range(bsz):
             idx = np.nonzero(mask[b])[0]
             masked_pos[b, : len(idx)] = idx

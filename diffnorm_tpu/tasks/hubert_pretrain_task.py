@@ -51,6 +51,7 @@ class HubertPretrainingTask(Task):
 
     def load_dataset(self, split: str, epoch: int = 1):
         from diffnorm_tpu.data.hubert_dataset import HubertPretrainDataset
+        from diffnorm_tpu.models.hubert import _parse_conv_spec
 
         root = self.data_path(epoch)
         label_dir = str(self.cfg.get("label_dir") or root)
@@ -58,6 +59,8 @@ class HubertPretrainingTask(Task):
             manifest=os.path.join(root, f"{split}.tsv"),
             label_file=os.path.join(label_dir, f"{split}.{self.label}"),
             tgt_dict=self.tgt_dict,
+            conv_layers=_parse_conv_spec(
+                self.cfg.get("conv_feature_layers")),
             max_sample_size=self.cfg.get("max_sample_size", 250_000),
             min_sample_size=self.cfg.get("min_sample_size", 32_000),
             sample_rate=self.cfg.get("sample_rate", 16_000),

@@ -278,3 +278,27 @@ def test_w2v_path_warm_start(tmp_path):
     # --- mismatch fails loud ------------------------------------------------
     with pytest.raises(ValueError, match="does not match"):
         graft_encoder_params(ft_vars, enc)
+
+
+def test_mask_budget_covers_min_masks_floor():
+    """Review regression: mask_budget must cover the min_masks=2 floor and
+    non-static span types; tiny mask_prob with short rows used to overflow
+    masked_pos (100/100 seeds)."""
+    cfg = Config(task="dummy_wav2vec2", mask_prob=0.1, mask_length=10,
+                 num_negatives=4, conv_feature_layers="[(32,10,5),(32,3,2)]")
+    task = TASKS.get("dummy_wav2vec2").setup_task(cfg)
+    for seed in range(20):
+        rng = np.random.default_rng(seed)
+        batch = {
+            "src_tokens": rng.normal(size=(2, 6000)).astype(np.float32),
+            "src_lengths": np.asarray([6000, 5000], np.int32),
+        }
+        out = task.prepare_batch(batch, rng)
+        assert out["masked_pos"].shape == out["masked_valid"].shape
+        assert out["mask_indices"].sum(1).max() <= out["masked_pos"].shape[1]
+
+    # normal span lengths are unbounded -> budget falls back to all frames
+    cfg2 = Config(task="dummy_wav2vec2", mask_selection="normal",
+                  mask_other=3.0, mask_prob=0.1, mask_length=10)
+    task2 = TASKS.get("dummy_wav2vec2").setup_task(cfg2)
+    assert task2.mask_budget(120) == 120

@@ -29,8 +29,16 @@ class CtcLoss:
         tgt = batch["target"]
 
         rngs = {"dropout": rng} if train else {}
+        extra = {}
+        # fine-tune SpecAugment masks from the task (applied by the model
+        # only when deterministic=False, reference hubert_asr.py:310)
+        if "mask_indices" in batch:
+            extra["mask_indices"] = batch["mask_indices"]
+        if "channel_mask" in batch:
+            extra["channel_mask"] = batch["channel_mask"]
         out = model.apply(
-            variables, src, src_lengths, deterministic=not train, rngs=rngs
+            variables, src, src_lengths, deterministic=not train,
+            rngs=rngs, **extra,
         )
         logits = out["logits"].astype(jnp.float32)
         logit_pad = (~out["mask"]).astype(jnp.float32)

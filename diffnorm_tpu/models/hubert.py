@@ -151,7 +151,8 @@ class HubertEncoder(nn.Module):
     @nn.compact
     def __call__(self, wav, output_layer: Optional[int] = None, mask=None,
                  deterministic: bool = True, mask_indices=None, mask_emb=None,
-                 return_features: bool = False, return_normed: bool = False):
+                 channel_mask=None, return_features: bool = False,
+                 return_normed: bool = False):
         """wav: [B, T] float32 (16 kHz). Returns [B, frames, dim] features
         from `output_layer` (1-based; None = final).
 
@@ -181,6 +182,11 @@ class HubertEncoder(nn.Module):
         if mask_indices is not None:
             x = jnp.where(mask_indices[:, :, None],
                           mask_emb.astype(x.dtype)[None, None, :], x)
+        if channel_mask is not None:
+            # fine-tune channel SpecAugment (hubert_asr via wav2vec2
+            # apply_mask :461-480): zero masked embedding channels across
+            # all timesteps
+            x = jnp.where(channel_mask[:, None, :], 0.0, x)
 
         if mask is not None:
             # reference wav2vec2.py TransformerEncoder forward :1017-1018
@@ -248,6 +254,17 @@ class HubertCTCModule(nn.Module):
     heads: int = 12
     ffn_dim: int = 3072
     final_dropout: float = 0.0
+    # fine-tune regularization (reference hubert_asr.py HubertAsrConfig:
+    # dropout/attention/activation dropouts, LayerDrop, SpecAugment-style
+    # time+channel masking via apply_mask, frozen conv extractor
+    # feature_grad_mult=0 — all 0/off by default so inference users and
+    # existing checkpoints are unchanged)
+    dropout: float = 0.0
+    attention_dropout: float = 0.0
+    activation_dropout: float = 0.0
+    layerdrop: float = 0.0
+    feature_grad_mult: float = 0.0
+    apply_mask: bool = False
     conv_feature_layers: Optional[Sequence[Tuple[int, int, int]]] = None
     dtype: jnp.dtype = jnp.float32
 
@@ -256,18 +273,37 @@ class HubertCTCModule(nn.Module):
             dim=self.dim, layers=self.layers, heads=self.heads,
             ffn_dim=self.ffn_dim,
             conv_feature_layers=self.conv_feature_layers,
+            dropout=self.dropout,
+            attention_dropout=self.attention_dropout,
+            activation_dropout=self.activation_dropout,
+            layerdrop=self.layerdrop,
+            feature_grad_mult=self.feature_grad_mult,
             dtype=self.dtype, name="w2v_model",
         )
         self.proj = nn.Dense(self.vocab_size, dtype=self.dtype, name="proj")
-        self.dropout = nn.Dropout(self.final_dropout)
+        self.dropout_mod = nn.Dropout(self.final_dropout)
+        if self.apply_mask:
+            # the fine-tune time mask substitutes the backbone's learned
+            # mask embedding (hubert_asr reuses the pretrained mask_emb)
+            self.mask_emb = self.param(
+                "mask_emb", nn.initializers.uniform(scale=1.0), (self.dim,))
 
-    def __call__(self, src, src_lengths, deterministic: bool = True):
+    def __call__(self, src, src_lengths, deterministic: bool = True,
+                 mask_indices=None, channel_mask=None):
         wav = src[..., 0] if src.ndim == 3 else src
         out_lengths = frame_lengths(src_lengths, self.conv_feature_layers)
         n_frames = frames_for_samples(wav.shape[1], self.conv_feature_layers)
         mask = jnp.arange(n_frames)[None, :] < out_lengths[:, None]
-        x = self.encoder(wav, mask=mask)
-        x = self.dropout(x, deterministic=deterministic)
+        # masking only at train time (reference: mask = apply_mask and
+        # self.training, hubert_asr.py:310)
+        use_mask = self.apply_mask and not deterministic
+        x = self.encoder(
+            wav, mask=mask, deterministic=deterministic,
+            mask_indices=mask_indices if use_mask else None,
+            mask_emb=self.mask_emb if use_mask else None,
+            channel_mask=channel_mask if use_mask else None,
+        )
+        x = self.dropout_mod(x, deterministic=deterministic)
         logits = self.proj(x)
         return dict(logits=logits, logit_lengths=out_lengths, mask=mask)
 
@@ -428,6 +464,12 @@ class HubertCTCModel(ModelHolder):
             heads=cfg.get("encoder_attention_heads", 12),
             ffn_dim=cfg.get("encoder_ffn_embed_dim", 3072),
             final_dropout=cfg.get("final_dropout", 0.0),
+            dropout=cfg.get("dropout", 0.0),
+            attention_dropout=cfg.get("attention_dropout", 0.0),
+            activation_dropout=cfg.get("activation_dropout", 0.0),
+            layerdrop=cfg.get("encoder_layerdrop", 0.0),
+            feature_grad_mult=cfg.get("feature_grad_mult", 0.0),
+            apply_mask=bool(cfg.get("apply_mask", False)),
             conv_feature_layers=_parse_conv_spec(
                 cfg.get("conv_feature_layers")),
             dtype=jnp.dtype(cfg.get("dtype", "float32")),

@@ -120,6 +120,50 @@ class AudioFinetuningTask(S2TTask):
     ctc_generation = True
 
     def prepare_batch(self, batch, rng):
+        # SpecAugment-style fine-tune masking (reference hubert_asr /
+        # wav2vec2 apply_mask :414-485): time-span mask over conv frames +
+        # channel mask over embedding dims, drawn host-side; the model
+        # applies them only at train time (deterministic=False)
+        if not self.cfg.get("apply_mask"):
+            return batch
+        from diffnorm_tpu.models.hubert import _parse_conv_spec
+        from diffnorm_tpu.utils.masking import compute_mask_indices
+
+        conv = _parse_conv_spec(self.cfg.get("conv_feature_layers"))
+        from diffnorm_tpu.data.hubert_dataset import _host_frames_for_samples
+
+        bsz = batch["src_tokens"].shape[0]
+        n_frames = _host_frames_for_samples(
+            batch["src_tokens"].shape[1], conv)
+        valid = np.asarray([
+            _host_frames_for_samples(int(n), conv)
+            for n in batch["src_lengths"]])
+        padding = np.arange(n_frames)[None, :] >= valid[:, None]
+        mask_prob = float(self.cfg.get("mask_prob", 0.65))
+        if mask_prob > 0:
+            batch["mask_indices"] = compute_mask_indices(
+                (bsz, n_frames), padding, mask_prob=mask_prob,
+                mask_length=int(self.cfg.get("mask_length", 10)),
+                mask_type=self.cfg.get("mask_selection", "static"),
+                mask_other=self.cfg.get("mask_other", 0.0),
+                min_masks=2,
+                no_overlap=bool(self.cfg.get("no_mask_overlap", False)),
+                min_space=self.cfg.get("mask_min_space", 1),
+                rng=rng,
+            ) & ~padding
+        ch_prob = float(self.cfg.get("mask_channel_prob", 0.0))
+        if ch_prob > 0:
+            dim = int(self.cfg.get("encoder_embed_dim", 768))
+            batch["channel_mask"] = compute_mask_indices(
+                (bsz, dim), None, mask_prob=ch_prob,
+                mask_length=int(self.cfg.get("mask_channel_length", 10)),
+                mask_type=self.cfg.get("mask_channel_selection", "static"),
+                mask_other=self.cfg.get("mask_channel_other", 0.0),
+                no_overlap=bool(
+                    self.cfg.get("no_mask_channel_overlap", False)),
+                min_space=self.cfg.get("mask_channel_min_space", 1),
+                rng=rng,
+            )
         return batch
 
     def init_variables(self, model, rng, batch):

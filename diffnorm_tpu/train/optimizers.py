@@ -263,6 +263,37 @@ def composite(cfg, lr_schedule):
     return optax.multi_transform(transforms, label_fn)
 
 
+def freeze_finetune(inner, n_updates: int, keys):
+    """fairseq --freeze-finetune-updates (hubert_asr.py:310-316): keep the
+    listed top-level param subtrees EXACTLY unchanged for the first
+    n_updates optimizer steps. Gradients into the subtree are zeroed before
+    the inner optimizer (moments stay zero, clipping sees the gated grads)
+    and the subtree's final updates are zeroed too (so weight decay can't
+    leak). The gate is a traced comparison — crossing the threshold never
+    retraces. (The reference also skips the frozen backward via no_grad;
+    here the grads are computed then discarded — same math, simpler jit.)"""
+    keys = tuple(keys)
+
+    def gate(tree, live):
+        return {k: (jax.tree_util.tree_map(
+                    lambda x: x * live.astype(x.dtype), v)
+                    if k in keys else v)
+                for k, v in tree.items()}
+
+    def init(params):
+        return (jnp.zeros((), jnp.int32), inner.init(params))
+
+    def update(grads, state, params=None):
+        count, istate = state
+        live = count >= n_updates
+        grads = gate(grads, live)
+        updates, istate = inner.update(grads, istate, params)
+        updates = gate(updates, live)
+        return updates, (count + 1, istate)
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(cfg, lr_schedule, clip_norm: float = 0.0):
     name = cfg.get("optimizer", "adam")
     if getattr(lr_schedule, "host_driven", False):
@@ -310,6 +341,11 @@ def build_optimizer(cfg, lr_schedule, clip_norm: float = 0.0):
             block_lr=cfg.get("block_lr", 1.0),
             use_nesterov=cfg.get("use_nbm", True),
         )
+    n_freeze = int(cfg.get("freeze_finetune_updates", 0) or 0)
+    if n_freeze > 0:
+        base = freeze_finetune(
+            base, n_freeze,
+            cfg.get("freeze_finetune_subtrees", ("w2v_model",)))
     return base
 
 

@@ -153,11 +153,15 @@ def convert_hubert_ctc_checkpoint(path: str, layers: int = 12) -> Dict:
     inner = {k.removeprefix("w2v_model."): v
              for k, v in sd.items() if k.startswith("w2v_model.")}
     enc = convert_hubert_state(inner, layers=layers)
-    return {"params": {
+    params = {
         "w2v_model": enc["params"],
         "proj": {"kernel": dense_w(sd["proj.weight"]),
                  "bias": _t(sd["proj.bias"])},
-    }}
+    }
+    if "w2v_model.mask_emb" in sd:
+        # present when fine-tuning resumes with apply_mask=True
+        params["mask_emb"] = _t(sd["w2v_model.mask_emb"])
+    return {"params": params}
 
 
 def convert_hubert_pretrain_state(sd: Dict, layers: int = 12) -> Dict:

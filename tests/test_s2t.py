@@ -111,3 +111,113 @@ def test_hubert_ctc_forward_and_loss():
                             train=False)
     assert np.isfinite(float(loss))
     assert metrics["sample_size"] == 5  # pad-1 excluded
+
+
+def test_hubert_ctc_finetune_masking():
+    """--apply-mask fine-tune regularization (reference hubert_asr.py:310 +
+    wav2vec2 apply_mask :414-485): the task draws time+channel masks, the
+    model applies them ONLY at train time (eval forward is unchanged vs an
+    unmasked model), and a trainer step moves mask_emb."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffnorm_tpu.config import Config, make_trainer_config
+    from diffnorm_tpu.registry import TASKS
+    from diffnorm_tpu.train.trainer import Trainer
+
+    cfg = Config(
+        arch="hubert_ctc", criterion="ctc", task="dummy_ctc",
+        conv_feature_layers="[(16,10,5),(16,3,2)]", vocab_size=12,
+        encoder_embed_dim=32, encoder_layers=1, encoder_attention_heads=2,
+        encoder_ffn_embed_dim=64, apply_mask=True, mask_prob=0.5,
+        mask_length=4, mask_channel_prob=0.25, mask_channel_length=8,
+        lr=1e-3, tokens_per_sample=1000, batch_size=2,
+    )
+    task = TASKS.get("dummy_ctc").setup_task(cfg)
+    model = task.build_model()
+    crit = task.build_criterion()
+    rng = np.random.default_rng(0)
+    batch = task.prepare_batch(task.dummy_batch(2, 1000), rng)
+    assert batch["mask_indices"].any() and batch["channel_mask"].any()
+    assert batch["channel_mask"].shape == (2, 32)
+
+    variables = task.init_variables(model, jax.random.PRNGKey(0), batch)
+    assert "mask_emb" in variables["params"]
+
+    # eval forward ignores the masks entirely
+    out_eval = model.apply(
+        variables, batch["src_tokens"], batch["src_lengths"],
+        deterministic=True, mask_indices=jnp.asarray(batch["mask_indices"]),
+        channel_mask=jnp.asarray(batch["channel_mask"]),
+    )
+    out_plain = model.apply(
+        variables, batch["src_tokens"], batch["src_lengths"],
+        deterministic=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_eval["logits"]), np.asarray(out_plain["logits"]))
+
+    # train forward applies them (all dropouts are 0 -> the difference IS
+    # the masking)
+    out_train = model.apply(
+        variables, batch["src_tokens"], batch["src_lengths"],
+        deterministic=False, mask_indices=jnp.asarray(batch["mask_indices"]),
+        channel_mask=jnp.asarray(batch["channel_mask"]),
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    assert np.abs(np.asarray(out_train["logits"])
+                  - np.asarray(out_plain["logits"])).max() > 1e-4
+
+    trainer = Trainer(make_trainer_config(cfg), task, model, crit)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    p0 = jax.device_get(state.params)
+    state, mets = trainer.train_step(state, [batch], jax.random.PRNGKey(1))
+    assert np.isfinite(float(mets["loss"]))
+    p1 = jax.device_get(state.params)
+    emb0 = p0.get("params", p0)["mask_emb"]
+    emb1 = p1.get("params", p1)["mask_emb"]
+    assert np.abs(emb1 - emb0).max() > 0
+
+
+def test_freeze_finetune_updates():
+    """--freeze-finetune-updates N (hubert_asr.py:310-316): the w2v
+    backbone stays EXACTLY unchanged (weight decay included) for the first
+    N optimizer steps, then trains; the proj head trains throughout."""
+    import jax
+
+    from diffnorm_tpu.config import Config, make_trainer_config
+    from diffnorm_tpu.registry import TASKS
+    from diffnorm_tpu.train.trainer import Trainer
+
+    cfg = Config(
+        arch="hubert_ctc", criterion="ctc", task="dummy_ctc",
+        conv_feature_layers="[(16,10,5),(16,3,2)]", vocab_size=12,
+        encoder_embed_dim=32, encoder_layers=1, encoder_attention_heads=2,
+        encoder_ffn_embed_dim=64, lr=1e-3, weight_decay=0.01,
+        freeze_finetune_updates=2, tokens_per_sample=1000, batch_size=2,
+    )
+    task = TASKS.get("dummy_ctc").setup_task(cfg)
+    trainer = Trainer(make_trainer_config(cfg), task, task.build_model(),
+                      task.build_criterion())
+    batch = task.dummy_batch(2, 1000)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+
+    def enc(s):
+        p = jax.device_get(s.params)
+        return p.get("params", p)["w2v_model"], p.get("params", p)["proj"]
+
+    e0, h0 = enc(state)
+    for i in range(2):  # frozen window
+        state, mets = trainer.train_step(state, [batch],
+                                         jax.random.PRNGKey(10 + i))
+    e2, h2 = enc(state)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(a - b).max()), e0, e2)
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0  # bit-frozen
+    assert float(np.abs(h2["kernel"] - h0["kernel"]).max()) > 0  # head moves
+
+    state, mets = trainer.train_step(state, [batch], jax.random.PRNGKey(99))
+    e3, _ = enc(state)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(a - b).max()), e2, e3)
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0  # unfrozen at step 3

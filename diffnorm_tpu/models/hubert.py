@@ -478,6 +478,10 @@ class HubertCTCModel(ModelHolder):
 
 
 @register_architecture("hubert_ctc", "hubert_ctc")
+# fairseq name aliases: wav2vec2_asr.py registers the CTC fine-tune wrapper
+# as `wav2vec_ctc`; the backbone is the same conv-extractor + transformer
+# encoder this module wraps, so reference recipe flags resolve unchanged
+@register_architecture("hubert_ctc", "wav2vec_ctc")
 def hubert_ctc_arch(cfg):
     cfg.setdefault("encoder_embed_dim", 768)
     cfg.setdefault("encoder_layers", 12)

@@ -173,6 +173,9 @@ def main(cfg: Optional[Config] = None) -> int:
     enable_compile_cache()
 
     task = TASKS.get(cfg.get("task")).setup_task(cfg)
+    # --path fully restores the model; a --w2v-path warm start (train-time
+    # only) would just be overwritten, and the file may be gone
+    cfg.w2v_path = None
     model = task.build_model()
     split = cfg.get("gen_subset", "test")
 

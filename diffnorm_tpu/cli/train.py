@@ -147,6 +147,14 @@ def main(cfg: Optional[Config] = None) -> int:
         example_batch = task.dummy_batch()
 
     # ------------------------------------------------------------------ state
+    if cfg.get("w2v_path"):
+        # --w2v-path warm start only applies to a FRESH run: on resume the
+        # restored checkpoint fully overwrites the graft, and the
+        # pretraining file may have been rotated away since
+        ckpt_probe = CheckpointManager(tcfg.save_dir)
+        if ckpt_probe.latest_step() is not None:
+            logger.info("resuming from %s; ignoring --w2v-path", tcfg.save_dir)
+            cfg.w2v_path = None
     state = trainer.init_state(init_rng, example_batch)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     logger.info("model params (trainable): %.2fM", n_params / 1e6)

@@ -175,18 +175,21 @@ class AudioFinetuningTask(S2TTask):
         )
         w2v = self.cfg.get("w2v_path")
         if w2v:
-            # fairseq --w2v-path: warm-start the backbone from a
-            # pretraining checkpoint (hubert_asr.py:334-368) — ours
-            # (orbax dir from hubert_pretraining / audio_pretraining)
-            # or a torch .pt
+            # fairseq --w2v-path: warm-start the backbone (and mask_emb)
+            # from a pretraining checkpoint (hubert_asr.py:334-368) — ours
+            # (orbax dir from hubert_pretraining / audio_pretraining) or a
+            # torch .pt. The train CLI clears w2v_path when it is about to
+            # resume from its own checkpoint (the restore would overwrite
+            # the graft, and the pretraining file may be long gone).
             from diffnorm_tpu.utils.convert_weights import (
                 graft_encoder_params,
                 load_pretrained_encoder,
             )
 
-            enc = load_pretrained_encoder(
+            enc, mask_emb = load_pretrained_encoder(
                 str(w2v), layers=self.cfg.get("encoder_layers", 12))
-            variables = graft_encoder_params(variables, enc)
+            variables = graft_encoder_params(variables, enc,
+                                             mask_emb=mask_emb)
         return variables
 
     def dummy_batch(self, batch_size: int = 2, seq_len: int = 2000) -> Dict:

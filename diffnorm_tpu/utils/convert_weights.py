@@ -62,6 +62,15 @@ def _get_conv(sd: Dict, prefix: str, wn_dim: int = 0):
     return _t(sd[f"{prefix}.weight"])
 
 
+def _load_sd(path: str) -> "Dict":
+    """torch checkpoint -> model state dict (the `model` entry when the
+    file is a full fairseq checkpoint, else the raw dict)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    return ckpt.get("model", ckpt)
+
+
 # ---------------------------------------------------------------- HiFi-GAN
 
 def convert_hifigan_checkpoint(path: str, cfg: Dict) -> Dict:
@@ -134,22 +143,15 @@ def convert_hifigan_checkpoint(path: str, cfg: Dict) -> Dict:
 
 def convert_hubert_checkpoint(path: str, layers: int = 12) -> Dict:
     """fairseq (m)HuBERT checkpoint -> HubertEncoder variables."""
-    import torch
-
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    sd = ckpt.get("model", ckpt)
-    return convert_hubert_state(sd, layers=layers)
+    return convert_hubert_state(_load_sd(path), layers=layers)
 
 
 def convert_hubert_ctc_checkpoint(path: str, layers: int = 12) -> Dict:
     """fairseq CTC-fine-tuned checkpoint (hubert_asr.py HubertCtc layout:
     `w2v_encoder.w2v_model.*` backbone + `w2v_encoder.proj`) ->
     HubertCTCModule variables (models/hubert.py)."""
-    import torch
-
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    sd = ckpt.get("model", ckpt)
-    sd = {k.removeprefix("w2v_encoder."): v for k, v in sd.items()}
+    sd = {k.removeprefix("w2v_encoder."): v
+          for k, v in _load_sd(path).items()}
     inner = {k.removeprefix("w2v_model."): v
              for k, v in sd.items() if k.startswith("w2v_model.")}
     enc = convert_hubert_state(inner, layers=layers)
@@ -208,27 +210,33 @@ def convert_wav2vec2_pretrain_state(sd: Dict, layers: int = 12) -> Dict:
 
 
 def convert_wav2vec2_pretrain_checkpoint(path: str, layers: int = 12) -> Dict:
-    import torch
-
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    sd = ckpt.get("model", ckpt)
-    return convert_wav2vec2_pretrain_state(sd, layers=layers)
+    return convert_wav2vec2_pretrain_state(_load_sd(path), layers=layers)
 
 
 def convert_hubert_pretrain_checkpoint(path: str, layers: int = 12) -> Dict:
-    import torch
-
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    sd = ckpt.get("model", ckpt)
-    return convert_hubert_pretrain_state(sd, layers=layers)
+    return convert_hubert_pretrain_state(_load_sd(path), layers=layers)
 
 
-def load_pretrained_encoder(path: str, layers: int = 12) -> Dict:
+def _torch_layer_count(sd: Dict) -> int:
+    import re
+
+    n = -1
+    for k in sd:
+        m = re.search(r"encoder\.layers\.(\d+)\.", k)
+        if m:
+            n = max(n, int(m.group(1)))
+    return n + 1
+
+
+def load_pretrained_encoder(path: str, layers: int = 12):
     """fairseq `--w2v-path` (hubert_asr.py:334-368 HubertEncoder.__init__):
-    pull the encoder backbone params out of a pretraining checkpoint for
-    fine-tune warm starts. Accepts a torch .pt (fairseq HubertModel /
-    Wav2Vec2Model state dict, converted) or an orbax checkpoint directory
-    saved by OUR hubert_pretraining / audio_pretraining trainer."""
+    pull the encoder backbone params (and the learned `mask_emb`, which the
+    reference fine-tune reuses for its SpecAugment substitution) out of a
+    pretraining checkpoint for fine-tune warm starts. Accepts a torch .pt
+    (fairseq HubertModel / Wav2Vec2Model state dict, converted) or an orbax
+    checkpoint directory saved by OUR hubert_pretraining /
+    audio_pretraining trainer. Returns (encoder_params, mask_emb_or_None).
+    """
     import os
 
     if os.path.isdir(path):
@@ -244,28 +252,42 @@ def load_pretrained_encoder(path: str, layers: int = 12) -> Dict:
             raise ValueError(
                 f"no 'encoder' subtree in pretraining checkpoint {path}; "
                 f"top-level keys: {sorted(params)}")
-        return params["encoder"]
+        return params["encoder"], params.get("mask_emb")
 
-    import torch
-
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    sd = ckpt.get("model", ckpt)
+    sd = _load_sd(path)
+    if ("feature_extractor.conv_layers.0.0.weight" in sd
+            and "feature_extractor.conv_layers.0.2.weight" not in sd):
+        raise ValueError(
+            f"{path} uses a layer_norm-mode conv extractor "
+            "(wav2vec2-large/XLSR extractor_mode=layer_norm, per-layer "
+            "norms + conv biases); only the default group-norm extractor "
+            "layout is supported")
+    ckpt_layers = _torch_layer_count(sd)
+    if ckpt_layers and ckpt_layers != layers:
+        raise ValueError(
+            f"{path} has {ckpt_layers} transformer layers but the "
+            f"fine-tune model is configured with encoder_layers={layers}")
+    mask_emb = _t(sd["mask_emb"]) if "mask_emb" in sd else None
     if any(k.startswith("quantizer.") for k in sd):
-        return convert_wav2vec2_pretrain_state(
+        enc = convert_wav2vec2_pretrain_state(
             sd, layers=layers)["params"]["encoder"]
-    if "label_embs_concat" in sd:
-        return convert_hubert_pretrain_state(
+    elif "label_embs_concat" in sd:
+        enc = convert_hubert_pretrain_state(
             sd, layers=layers)["params"]["encoder"]
-    # a bare backbone (extract_features-style) state dict
-    return convert_hubert_state(sd, layers=layers)["params"]
+    else:
+        # a bare backbone (extract_features-style) state dict
+        enc = convert_hubert_state(sd, layers=layers)["params"]
+    return enc, mask_emb
 
 
 def graft_encoder_params(variables: Dict, encoder_params: Dict,
-                         name: str = "w2v_model") -> Dict:
+                         name: str = "w2v_model", mask_emb=None) -> Dict:
     """Replace `variables['params'][name]` with pretrained encoder params,
-    asserting the tree shapes line up (loud failure on config mismatch)."""
+    asserting the tree shapes line up (loud failure on config mismatch).
+    When the model has a top-level `mask_emb` (apply_mask fine-tuning) and
+    the checkpoint provides one, it is grafted too (reference semantics:
+    hubert_asr reuses the pretrained mask embedding)."""
     import jax
-    import numpy as np
 
     target = variables["params"].get(name)
     if target is None:
@@ -282,6 +304,12 @@ def graft_encoder_params(variables: Dict, encoder_params: Dict,
             f"ckpt:   {s_shapes}")
     params = dict(variables["params"])
     params[name] = encoder_params
+    if mask_emb is not None and "mask_emb" in params:
+        if np.shape(params["mask_emb"]) != np.shape(mask_emb):
+            raise ValueError(
+                f"mask_emb shape mismatch: model "
+                f"{np.shape(params['mask_emb'])} vs ckpt {np.shape(mask_emb)}")
+        params["mask_emb"] = mask_emb
     return {**variables, "params": params}
 
 

@@ -272,12 +272,56 @@ def test_w2v_path_warm_start(tmp_path):
     ref = _build_ref_model()
     pt = tmp_path / "w2v.pt"
     torch.save({"model": ref.state_dict()}, pt)
-    enc = load_pretrained_encoder(str(pt), layers=2)
+    enc, mask_emb = load_pretrained_encoder(str(pt), layers=2)
     assert "layer_1" in enc and "post_extract_proj" in enc
+    # the learned mask embedding rides along (reference hubert_asr reuses
+    # it for apply_mask fine-tuning)
+    np.testing.assert_allclose(
+        mask_emb, ref.mask_emb.detach().numpy(), rtol=1e-6)
 
-    # --- mismatch fails loud ------------------------------------------------
+    # --- mismatches fail loud -----------------------------------------------
     with pytest.raises(ValueError, match="does not match"):
         graft_encoder_params(ft_vars, enc)
+    with pytest.raises(ValueError, match="transformer layers"):
+        load_pretrained_encoder(str(pt), layers=6)
+
+
+def test_w2v_path_mask_emb_grafted(tmp_path):
+    """apply_mask fine-tuning inherits the PRETRAINED mask embedding, not a
+    fresh random one (review regression; hubert_asr semantics)."""
+    cfg = Config(
+        arch="wav2vec2", criterion="wav2vec", task="dummy_wav2vec2",
+        conv_feature_layers="[(32,10,5),(32,3,2)]",
+        encoder_embed_dim=48, encoder_layers=1, encoder_attention_heads=2,
+        encoder_ffn_embed_dim=96, final_dim=16, latent_vars=12,
+        latent_groups=2, num_negatives=8, tokens_per_sample=2000,
+    )
+    task = TASKS.get("dummy_wav2vec2").setup_task(cfg)
+    model = task.build_model()
+    batch = task.dummy_batch(2, 2000)
+    variables = task.init_variables(model, jax.random.PRNGKey(0), batch)
+    from diffnorm_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "pt"))
+    mgr.save(1, {"step": 1, "params": jax.device_get(variables["params"])})
+    mgr.finalize()
+
+    ft_cfg = Config(
+        arch="hubert_ctc", criterion="ctc", task="dummy_ctc",
+        conv_feature_layers="[(32,10,5),(32,3,2)]",
+        encoder_embed_dim=48, encoder_layers=1, encoder_attention_heads=2,
+        encoder_ffn_embed_dim=96, vocab_size=30, apply_mask=True,
+        mask_prob=0.5, tokens_per_sample=2000,
+        w2v_path=str(tmp_path / "pt" / "step_000000001"),
+    )
+    ft_task = TASKS.get("dummy_ctc").setup_task(ft_cfg)
+    ft_model = ft_task.build_model()
+    ft_batch = ft_task.prepare_batch(
+        ft_task.dummy_batch(2, 2000), np.random.default_rng(0))
+    ft_vars = ft_task.init_variables(ft_model, jax.random.PRNGKey(1), ft_batch)
+    np.testing.assert_array_equal(
+        np.asarray(ft_vars["params"]["mask_emb"]),
+        np.asarray(variables["params"]["mask_emb"]))
 
 
 def test_mask_budget_covers_min_masks_floor():

@@ -35,21 +35,34 @@ CONV_LAYERS = ((512, 10, 5),) + ((512, 3, 2),) * 4 + ((512, 2, 2),) * 2
 
 
 class ConvFeatureExtractor(nn.Module):
-    """Waveform [B, T] -> [B, frames, 512]; default mode: group-norm (512
-    groups = per-channel instance norm) on layer 0 only, no biases."""
+    """Waveform [B, T] -> [B, frames, 512] (wav2vec2.py
+    ConvFeatureExtractionModel:820-899). `mode="default"` (base models):
+    group-norm (512 groups = per-channel instance norm) on layer 0 only, no
+    biases. `mode="layer_norm"` (wav2vec2-large/XLSR `--extractor-mode
+    layer_norm`): per-timestep LayerNorm over channels after EVERY conv,
+    optional conv biases (`--conv-bias`)."""
 
     conv_layers: Sequence[Tuple[int, int, int]] = CONV_LAYERS
+    mode: str = "default"
+    conv_bias: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, wav):
+        assert self.mode in ("default", "layer_norm"), self.mode
         x = wav[:, :, None]  # [B, T, 1]
         for i, (dim, k, stride) in enumerate(self.conv_layers):
             x = nn.Conv(
                 dim, kernel_size=(k,), strides=(stride,), padding="VALID",
-                use_bias=False, dtype=self.dtype, name=f"conv_{i}",
+                use_bias=self.conv_bias, dtype=self.dtype, name=f"conv_{i}",
             )(x)
-            if i == 0:
+            if self.mode == "layer_norm":
+                # reference Fp32LayerNorm in a TransposeLast sandwich:
+                # normalize over the channel dim in f32
+                x = nn.LayerNorm(
+                    epsilon=1e-5, dtype=jnp.float32, name=f"ln_{i}",
+                )(x).astype(x.dtype)
+            elif i == 0:
                 x = nn.GroupNorm(
                     num_groups=dim, epsilon=1e-5, dtype=self.dtype,
                     name="group_norm",
@@ -138,6 +151,8 @@ class HubertEncoder(nn.Module):
     # --conv-feature-layers (fairseq wav2vec2/hubert flag): the extractor's
     # (channels, kernel, stride) spec; None = the released-model default
     conv_feature_layers: Optional[Sequence[Tuple[int, int, int]]] = None
+    extractor_mode: str = "default"
+    conv_bias: bool = False
     # training-time knobs (reference hubert.py/wav2vec2.py defaults are
     # nonzero only for pretraining; 0 keeps the inference users unchanged)
     dropout: float = 0.0
@@ -164,6 +179,7 @@ class HubertEncoder(nn.Module):
         the gradient flowing into the conv extractor (GradMultiply)."""
         feats = ConvFeatureExtractor(
             conv_layers=tuple(self.conv_feature_layers or CONV_LAYERS),
+            mode=self.extractor_mode, conv_bias=self.conv_bias,
             dtype=self.dtype, name="feature_extractor")(wav)
         if self.feature_grad_mult != 1.0:
             if self.feature_grad_mult == 0.0:
@@ -266,6 +282,8 @@ class HubertCTCModule(nn.Module):
     feature_grad_mult: float = 0.0
     apply_mask: bool = False
     conv_feature_layers: Optional[Sequence[Tuple[int, int, int]]] = None
+    extractor_mode: str = "default"
+    conv_bias: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -273,6 +291,7 @@ class HubertCTCModule(nn.Module):
             dim=self.dim, layers=self.layers, heads=self.heads,
             ffn_dim=self.ffn_dim,
             conv_feature_layers=self.conv_feature_layers,
+            extractor_mode=self.extractor_mode, conv_bias=self.conv_bias,
             dropout=self.dropout,
             attention_dropout=self.attention_dropout,
             activation_dropout=self.activation_dropout,
@@ -344,6 +363,8 @@ class HubertPretrainModule(nn.Module):
     activation_dropout: float = 0.0
     layerdrop: float = 0.05
     conv_feature_layers: Optional[Sequence[Tuple[int, int, int]]] = None
+    extractor_mode: str = "default"
+    conv_bias: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -351,6 +372,7 @@ class HubertPretrainModule(nn.Module):
             dim=self.dim, layers=self.layers, heads=self.heads,
             ffn_dim=self.ffn_dim,
             conv_feature_layers=self.conv_feature_layers,
+            extractor_mode=self.extractor_mode, conv_bias=self.conv_bias,
             dropout=self.dropout,
             attention_dropout=self.attention_dropout,
             activation_dropout=self.activation_dropout,
@@ -426,6 +448,8 @@ class HubertPretrainModel(ModelHolder):
             layerdrop=cfg.get("encoder_layerdrop", 0.05),
             conv_feature_layers=_parse_conv_spec(
                 cfg.get("conv_feature_layers")),
+            extractor_mode=cfg.get("extractor_mode", "default"),
+            conv_bias=bool(cfg.get("conv_bias", False)),
             dtype=jnp.dtype(cfg.get("dtype", "float32")),
         )
         return cls(module=module, cfg=cfg)
@@ -472,6 +496,8 @@ class HubertCTCModel(ModelHolder):
             apply_mask=bool(cfg.get("apply_mask", False)),
             conv_feature_layers=_parse_conv_spec(
                 cfg.get("conv_feature_layers")),
+            extractor_mode=cfg.get("extractor_mode", "default"),
+            conv_bias=bool(cfg.get("conv_bias", False)),
             dtype=jnp.dtype(cfg.get("dtype", "float32")),
         )
         return cls(module=module, cfg=cfg)

@@ -151,6 +151,8 @@ class Wav2Vec2PretrainModule(nn.Module):
     activation_dropout: float = 0.0
     layerdrop: float = 0.05
     conv_feature_layers: Optional[Sequence[Tuple[int, int, int]]] = None
+    extractor_mode: str = "default"
+    conv_bias: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -158,6 +160,7 @@ class Wav2Vec2PretrainModule(nn.Module):
             dim=self.dim, layers=self.layers, heads=self.heads,
             ffn_dim=self.ffn_dim,
             conv_feature_layers=self.conv_feature_layers,
+            extractor_mode=self.extractor_mode, conv_bias=self.conv_bias,
             dropout=self.dropout,
             attention_dropout=self.attention_dropout,
             activation_dropout=self.activation_dropout,
@@ -261,6 +264,8 @@ class Wav2Vec2PretrainModel(ModelHolder):
             layerdrop=cfg.get("encoder_layerdrop", 0.05),
             conv_feature_layers=_parse_conv_spec(
                 cfg.get("conv_feature_layers")),
+            extractor_mode=cfg.get("extractor_mode", "default"),
+            conv_bias=bool(cfg.get("conv_bias", False)),
             dtype=jnp.dtype(cfg.get("dtype", "float32")),
         )
         return cls(module=module, cfg=cfg)

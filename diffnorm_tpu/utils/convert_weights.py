@@ -255,13 +255,6 @@ def load_pretrained_encoder(path: str, layers: int = 12):
         return params["encoder"], params.get("mask_emb")
 
     sd = _load_sd(path)
-    if ("feature_extractor.conv_layers.0.0.weight" in sd
-            and "feature_extractor.conv_layers.0.2.weight" not in sd):
-        raise ValueError(
-            f"{path} uses a layer_norm-mode conv extractor "
-            "(wav2vec2-large/XLSR extractor_mode=layer_norm, per-layer "
-            "norms + conv biases); only the default group-norm extractor "
-            "layout is supported")
     ckpt_layers = _torch_layer_count(sd)
     if ckpt_layers and ckpt_layers != layers:
         raise ValueError(
@@ -300,8 +293,8 @@ def graft_encoder_params(variables: Dict, encoder_params: Dict,
     if t_shapes != s_shapes:
         raise ValueError(
             "pretrained encoder does not match the fine-tune model "
-            f"(check encoder dims/conv spec/layers):\nmodel:  {t_shapes}\n"
-            f"ckpt:   {s_shapes}")
+            "(check encoder dims/conv spec/layers/--extractor-mode/"
+            f"--conv-bias):\nmodel:  {t_shapes}\nckpt:   {s_shapes}")
     params = dict(variables["params"])
     params[name] = encoder_params
     if mask_emb is not None and "mask_emb" in params:
@@ -319,17 +312,30 @@ def convert_hubert_state(sd: Dict, layers: int = 12) -> Dict:
     ) else sd
 
     fe: Dict = {}
+    # layer_norm extractor mode (wav2vec2-large/XLSR) stores a LayerNorm
+    # inside a TransposeLast sandwich at sequential index .2.1 per layer;
+    # default (group-norm) mode has the Fp32GroupNorm at .2 on layer 0 only
+    ln_mode = "feature_extractor.conv_layers.0.2.1.weight" in sd
     i = 0
     while f"feature_extractor.conv_layers.{i}.0.weight" in sd:
-        fe[f"conv_{i}"] = {
+        conv = {
             "kernel": conv_w(sd[f"feature_extractor.conv_layers.{i}.0.weight"])
         }
+        if f"feature_extractor.conv_layers.{i}.0.bias" in sd:
+            conv["bias"] = _t(sd[f"feature_extractor.conv_layers.{i}.0.bias"])
+        fe[f"conv_{i}"] = conv
+        if ln_mode:
+            fe[f"ln_{i}"] = {
+                "scale": _t(sd[f"feature_extractor.conv_layers.{i}.2.1.weight"]),
+                "bias": _t(sd[f"feature_extractor.conv_layers.{i}.2.1.bias"]),
+            }
         i += 1
-    # first layer's group norm (index .2 in the torch sequential)
-    fe["group_norm"] = {
-        "scale": _t(sd["feature_extractor.conv_layers.0.2.weight"]),
-        "bias": _t(sd["feature_extractor.conv_layers.0.2.bias"]),
-    }
+    if not ln_mode:
+        # first layer's group norm (index .2 in the torch sequential)
+        fe["group_norm"] = {
+            "scale": _t(sd["feature_extractor.conv_layers.0.2.weight"]),
+            "bias": _t(sd["feature_extractor.conv_layers.0.2.bias"]),
+        }
 
     params: Dict = {
         "feature_extractor": fe,

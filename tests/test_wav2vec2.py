@@ -346,3 +346,63 @@ def test_mask_budget_covers_min_masks_floor():
                   mask_other=3.0, mask_prob=0.1, mask_length=10)
     task2 = TASKS.get("dummy_wav2vec2").setup_task(cfg2)
     assert task2.mask_budget(120) == 120
+
+
+def test_layer_norm_extractor_matches_reference():
+    """extractor_mode=layer_norm (wav2vec2-large/XLSR: per-layer channel
+    LayerNorm + conv biases, wav2vec2.py ConvFeatureExtractionModel
+    :849-860) — the REAL Wav2Vec2Model's features-only forward must match
+    HubertEncoder after conversion, and load_pretrained_encoder must accept
+    the layout."""
+    from diffnorm_tpu.models.hubert import HubertEncoder
+    from diffnorm_tpu.utils.convert_weights import (
+        convert_wav2vec2_pretrain_state,
+        load_pretrained_encoder,
+    )
+
+    w2v = load_wav2vec2()
+    cfg = w2v.Wav2Vec2Config()
+    cfg.conv_feature_layers = str(list(CONV_SPEC))
+    cfg.extractor_mode = "layer_norm"
+    cfg.conv_bias = True
+    cfg.encoder_embed_dim = 96
+    cfg.encoder_layers = 2
+    cfg.encoder_attention_heads = 4
+    cfg.encoder_ffn_embed_dim = 192
+    cfg.final_dim = 32
+    cfg.quantize_targets = True
+    cfg.latent_vars = 24
+    cfg.latent_groups = 2
+    cfg.dropout = cfg.attention_dropout = cfg.activation_dropout = 0.0
+    cfg.dropout_input = cfg.dropout_features = 0.0
+    cfg.encoder_layerdrop = 0.0
+    torch.manual_seed(1)
+    model = w2v.Wav2Vec2Model(cfg)
+    model.eval()
+
+    rng = np.random.default_rng(3)
+    wav = (rng.normal(size=(2, 2010)) * 0.1).astype(np.float32)
+    with torch.no_grad():
+        ref = model(source=torch.from_numpy(wav), padding_mask=None,
+                    mask=False, features_only=True)["x"].numpy()
+
+    variables = convert_wav2vec2_pretrain_state(model.state_dict(), layers=2)
+    enc = HubertEncoder(
+        dim=96, layers=2, heads=4, ffn_dim=192,
+        conv_feature_layers=CONV_SPEC, extractor_mode="layer_norm",
+        conv_bias=True,
+    )
+    out = enc.apply({"params": variables["params"]["encoder"]},
+                    jnp.asarray(wav))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+    # the --w2v-path loader accepts the layout (previously a loud reject)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        pt = td + "/large.pt"
+        torch.save({"model": model.state_dict()}, pt)
+        enc_params, mask_emb = load_pretrained_encoder(pt, layers=2)
+        assert "ln_2" in enc_params["feature_extractor"]
+        assert "bias" in enc_params["feature_extractor"]["conv_0"]
+        assert mask_emb is not None

@@ -106,6 +106,9 @@ class TransformerSentenceEncoderLayer(nn.Module):
     dropout: float = 0.0
     attention_dropout: float = 0.0
     activation_dropout: float = 0.0
+    # wav2vec2/hubert LARGE models: pre-norm layers (wav2vec2.py
+    # TransformerSentenceEncoderLayer forward :1235-1290)
+    layer_norm_first: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -114,32 +117,43 @@ class TransformerSentenceEncoderLayer(nn.Module):
 
         h = self.heads
         d = self.dim // h
-        q = nn.Dense(self.dim, dtype=self.dtype, name="q_proj")(x)
-        k = nn.Dense(self.dim, dtype=self.dtype, name="k_proj")(x)
-        v = nn.Dense(self.dim, dtype=self.dtype, name="v_proj")(x)
         b, t, _ = x.shape
+        attn_ln = nn.LayerNorm(dtype=self.dtype, name="self_attn_layer_norm")
+        final_ln = nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")
 
-        def heads_of(z):
-            return z.reshape(b, t, h, d).transpose(0, 2, 1, 3)
+        def attention(z):
+            q = nn.Dense(self.dim, dtype=self.dtype, name="q_proj")(z)
+            k = nn.Dense(self.dim, dtype=self.dtype, name="k_proj")(z)
+            v = nn.Dense(self.dim, dtype=self.dtype, name="v_proj")(z)
 
-        attn_rng = None
-        if not deterministic and self.attention_dropout > 0.0:
-            attn_rng = self.make_rng("dropout")
-        attn = masked_attention(
-            heads_of(q), heads_of(k), heads_of(v), mask=mask,
-            dropout=0.0 if deterministic else self.attention_dropout,
-            dropout_rng=attn_rng,
-        )
-        attn = attn.transpose(0, 2, 1, 3).reshape(b, t, self.dim)
-        attn = nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(attn)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        x = nn.LayerNorm(dtype=self.dtype, name="self_attn_layer_norm")(x + attn)
-        h2 = nn.Dense(self.ffn_dim, dtype=self.dtype, name="fc1")(x)
-        h2 = jax.nn.gelu(h2, approximate=False)
-        h2 = nn.Dropout(self.activation_dropout)(h2, deterministic=deterministic)
-        h2 = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h2)
-        h2 = nn.Dropout(self.dropout)(h2, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")(x + h2)
+            def heads_of(y):
+                return y.reshape(b, t, h, d).transpose(0, 2, 1, 3)
+
+            attn_rng = None
+            if not deterministic and self.attention_dropout > 0.0:
+                attn_rng = self.make_rng("dropout")
+            a = masked_attention(
+                heads_of(q), heads_of(k), heads_of(v), mask=mask,
+                dropout=0.0 if deterministic else self.attention_dropout,
+                dropout_rng=attn_rng,
+            )
+            a = a.transpose(0, 2, 1, 3).reshape(b, t, self.dim)
+            a = nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(a)
+            return nn.Dropout(self.dropout)(a, deterministic=deterministic)
+
+        def ffn(z):
+            h2 = nn.Dense(self.ffn_dim, dtype=self.dtype, name="fc1")(z)
+            h2 = jax.nn.gelu(h2, approximate=False)
+            h2 = nn.Dropout(self.activation_dropout)(
+                h2, deterministic=deterministic)
+            h2 = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h2)
+            return nn.Dropout(self.dropout)(h2, deterministic=deterministic)
+
+        if self.layer_norm_first:
+            x = x + attention(attn_ln(x))
+            return x + ffn(final_ln(x))
+        x = attn_ln(x + attention(x))
+        return final_ln(x + ffn(x))
 
 
 class HubertEncoder(nn.Module):
@@ -153,6 +167,10 @@ class HubertEncoder(nn.Module):
     conv_feature_layers: Optional[Sequence[Tuple[int, int, int]]] = None
     extractor_mode: str = "default"
     conv_bias: bool = False
+    # LARGE models: pre-norm layers; the encoder-level LayerNorm moves
+    # AFTER the stack and is skipped for intermediate output_layer taps
+    # (wav2vec2.py TransformerEncoder forward :1000-1030)
+    layer_norm_first: bool = False
     # training-time knobs (reference hubert.py/wav2vec2.py defaults are
     # nonzero only for pretraining; 0 keeps the inference users unchanged)
     dropout: float = 0.0
@@ -212,7 +230,9 @@ class HubertEncoder(nn.Module):
         x = x + ConvPositionalEmbedding(
             dim=self.dim, dtype=self.dtype, name="pos_conv"
         )(x)
-        x = nn.LayerNorm(dtype=self.dtype, name="encoder_layer_norm")(x)
+        enc_ln = nn.LayerNorm(dtype=self.dtype, name="encoder_layer_norm")
+        if not self.layer_norm_first:
+            x = enc_ln(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
         n = self.layers if output_layer is None else min(output_layer, self.layers)
@@ -224,6 +244,7 @@ class HubertEncoder(nn.Module):
                 dropout=self.dropout,
                 attention_dropout=self.attention_dropout,
                 activation_dropout=self.activation_dropout,
+                layer_norm_first=self.layer_norm_first,
                 dtype=self.dtype, name=f"layer_{i}",
             )(x, mask=mask, deterministic=deterministic)
             if self.layerdrop > 0.0 and not deterministic:
@@ -234,6 +255,10 @@ class HubertEncoder(nn.Module):
                 x = jnp.where(keep, y, x)
             else:
                 x = y
+        if self.layer_norm_first and output_layer is None:
+            # reference applies the encoder LN at the END for pre-norm
+            # stacks, and only on the full-depth output (forward :1003-1005)
+            x = enc_ln(x)
         if return_normed:
             return x, raw_features, normed_features
         if return_features:
@@ -284,6 +309,7 @@ class HubertCTCModule(nn.Module):
     conv_feature_layers: Optional[Sequence[Tuple[int, int, int]]] = None
     extractor_mode: str = "default"
     conv_bias: bool = False
+    layer_norm_first: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -292,6 +318,7 @@ class HubertCTCModule(nn.Module):
             ffn_dim=self.ffn_dim,
             conv_feature_layers=self.conv_feature_layers,
             extractor_mode=self.extractor_mode, conv_bias=self.conv_bias,
+            layer_norm_first=self.layer_norm_first,
             dropout=self.dropout,
             attention_dropout=self.attention_dropout,
             activation_dropout=self.activation_dropout,
@@ -365,6 +392,7 @@ class HubertPretrainModule(nn.Module):
     conv_feature_layers: Optional[Sequence[Tuple[int, int, int]]] = None
     extractor_mode: str = "default"
     conv_bias: bool = False
+    layer_norm_first: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -373,6 +401,7 @@ class HubertPretrainModule(nn.Module):
             ffn_dim=self.ffn_dim,
             conv_feature_layers=self.conv_feature_layers,
             extractor_mode=self.extractor_mode, conv_bias=self.conv_bias,
+            layer_norm_first=self.layer_norm_first,
             dropout=self.dropout,
             attention_dropout=self.attention_dropout,
             activation_dropout=self.activation_dropout,
@@ -450,6 +479,7 @@ class HubertPretrainModel(ModelHolder):
                 cfg.get("conv_feature_layers")),
             extractor_mode=cfg.get("extractor_mode", "default"),
             conv_bias=bool(cfg.get("conv_bias", False)),
+            layer_norm_first=bool(cfg.get("layer_norm_first", False)),
             dtype=jnp.dtype(cfg.get("dtype", "float32")),
         )
         return cls(module=module, cfg=cfg)
@@ -463,6 +493,19 @@ def hubert_base_arch(cfg):
     cfg.setdefault("encoder_attention_heads", 12)
     cfg.setdefault("encoder_ffn_embed_dim", 3072)
     cfg.setdefault("final_dim", 256)
+
+
+@register_architecture("hubert", "hubert_large")
+def hubert_large_arch(cfg):
+    """hubert_large_librivox.yaml: pre-norm 24L/1024d, layer_norm
+    extractor."""
+    cfg.setdefault("encoder_embed_dim", 1024)
+    cfg.setdefault("encoder_layers", 24)
+    cfg.setdefault("encoder_attention_heads", 16)
+    cfg.setdefault("encoder_ffn_embed_dim", 4096)
+    cfg.setdefault("final_dim", 768)
+    cfg.setdefault("extractor_mode", "layer_norm")
+    cfg.setdefault("layer_norm_first", True)
 
 
 def _parse_conv_spec(spec):
@@ -498,6 +541,7 @@ class HubertCTCModel(ModelHolder):
                 cfg.get("conv_feature_layers")),
             extractor_mode=cfg.get("extractor_mode", "default"),
             conv_bias=bool(cfg.get("conv_bias", False)),
+            layer_norm_first=bool(cfg.get("layer_norm_first", False)),
             dtype=jnp.dtype(cfg.get("dtype", "float32")),
         )
         return cls(module=module, cfg=cfg)

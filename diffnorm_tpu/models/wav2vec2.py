@@ -153,6 +153,7 @@ class Wav2Vec2PretrainModule(nn.Module):
     conv_feature_layers: Optional[Sequence[Tuple[int, int, int]]] = None
     extractor_mode: str = "default"
     conv_bias: bool = False
+    layer_norm_first: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -161,6 +162,7 @@ class Wav2Vec2PretrainModule(nn.Module):
             ffn_dim=self.ffn_dim,
             conv_feature_layers=self.conv_feature_layers,
             extractor_mode=self.extractor_mode, conv_bias=self.conv_bias,
+            layer_norm_first=self.layer_norm_first,
             dropout=self.dropout,
             attention_dropout=self.attention_dropout,
             activation_dropout=self.activation_dropout,
@@ -266,6 +268,7 @@ class Wav2Vec2PretrainModel(ModelHolder):
                 cfg.get("conv_feature_layers")),
             extractor_mode=cfg.get("extractor_mode", "default"),
             conv_bias=bool(cfg.get("conv_bias", False)),
+            layer_norm_first=bool(cfg.get("layer_norm_first", False)),
             dtype=jnp.dtype(cfg.get("dtype", "float32")),
         )
         return cls(module=module, cfg=cfg)
@@ -279,3 +282,18 @@ def wav2vec2_base_arch(cfg):
     cfg.setdefault("encoder_attention_heads", 12)
     cfg.setdefault("encoder_ffn_embed_dim", 3072)
     cfg.setdefault("final_dim", 256)
+
+
+@register_architecture("wav2vec2", "wav2vec2_large")
+def wav2vec2_large_arch(cfg):
+    """wav2vec2_large_librivox.yaml: pre-norm 24L/1024d, layer_norm
+    extractor with conv biases."""
+    cfg.setdefault("encoder_embed_dim", 1024)
+    cfg.setdefault("encoder_layers", 24)
+    cfg.setdefault("encoder_attention_heads", 16)
+    cfg.setdefault("encoder_ffn_embed_dim", 4096)
+    cfg.setdefault("final_dim", 768)
+    cfg.setdefault("latent_temp", (2.0, 0.1, 0.999995))
+    cfg.setdefault("extractor_mode", "layer_norm")
+    cfg.setdefault("conv_bias", True)
+    cfg.setdefault("layer_norm_first", True)

@@ -406,3 +406,53 @@ def test_layer_norm_extractor_matches_reference():
         assert "ln_2" in enc_params["feature_extractor"]
         assert "bias" in enc_params["feature_extractor"]["conv_0"]
         assert mask_emb is not None
+
+
+def test_layer_norm_first_encoder_matches_reference():
+    """Pre-norm stacks (layer_norm_first=True, the LARGE recipes): per-layer
+    pre-norm ordering, the encoder-level LayerNorm moving AFTER the stack,
+    and its omission on intermediate-layer taps (wav2vec2.py forward
+    :1000-1030) — pinned against the REAL Wav2Vec2Model."""
+    from diffnorm_tpu.models.hubert import HubertEncoder
+    from diffnorm_tpu.utils.convert_weights import (
+        convert_wav2vec2_pretrain_state,
+    )
+
+    w2v = load_wav2vec2()
+    cfg = w2v.Wav2Vec2Config()
+    cfg.conv_feature_layers = str(list(CONV_SPEC))
+    cfg.extractor_mode = "layer_norm"
+    cfg.conv_bias = True
+    cfg.layer_norm_first = True
+    cfg.encoder_embed_dim = 96
+    cfg.encoder_layers = 3
+    cfg.encoder_attention_heads = 4
+    cfg.encoder_ffn_embed_dim = 192
+    cfg.final_dim = 32
+    cfg.quantize_targets = True
+    cfg.latent_vars = 24
+    cfg.latent_groups = 2
+    cfg.dropout = cfg.attention_dropout = cfg.activation_dropout = 0.0
+    cfg.dropout_input = cfg.dropout_features = 0.0
+    cfg.encoder_layerdrop = 0.0
+    torch.manual_seed(2)
+    model = w2v.Wav2Vec2Model(cfg)
+    model.eval()
+
+    rng = np.random.default_rng(4)
+    wav = (rng.normal(size=(2, 2010)) * 0.1).astype(np.float32)
+    variables = convert_wav2vec2_pretrain_state(model.state_dict(), layers=3)
+    enc = HubertEncoder(
+        dim=96, layers=3, heads=4, ffn_dim=192,
+        conv_feature_layers=CONV_SPEC, extractor_mode="layer_norm",
+        conv_bias=True, layer_norm_first=True,
+    )
+    # full depth (final encoder LN applied) AND an intermediate tap (not)
+    for output_layer, ref_layer in ((None, None), (2, 1)):
+        with torch.no_grad():
+            ref = model(source=torch.from_numpy(wav), padding_mask=None,
+                        mask=False, features_only=True,
+                        layer=ref_layer)["x"].numpy()
+        out = enc.apply({"params": variables["params"]["encoder"]},
+                        jnp.asarray(wav), output_layer=output_layer)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=3e-4)

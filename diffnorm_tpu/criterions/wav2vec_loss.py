@@ -25,7 +25,12 @@ class Wav2VecLoss:
         lw = (cfg or {}).get("loss_weights", [0.1, 10.0])
         if isinstance(lw, (int, float)):
             lw = [lw]
-        self.loss_weights = [float(w) for w in lw]
+        lw = [float(w) for w in lw]
+        if len(lw) == 1:
+            # reference criterion :96-98: a single weight is duplicated
+            # across all extra losses (diversity + features_pen)
+            lw = lw * 2
+        self.loss_weights = lw
 
     def __call__(self, model, variables, batch, rng, train: bool = True):
         rngs = {"dropout": rng} if train else {}

@@ -456,3 +456,14 @@ def test_layer_norm_first_encoder_matches_reference():
         out = enc.apply({"params": variables["params"]["encoder"]},
                         jnp.asarray(wav), output_layer=output_layer)
         np.testing.assert_allclose(np.asarray(out), ref, atol=3e-4)
+
+
+def test_single_loss_weight_duplicates():
+    """Reference wav2vec_criterion :96-98: one loss_weights entry is
+    broadcast across both extra losses."""
+    from diffnorm_tpu.criterions.wav2vec_loss import Wav2VecLoss
+
+    crit = Wav2VecLoss(Config(loss_weights=[0.5]))
+    assert crit.loss_weights == [0.5, 0.5]
+    crit2 = Wav2VecLoss(Config())
+    assert crit2.loss_weights == [0.1, 10.0]

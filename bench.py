@@ -612,6 +612,18 @@ def main_e2e():
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t
     )
     nar_vars, voc_vars = to_bf16(nar_vars), to_bf16(voc_vars)
+    # opt-in int8 vocoder inside the chain: calibrate its packed-conv
+    # activation scales too, or the static flag silently leaves it on the
+    # dynamic max-abs path (the measured 7% loss)
+    if (os.environ.get("DIFFNORM_INT8_VOCODER", "0") == "1"
+            and os.environ.get("BENCH_INT8_STATIC", "1") == "1"):
+        from diffnorm_tpu.ops.quant import calibrate_apply
+
+        voc_vars = calibrate_apply(
+            voc.apply, voc_vars,
+            jnp.asarray(np.random.default_rng(2).integers(
+                0, 1000, size=(4, 64)), jnp.int32))
+        os.environ["DIFFNORM_INT8_STATIC"] = "1"
 
     # static waveform canvas: 384 units = 7.7 s of output audio per 4.8 s
     # input (CVSS target durations are ~input-length); the full worst case

@@ -86,8 +86,6 @@ class HifiGanGenerator(nn.Module):
             unpack,
         )
 
-        import os as _os
-
         from diffnorm_tpu.ops import packed_conv as _pc
 
         # static int8 (DIFFNORM_INT8_VOCODER + DIFFNORM_INT8_STATIC):
@@ -95,9 +93,9 @@ class HifiGanGenerator(nn.Module):
         # over the waveform-rate activations — the pass that made dynamic
         # int8 a 7% LOSS here (PERFORMANCE.md). Calibration mode
         # (DIFFNORM_INT8_CALIB, mutable=["quant_stats"]) records them.
-        calib = _pc._INT8 and _os.environ.get(
+        calib = _pc._INT8 and os.environ.get(
             "DIFFNORM_INT8_CALIB", "0") == "1"
-        static = _pc._INT8 and _os.environ.get(
+        static = _pc._INT8 and os.environ.get(
             "DIFFNORM_INT8_STATIC", "0") == "1"
 
         p = 128 // ch
@@ -112,10 +110,14 @@ class HifiGanGenerator(nn.Module):
         ):
             params = self.variables["params"][f"resblock_{i}_{j}"]
             name = f"packed_{i}_{j}"
+            # STATIC-first like ops/quant.site_quantize: an already-
+            # calibrated site keeps its scales and calibration mode is a
+            # no-op for it (consistent recalibration semantics across the
+            # int8 families)
             amaxes = None
             if static and self.has_variable("quant_stats", name):
                 amaxes = self.get_variable("quant_stats", name)
-            if calib:
+            if amaxes is None and calib:
                 r, observed = packed_resblock(
                     xp, params, rk, tuple(rd), p,
                     valid_len=t if pad_t else None, observe=True)

@@ -102,9 +102,12 @@ def packed_same_conv(xp: jnp.ndarray, kernel: jnp.ndarray,
         kernel = jnp.round(kernel.astype(jnp.float32) / k_scale
                            ).astype(jnp.int8)
         if act_amax is not None:
-            a_scale = jnp.maximum(act_amax.astype(jnp.float32), 1e-10) / 127.0
-            xp = jnp.clip(jnp.round(xp.astype(jnp.float32) / a_scale),
-                          -127.0, 127.0).astype(jnp.int8)
+            # shared static-quant implementation (honors
+            # DIFFNORM_INT8_QUANT_BF16 — no f32 materialization of the
+            # waveform-rate tensor)
+            from diffnorm_tpu.ops.quant import quantize_act_static
+
+            xp, a_scale = quantize_act_static(xp, act_amax)
         else:
             a_scale = jnp.maximum(
                 jnp.max(jnp.abs(xp.astype(jnp.float32))) / 127.0, 1e-12)
@@ -164,7 +167,10 @@ def packed_resblock(xp: jnp.ndarray, params, kernel_size: int,
     for j, d in enumerate(dilations):
         h = _lrelu(xp)
         if observe:
-            observed.append(jnp.max(jnp.abs(h.astype(jnp.float32))))
+            # reduce in the native dtype, cast one scalar (calibration runs
+            # eagerly through the tunnel; an f32 copy of the waveform-rate
+            # tensor per site is pure waste)
+            observed.append(jnp.max(jnp.abs(h)).astype(jnp.float32))
         c1 = params[f"conv1_{j}"]
         h = packed_same_conv(
             h, c1["kernel"], c1["bias"], p, d,
@@ -173,7 +179,7 @@ def packed_resblock(xp: jnp.ndarray, params, kernel_size: int,
             h = h * mask
         h = _lrelu(h)
         if observe:
-            observed.append(jnp.max(jnp.abs(h.astype(jnp.float32))))
+            observed.append(jnp.max(jnp.abs(h)).astype(jnp.float32))
         c2 = params[f"conv2_{j}"]
         h = packed_same_conv(
             h, c2["kernel"], c2["bias"], p, 1,

@@ -158,3 +158,24 @@ def test_packed_vocoder_static_int8_parity(monkeypatch):
     # calibrated on the same batch, the static path sees exact amaxes —
     # stays within ~the dynamic error
     assert rel(stat, ref) < 0.06
+
+    # the static path must actually CONSUME quant_stats (review regression:
+    # a silent dynamic fallback also passes the bounds above). Perturbing
+    # the recorded amaxes must change the output; the fallback wouldn't.
+    import jax as _jax
+
+    monkeypatch.setenv("DIFFNORM_INT8_STATIC", "1")
+    v_bad = {**v_cal, "quant_stats": _jax.tree_util.tree_map(
+        lambda a: a * 7.0, v_cal["quant_stats"])}
+    stat_bad = np.asarray(gen.apply(v_bad, x))
+    monkeypatch.delenv("DIFFNORM_INT8_STATIC")
+    assert np.abs(stat_bad - stat).max() > 1e-5
+
+    # and with STATIC set, re-calibration is a no-op for calibrated sites
+    # (site_quantize-consistent precedence)
+    monkeypatch.setenv("DIFFNORM_INT8_STATIC", "1")
+    v_re = calibrate_apply(gen.apply, v_bad, x)
+    monkeypatch.delenv("DIFFNORM_INT8_STATIC")
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(v_re["quant_stats"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(v_bad["quant_stats"])[0]))

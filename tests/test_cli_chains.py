@@ -939,3 +939,86 @@ def test_s2spect_train_generate_chain(tmp_path):
     assert len(outs) == 3, os.listdir(results)
     mel = np.load(os.path.join(results, outs[0]))
     assert mel.ndim == 2 and mel.shape[1] == 12
+
+
+def test_pretrain_finetune_wer_chain(tmp_path):
+    """The full self-supervised loop through the REAL CLIs: wav2vec2
+    contrastive pretraining (dummy audio) -> CTC fine-tune warm-started
+    with --w2v-path (+ --apply-mask SpecAugment and
+    --freeze-finetune-updates) -> fairseq-generate --scoring wer.
+    Memorization gate on 4 utterances."""
+    from diffnorm_tpu.cli import train
+    from diffnorm_tpu.cli import generate as gen_cli
+    from diffnorm_tpu.data.s2t_dataset import write_s2t_manifest
+
+    conv = "[(16,10,5),(16,8,4),(16,4,2)]"
+    enc = dict(encoder_embed_dim=32, encoder_ffn_embed_dim=64,
+               encoder_layers=2, encoder_attention_heads=2,
+               conv_feature_layers=conv)
+
+    # --- stage 1: wav2vec2 pretraining on synthetic audio ----------------
+    pre_dir = str(tmp_path / "ckpt_pre")
+    rc = train.main(Config(
+        task="dummy_wav2vec2", arch="wav2vec2", criterion="wav2vec",
+        final_dim=16, latent_vars=8, latent_groups=2, num_negatives=8,
+        tokens_per_sample=2500, dataset_size=4, batch_size=4,
+        save_dir=pre_dir, cpu=True, lr=1e-3, warmup_updates=5,
+        log_interval=100, max_updates=10, keep_last_epochs=1,
+        keep_best_checkpoints=1, seed=5, valid_subset="dev", **enc,
+    ))
+    assert rc == 0
+    pre_ckpts = sorted(d for d in os.listdir(pre_dir)
+                       if d.startswith("step_") and not d.endswith(".json")
+                       and "tmp" not in d)
+    assert pre_ckpts
+
+    # --- stage 2: CTC fine-tune with --w2v-path --------------------------
+    rng = np.random.default_rng(29)
+    root = tmp_path / "ft_data"
+    root.mkdir()
+    (root / "dict.txt").write_text(
+        "\n".join(f"l{i} {50 - i}" for i in range(8)) + "\n")
+    (root / "config.yaml").write_text(
+        "vocab_filename: dict.txt\nuse_audio_input: true\n")
+    rows = []
+    for i in range(4):
+        wav = rng.normal(size=2500).astype(np.float32)
+        np.save(root / f"utt{i}.npy", wav)
+        text = " ".join(rng.choice([f"l{k}" for k in range(8)], size=5))
+        rows.append(dict(id=f"utt{i}", audio=f"utt{i}.npy",
+                         n_frames=2500, tgt_text=text))
+    for split in ("train", "dev", "test"):
+        write_s2t_manifest(str(root / f"{split}.tsv"), rows)
+
+    cfg = dict(
+        task="audio_finetuning", arch="hubert_ctc", criterion="ctc",
+        data=str(root), train_subset="train", valid_subset="dev", **enc,
+    )
+    save_dir = str(tmp_path / "ckpt_ft")
+    rc = train.main(Config(
+        save_dir=save_dir, cpu=True, batch_size=4, lr=3e-3,
+        warmup_updates=10, log_interval=100, max_updates=300,
+        keep_last_epochs=1, keep_best_checkpoints=1, seed=3,
+        w2v_path=os.path.join(pre_dir, pre_ckpts[-1]),
+        apply_mask=True, mask_prob=0.2, mask_length=3,
+        freeze_finetune_updates=2, **cfg,
+    ))
+    assert rc == 0
+    ckpts = sorted(d for d in os.listdir(save_dir)
+                   if d.startswith("step_") and not d.endswith(".json")
+                   and "tmp" not in d)
+    assert ckpts
+
+    # --- stage 3: generate + corpus WER -----------------------------------
+    results = str(tmp_path / "results_ft")
+    rc = gen_cli.main(Config(
+        path=os.path.join(save_dir, ckpts[-1]), results_path=results,
+        cpu=True, batch_size=4, gen_subset="test", scoring="wer", **cfg,
+    ))
+    assert rc == 0
+    txt = open(os.path.join(results, "generate-test.txt")).read()
+    assert "H-" in txt and "T-" in txt
+    import re
+
+    wer = float(re.search(r"WER[:= ]+([0-9.]+)", txt).group(1))
+    assert wer < 50.0, f"pretrain->finetune WER gate failed: {wer}\n{txt}"

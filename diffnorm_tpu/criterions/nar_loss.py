@@ -41,12 +41,24 @@ class NARSpeechToUnitLoss:
     def __init__(self, cfg=None, task=None):
         self.eps = cfg.get("label_smoothing", 0.2) if cfg is not None else 0.2
         self.ctc_weight = cfg.get("multitask_loss_weight", 1.0) if cfg else 1.0
+        # --multitask-config-yaml aux tasks (reference MultitaskCriterion,
+        # research/TranSpeech/criterion.py:22-123): per-task criterion knobs
+        self.multitask = dict(getattr(task, "multitask_tasks", None) or {})
+
+    def _get_multitask_prev(self, task_name, batch):
+        mt = batch.get("multitask", {}).get(task_name, {})
+        return mt.get("prev_output_tokens")
 
     def __call__(self, model, variables, batch, rng, train: bool = True):
         src = batch["src_tokens"]
         src_lengths = batch["src_lengths"]
         prev = batch["prev_target"]
         tgt = batch["target"]
+        mt_prev = {
+            name: self._get_multitask_prev(name, batch)
+            for name in self.multitask
+            if self._get_multitask_prev(name, batch) is not None
+        } or None
 
         if train:
             r_drop, r_cg, r_sp = jax.random.split(rng, 3)
@@ -60,10 +72,12 @@ class NARSpeechToUnitLoss:
                 deterministic=False,
                 rngs=rngs,
                 mutable=["batch_stats"],
+                multitask_prev=mt_prev,
             )
         else:
             out = model.apply(
-                variables, src, src_lengths, prev, tgt_tokens=tgt, deterministic=True
+                variables, src, src_lengths, prev, tgt_tokens=tgt,
+                deterministic=True, multitask_prev=mt_prev,
             )
             mutated = {}
 
@@ -120,4 +134,46 @@ class NARSpeechToUnitLoss:
         }
         if ctc_loss is not None:
             metrics["ctc_loss"] = ctc_loss
+
+        # --multitask-config-yaml aux losses (reference get_multitask_loss,
+        # research/TranSpeech/criterion.py:44-94): total += weight * task_loss
+        # where task_loss is the per-task SUM; normalized here by the main
+        # ntokens to match the trainer's sum-loss/sum-sample_size semantics
+        for name, tc in self.multitask.items():
+            mt_out = out.get("multitask", {}).get(name)
+            mt_batch = batch.get("multitask", {}).get(name)
+            if mt_out is None or mt_batch is None:
+                continue
+            weight = mt_batch.get("loss_weight", 1.0)
+            mt_tgt = mt_batch["target"]
+            logits32 = mt_out["logits"].astype(jnp.float32)
+            if tc.decoder_type == "ctc":
+                import optax
+
+                logit_mask = mt_out["mask"]
+                logit_lens = jnp.sum(logit_mask, axis=1)
+                tgt_lens = jnp.sum(mt_tgt != PAD, axis=1)
+                per_seq = optax.ctc_loss(
+                    logits32,
+                    (~logit_mask).astype(jnp.float32),
+                    mt_tgt,
+                    (mt_tgt == PAD).astype(jnp.float32),
+                    blank_id=0,
+                )
+                # zero_infinity (fairseq ctc.py): drop infeasible alignments
+                feasible = (tgt_lens <= logit_lens) & jnp.isfinite(per_seq)
+                if tc.zero_infinity:
+                    per_seq = jnp.where(feasible, per_seq, 0.0)
+                task_loss = jnp.sum(per_seq)
+            else:
+                mt_lprobs = jax.nn.log_softmax(logits32, axis=-1)
+                task_loss, _ = _masked_label_smoothed_ce(
+                    mt_lprobs, mt_tgt, mt_tgt != PAD, tc.label_smoothing
+                )
+            loss = loss + weight * task_loss / ntokens
+            metrics[f"multitask_{name}_loss"] = task_loss / jnp.maximum(
+                jnp.sum(mt_tgt != PAD), 1
+            )
+        if self.multitask:
+            metrics["loss"] = loss
         return loss, metrics, mutated

@@ -57,6 +57,17 @@ class SpeechToUnitDataset:
         self.dataset_transforms = build_dataset_transforms(
             self.data_cfg, is_train=is_train
         )
+        # --multitask-config-yaml aux text targets, keyed by task name
+        # (reference SpeechToSpeechMultitaskDataset,
+        # speech_to_speech_dataset.py:333-387)
+        self.multitask_data: Dict[str, Dict] = {}
+
+    def add_multitask(self, name: str, text_data, decoder_type: str):
+        """Attach one aux task's per-sample text targets (TextTargetData)."""
+        self.multitask_data[name] = {
+            "data": text_data,
+            "with_prev": decoder_type != "ctc",
+        }
 
     def __len__(self):
         return len(self.ids)
@@ -122,11 +133,19 @@ class SpeechToUnitDataset:
                 feat = t(feat, rng=self._rng)
             else:
                 feat = t(feat)
-        return {
+        sample = {
             "index": index,
             "source": feat,
             "target": target,
         }
+        if self.multitask_data:
+            sample["multitask"] = {}
+            for name, mt in self.multitask_data.items():
+                enc = mt["data"].get(self.ids[index])
+                if enc is None:  # reference warns and uses an empty target
+                    enc = np.zeros((0,), np.int32)
+                sample["multitask"][name] = enc
+        return sample
 
     def collater(self, samples: List[Dict]) -> Dict:
         if not samples:
@@ -146,7 +165,7 @@ class SpeechToUnitDataset:
         for i, s in enumerate(samples):
             src[i, : src_lens[i]] = s["source"]
             tgt[i, : tgt_lens[i]] = s["target"]
-        return {
+        batch = {
             "id": np.asarray([s["index"] for s in samples], np.int64),
             "src_tokens": src,
             "src_lengths": src_lens,
@@ -155,6 +174,21 @@ class SpeechToUnitDataset:
             "ntokens": int(tgt_lens.sum()),
             "nsentences": bsz,
         }
+        if self.multitask_data:
+            from diffnorm_tpu.data.multitask import collate_text_targets
+
+            batch["multitask"] = {}
+            for name, mt in self.multitask_data.items():
+                targets = [s["multitask"][name] for s in samples]
+                pad_to = max(1, max(len(t) for t in targets))
+                if self.bucket:
+                    from diffnorm_tpu.data.batching import bucket_length
+
+                    pad_to = bucket_length(pad_to)
+                batch["multitask"][name] = collate_text_targets(
+                    targets, with_prev=mt["with_prev"], pad_to=pad_to
+                )
+        return batch
 
     @classmethod
     def from_tsv(

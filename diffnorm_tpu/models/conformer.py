@@ -374,15 +374,25 @@ class ConformerEncoder(nn.Module):
         return x, mask, pos_table
 
     def run_layers(self, x, pos_table, mask, deterministic: bool = True,
-                   conv_keep=None):
+                   conv_keep=None, collect: bool = False):
         """The conformer layer stack. Under SP, x/mask are local
         time-shards, pos_table is the global table, and conv_keep marks
-        real (non-SP-pad) frames for the depthwise conv."""
+        real (non-SP-pad) frames for the depthwise conv. With collect=True
+        also returns the per-layer outputs (reference return_all_hiddens
+        encoder_states — multitask aux heads tap these)."""
+        states = []
         for layer in self.conformer_layers:
             x = layer(x, pos_table, mask, deterministic, conv_keep)
-        return x
+            if collect:
+                states.append(x)
+        return (x, states) if collect else x
 
-    def __call__(self, src, src_lengths, deterministic: bool = True):
+    def __call__(self, src, src_lengths, deterministic: bool = True,
+                 return_all_layers: bool = False):
         x, mask, pos_table = self.embed(src, src_lengths, deterministic)
+        if return_all_layers:
+            x, states = self.run_layers(
+                x, pos_table, mask, deterministic, collect=True)
+            return x, mask, states
         x = self.run_layers(x, pos_table, mask, deterministic)
         return x, mask

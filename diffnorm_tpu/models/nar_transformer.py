@@ -19,7 +19,7 @@ Dictionary layout: bos=0, pad=1, eos=2, unk=3 (mask token), units at +4.
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +33,25 @@ from diffnorm_tpu.ops.attention import masked_attention
 from diffnorm_tpu.registry import register_architecture, register_model
 
 PAD, BOS, EOS, UNK = 1, 0, 2, 3
+
+
+class AuxTaskSpec(NamedTuple):
+    """One --multitask-config-yaml task as a static (hashable) model spec
+    (reference S2STransformerMultitaskModelBase.build_multitask_decoder,
+    s2s_transformer.py:171-230 + base_multitask_text_transformer_decoder_arch
+    :582-616 defaults). input_layer uses the reference's indexing: -1 taps
+    the final encoder layer / the last decoder inner state."""
+
+    name: str
+    decoder_type: str  # "transformer" | "ctc"
+    vocab_size: int
+    input_from: str = "encoder"  # "encoder" | "decoder"
+    input_layer: int = -1
+    decoder_layers: int = 2
+    decoder_dim: int = 256
+    decoder_heads: int = 4
+    decoder_ffn_dim: int = 2048
+    dropout: float = 0.3
 
 
 class MultiheadAttention(nn.Module):
@@ -204,26 +223,33 @@ class NATUnitDecoder(nn.Module):
         """BOS embedding used as the CG null encoder feature [1, dim]."""
         return self.embed_tokens(jnp.full((1,), BOS, dtype=jnp.int32))
 
-    def __call__(self, tokens, enc, enc_mask, deterministic: bool = True):
+    def __call__(self, tokens, enc, enc_mask, deterministic: bool = True,
+                 return_inner: bool = False):
         """tokens: [B, T] int; enc: [B, S, C]; enc_mask: [B, S] True=valid.
-        Returns logits [B, T, vocab]."""
+        Returns logits [B, T, vocab]. With return_inner=True also returns
+        the pre-final-norm hidden states [embed_out, after layer 1, ...]
+        (fairseq TransformerDecoder inner_states — decoder-tapped multitask
+        CTC heads index into these)."""
         valid = tokens != PAD
         x = self.embed_tokens(tokens) * math.sqrt(self.dim)
         x = x + sinusoidal_positions(valid, self.dim, padding_idx=PAD).astype(x.dtype)
         x = self.embed_dropout(x, deterministic=deterministic)
+        inner = [x]
         for layer in self.dec_layers:
             x = layer(x, valid, enc, enc_mask, deterministic=deterministic)
+            if return_inner:
+                inner.append(x)
         x = self.final_norm(x)
         k = self.n_frames_per_step
         if k > 1:
             b, t, _ = x.shape
             h = self.out_proj_n_frames(x).reshape(b, t, k, self.dim)
-            return self.subframe_out(h)  # [B, T, k, V]
-        if self.share_input_output_embed:
+            logits = self.subframe_out(h)  # [B, T, k, V]
+        elif self.share_input_output_embed:
             logits = self.embed_tokens.attend(x)
         else:
             logits = self.output_proj(x)
-        return logits
+        return (logits, inner) if return_inner else logits
 
     def forward_length(self, enc, enc_mask):
         """Mean-pool encoder states -> [B, max_lengths] logits
@@ -265,6 +291,8 @@ class NARS2UTModule(nn.Module):
     conv_kernel_sizes: tuple = (5, 5)
     share_input_output_embed: bool = True
     quant_int8: bool = False  # int8 W8A8 inference matmuls (decode path)
+    # --multitask-config-yaml aux tasks (static specs; see AuxTaskSpec)
+    multitask: Tuple[AuxTaskSpec, ...] = ()
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -303,6 +331,31 @@ class NARS2UTModule(nn.Module):
             self.ctc_proj = nn.Dense(
                 self.ctc_vocab, dtype=self.dtype, name="ctc_proj"
             )
+        # --multitask-config-yaml aux decoders (reference
+        # s2s_transformer.py:171-230): a linear CTC head or a small causal
+        # transformer decoder per task, tapping encoder/decoder states
+        mt_modules = {}
+        for spec in self.multitask:
+            if spec.decoder_type == "ctc":
+                mt_modules[spec.name] = nn.Dense(
+                    spec.vocab_size, dtype=self.dtype,
+                    name=f"mt_{spec.name}_ctc",
+                )
+            else:
+                from diffnorm_tpu.models.ar_transformer import ARUnitDecoder
+
+                mt_modules[spec.name] = ARUnitDecoder(
+                    vocab_size=spec.vocab_size,
+                    dim=spec.decoder_dim,
+                    ffn_dim=spec.decoder_ffn_dim,
+                    layers=spec.decoder_layers,
+                    heads=spec.decoder_heads,
+                    dropout=spec.dropout,
+                    share_input_output_embed=True,
+                    dtype=self.dtype,
+                    name=f"mt_{spec.name}_decoder",
+                )
+        self.mt_modules = mt_modules
 
     def encode(self, src, src_lengths, deterministic: bool = True):
         return self.encoder(src, src_lengths, deterministic=deterministic)
@@ -329,11 +382,24 @@ class NARS2UTModule(nn.Module):
         prev_tokens,
         tgt_tokens=None,
         deterministic: bool = True,
+        multitask_prev=None,
     ):
         """Training/valid forward. Returns dict with unit logits, the CMLM
         word-insertion mask (positions where prev==unk), length logits and the
-        clamped length target (nar_transformer.py:729-787)."""
-        enc, enc_mask = self.encoder(src, src_lengths, deterministic=deterministic)
+        clamped length target (nar_transformer.py:729-787). multitask_prev:
+        {task_name: prev_output_tokens [B, L]} for transformer aux decoders
+        (reference MultitaskCriterion, speech_to_speech_criterion.py:67-123)."""
+        run_mt = bool(self.multitask) and tgt_tokens is not None
+        if run_mt:
+            # aux heads tap the raw per-layer encoder states (fairseq
+            # return_all_hiddens), BEFORE any CG/self-prompting rewrites
+            enc, enc_mask, enc_states = self.encoder(
+                src, src_lengths, deterministic=deterministic,
+                return_all_layers=True)
+        else:
+            enc, enc_mask = self.encoder(
+                src, src_lengths, deterministic=deterministic)
+        raw_enc_mask = enc_mask
 
         length_logits = self.decoder.forward_length(enc, enc_mask)
         if tgt_tokens is not None:
@@ -377,7 +443,15 @@ class NARS2UTModule(nn.Module):
             enc = jnp.where(use_prompt, sp_enc, pad_enc)
             enc_mask = jnp.where(use_prompt, sp_mask, pad_mask)
 
-        logits = self.decoder(prev_tokens, enc, enc_mask, deterministic=deterministic)
+        need_inner = run_mt and any(
+            s.input_from == "decoder" for s in self.multitask)
+        if need_inner:
+            logits, inner = self.decoder(
+                prev_tokens, enc, enc_mask, deterministic=deterministic,
+                return_inner=True)
+        else:
+            logits = self.decoder(
+                prev_tokens, enc, enc_mask, deterministic=deterministic)
         out = dict(
             logits=logits,
             word_ins_mask=prev_tokens == UNK,
@@ -387,6 +461,32 @@ class NARS2UTModule(nn.Module):
         if self.ctc_vocab:
             out["ctc_logits"] = self.ctc_proj(enc)
             out["ctc_mask"] = enc_mask
+        if run_mt:
+            mt_out = {}
+            for spec in self.multitask:
+                head = self.mt_modules[spec.name]
+                if spec.decoder_type == "ctc":
+                    if spec.input_from == "decoder":
+                        # inner_states[decoder_layer - 1] over the CMLM
+                        # canvas, where inner_states = [embed_out, after
+                        # layer 1, ...] exactly as in fairseq
+                        # (research/TranSpeech/criterion.py:62-67)
+                        tapped, mask = inner[spec.input_layer], prev_tokens != PAD
+                    else:
+                        tapped, mask = enc_states[spec.input_layer], raw_enc_mask
+                    mt_out[spec.name] = {"logits": head(tapped), "mask": mask}
+                else:
+                    # transformer aux decoders always cross-attend the tapped
+                    # ENCODER states (reference criterion.py:69-80 uses
+                    # encoder_states for the non-CTC branch regardless of
+                    # input_from)
+                    prev_mt = multitask_prev[spec.name]
+                    mt_out[spec.name] = {
+                        "logits": head(
+                            prev_mt, enc_states[spec.input_layer],
+                            raw_enc_mask, deterministic=deterministic),
+                    }
+            out["multitask"] = mt_out
         return out
 
 
@@ -429,6 +529,7 @@ class NARS2UTModel(ModelHolder):
             quant_int8=bool(cfg.get(
                 "quant_int8",
                 __import__("os").environ.get("DIFFNORM_INT8") == "1")),
+            multitask=tuple(getattr(task, "aux_task_specs", lambda: ())()),
             dtype=jnp.dtype(cfg.get("dtype", "float32")),
         )
         return cls(module=module, cfg=cfg)

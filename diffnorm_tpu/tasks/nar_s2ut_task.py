@@ -71,11 +71,54 @@ class NARS2UTTask(Task):
         super().__init__(cfg)
         self.tgt_dict = Dictionary.unit_dictionary(cfg.get("target_code_size", 1000))
         self.use_side = bool(cfg.get("use_side", False))
+        # --multitask-config-yaml (reference speech_to_speech.py:229-245):
+        # aux text-decoder tasks tapping the main model's encoder/decoder
+        self.multitask_tasks = {}
+        self._num_updates = 0
+        mt_yaml = cfg.get("multitask_config_yaml")
+        if mt_yaml:
+            import os
+
+            from diffnorm_tpu.data.multitask import MultitaskConfig
+
+            if not os.path.isabs(mt_yaml):
+                mt_yaml = os.path.join(self.data_path(1), mt_yaml)
+            self.multitask_tasks = MultitaskConfig(mt_yaml).get_all_tasks()
+
+    def aux_task_specs(self):
+        """Static AuxTaskSpec tuple for the model's aux decoders (reference
+        build_multitask_decoder + base_multitask_text_transformer_decoder_arch
+        defaults, s2s_transformer.py:171-230,582-616)."""
+        from diffnorm_tpu.models.nar_transformer import AuxTaskSpec
+
+        specs = []
+        for name, tc in self.multitask_tasks.items():
+            dargs = tc.decoder_args
+            vocab = len(tc.tgt_dict) if tc.tgt_dict is not None else 0
+            assert vocab > 0, f"multitask '{name}': missing dictionary"
+            specs.append(AuxTaskSpec(
+                name=name,
+                decoder_type=tc.decoder_type,
+                vocab_size=vocab,
+                input_from=tc.input_from,
+                input_layer=tc.input_layer,
+                decoder_layers=int(dargs.get("decoder_layers", 2)),
+                decoder_dim=int(dargs.get("decoder_embed_dim", 256)),
+                decoder_heads=int(dargs.get("decoder_attention_heads", 4)),
+                decoder_ffn_dim=int(dargs.get("decoder_ffn_embed_dim", 2048)),
+                dropout=float(dargs.get("dropout", 0.3)),
+            ))
+        return tuple(specs)
+
+    def set_num_updates(self, num_updates: int):
+        """Drives the per-task loss-weight decay schedule host-side
+        (reference speech_to_speech.py:511-516 set_multitask_loss_weight)."""
+        self._num_updates = int(num_updates)
 
     def load_dataset(self, split: str, epoch: int = 1):
         from diffnorm_tpu.data.s2s_dataset import SpeechToUnitDataset
 
-        self.datasets[split] = SpeechToUnitDataset.from_tsv(
+        ds = SpeechToUnitDataset.from_tsv(
             root=self.data_path(epoch),
             split=split,
             tgt_dict=self.tgt_dict,
@@ -85,6 +128,11 @@ class NARS2UTTask(Task):
                 "config_yaml", self.cfg.get("dummy_config", "config.yaml")),
             is_train=split.startswith("train"),
         )
+        for name, tc in self.multitask_tasks.items():
+            from diffnorm_tpu.data.multitask import TextTargetData
+
+            ds.add_multitask(name, TextTargetData(tc, split), tc.decoder_type)
+        self.datasets[split] = ds
 
     def prepare_batch(self, batch: Dict[str, np.ndarray], rng: np.random.Generator):
         """Inject CMLM noise: prev_target = masked target (reference
@@ -108,7 +156,23 @@ class NARS2UTTask(Task):
             batch["prev_target"] = side_mask(target, rng)
         else:
             batch["prev_target"] = random_mask(target, rng)
+        # per-task loss weights (fixed or linearly decaying with num_updates)
+        # as traced scalars: the decay schedule moving never retraces the step
+        for name, tc in self.multitask_tasks.items():
+            if "multitask" in batch and name in batch["multitask"]:
+                batch["multitask"][name]["loss_weight"] = np.float32(
+                    tc.get_loss_weight(self._num_updates)
+                )
         return batch
+
+    def multitask_prev(self, batch):
+        """{task: prev_output_tokens} for transformer aux decoders."""
+        out = {}
+        for name, tc in self.multitask_tasks.items():
+            mt = batch.get("multitask", {}).get(name)
+            if mt is not None and "prev_output_tokens" in mt:
+                out[name] = mt["prev_output_tokens"]
+        return out or None
 
     def init_variables(self, model, rng, batch):
         r_p, r_d, r_cg = jax.random.split(rng, 3)
@@ -119,6 +183,7 @@ class NARS2UTTask(Task):
             batch["prev_target"],
             tgt_tokens=batch["target"],
             deterministic=True,
+            multitask_prev=self.multitask_prev(batch),
         )
 
     def dummy_batch(self, batch_size: int = 2, seq_len: int = 48) -> Dict:

@@ -17,20 +17,31 @@ class LabelSmoothedCrossEntropy:
     def __init__(self, cfg=None, task=None):
         self.eps = cfg.get("label_smoothing", 0.1) if cfg is not None else 0.1
 
+    def _model_kwargs(self, batch):
+        """Extra kwargs for the model forward (subclass hook)."""
+        return {}
+
+    def _finalize(self, out, batch, loss, metrics, ntokens):
+        """Post-main-loss hook (subclass hook). Returns the final loss;
+        may add metrics in place."""
+        return loss
+
     def __call__(self, model, variables, batch, rng, train: bool = True):
         src = batch["src_tokens"]
         src_lengths = batch["src_lengths"]
         prev = batch["prev_output_tokens"]
         tgt = batch["target"]
+        kwargs = self._model_kwargs(batch)
 
         if train:
             out, mutated = model.apply(
                 variables, src, src_lengths, prev, deterministic=False,
-                rngs={"dropout": rng}, mutable=["batch_stats"],
+                rngs={"dropout": rng}, mutable=["batch_stats"], **kwargs,
             )
         else:
             out = model.apply(
-                variables, src, src_lengths, prev, deterministic=True
+                variables, src, src_lengths, prev, deterministic=True,
+                **kwargs,
             )
             mutated = {}
 
@@ -53,7 +64,41 @@ class LabelSmoothedCrossEntropy:
             "nsentences": src.shape[0],
             "sample_size": ntokens,
         }
+        loss = self._finalize(out, batch, loss, metrics, ntokens)
+        metrics["loss"] = loss
         return loss, metrics, mutated
+
+
+@register_criterion("speech_to_unit")
+class SpeechToUnitLoss(LabelSmoothedCrossEntropy):
+    """AR S2UT criterion with --multitask-config-yaml aux losses (reference
+    SpeechToUnitMultitaskTaskCriterion, speech_to_speech_criterion.py:159-225:
+    label-smoothed CE on the unit decoder + weighted per-task CTC/CE aux
+    losses tapping encoder/decoder states)."""
+
+    def __init__(self, cfg=None, task=None):
+        super().__init__(cfg, task)
+        self.multitask = dict(getattr(task, "multitask_tasks", None) or {})
+
+    def _model_kwargs(self, batch):
+        if not self.multitask:
+            return {}
+        mt_prev = {
+            name: batch.get("multitask", {}).get(name, {}).get(
+                "prev_output_tokens")
+            for name in self.multitask
+        }
+        mt_prev = {k: v for k, v in mt_prev.items() if v is not None} or None
+        # tgt_tokens gates the aux heads on (train/valid only, never in
+        # generation) — same convention as the NAR model
+        return dict(tgt_tokens=batch["target"], multitask_prev=mt_prev)
+
+    def _finalize(self, out, batch, loss, metrics, ntokens):
+        from diffnorm_tpu.criterions.nar_loss import apply_multitask_losses
+
+        return apply_multitask_losses(
+            self.multitask, out, batch, loss, metrics, ntokens
+        )
 
 
 @register_criterion("lm_cross_entropy")

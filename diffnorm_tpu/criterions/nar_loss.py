@@ -36,6 +36,52 @@ def _masked_label_smoothed_ce(lprobs, target, mask, epsilon: float):
     return jnp.sum(loss), jnp.sum(nll)
 
 
+def apply_multitask_losses(multitask, out, batch, loss, metrics, ntokens):
+    """--multitask-config-yaml aux losses (reference get_multitask_loss,
+    research/TranSpeech/criterion.py:44-94 / speech_to_speech_criterion.py:65-125):
+    total += weight * task_loss where task_loss is the per-task SUM (CTC or
+    label-smoothed CE), normalized here by the main ntokens to match the
+    trainer's sum-loss/sum-sample_size semantics. Shared by the NAR
+    (nar_speech_to_unit) and AR (speech_to_unit) criterions. Returns the
+    augmented loss; per-task means are added to `metrics` in place."""
+    for name, tc in multitask.items():
+        mt_out = out.get("multitask", {}).get(name)
+        mt_batch = batch.get("multitask", {}).get(name)
+        if mt_out is None or mt_batch is None:
+            continue
+        weight = mt_batch.get("loss_weight", 1.0)
+        mt_tgt = mt_batch["target"]
+        logits32 = mt_out["logits"].astype(jnp.float32)
+        if tc.decoder_type == "ctc":
+            import optax
+
+            logit_mask = mt_out["mask"]
+            logit_lens = jnp.sum(logit_mask, axis=1)
+            tgt_lens = jnp.sum(mt_tgt != PAD, axis=1)
+            per_seq = optax.ctc_loss(
+                logits32,
+                (~logit_mask).astype(jnp.float32),
+                mt_tgt,
+                (mt_tgt == PAD).astype(jnp.float32),
+                blank_id=0,
+            )
+            # zero_infinity (fairseq ctc.py): drop infeasible alignments
+            feasible = (tgt_lens <= logit_lens) & jnp.isfinite(per_seq)
+            if tc.zero_infinity:
+                per_seq = jnp.where(feasible, per_seq, 0.0)
+            task_loss = jnp.sum(per_seq)
+        else:
+            mt_lprobs = jax.nn.log_softmax(logits32, axis=-1)
+            task_loss, _ = _masked_label_smoothed_ce(
+                mt_lprobs, mt_tgt, mt_tgt != PAD, tc.label_smoothing
+            )
+        loss = loss + weight * task_loss / ntokens
+        metrics[f"multitask_{name}_loss"] = task_loss / jnp.maximum(
+            jnp.sum(mt_tgt != PAD), 1
+        )
+    return loss
+
+
 @register_criterion("nar_speech_to_unit")
 class NARSpeechToUnitLoss:
     def __init__(self, cfg=None, task=None):
@@ -135,45 +181,9 @@ class NARSpeechToUnitLoss:
         if ctc_loss is not None:
             metrics["ctc_loss"] = ctc_loss
 
-        # --multitask-config-yaml aux losses (reference get_multitask_loss,
-        # research/TranSpeech/criterion.py:44-94): total += weight * task_loss
-        # where task_loss is the per-task SUM; normalized here by the main
-        # ntokens to match the trainer's sum-loss/sum-sample_size semantics
-        for name, tc in self.multitask.items():
-            mt_out = out.get("multitask", {}).get(name)
-            mt_batch = batch.get("multitask", {}).get(name)
-            if mt_out is None or mt_batch is None:
-                continue
-            weight = mt_batch.get("loss_weight", 1.0)
-            mt_tgt = mt_batch["target"]
-            logits32 = mt_out["logits"].astype(jnp.float32)
-            if tc.decoder_type == "ctc":
-                import optax
-
-                logit_mask = mt_out["mask"]
-                logit_lens = jnp.sum(logit_mask, axis=1)
-                tgt_lens = jnp.sum(mt_tgt != PAD, axis=1)
-                per_seq = optax.ctc_loss(
-                    logits32,
-                    (~logit_mask).astype(jnp.float32),
-                    mt_tgt,
-                    (mt_tgt == PAD).astype(jnp.float32),
-                    blank_id=0,
-                )
-                # zero_infinity (fairseq ctc.py): drop infeasible alignments
-                feasible = (tgt_lens <= logit_lens) & jnp.isfinite(per_seq)
-                if tc.zero_infinity:
-                    per_seq = jnp.where(feasible, per_seq, 0.0)
-                task_loss = jnp.sum(per_seq)
-            else:
-                mt_lprobs = jax.nn.log_softmax(logits32, axis=-1)
-                task_loss, _ = _masked_label_smoothed_ce(
-                    mt_lprobs, mt_tgt, mt_tgt != PAD, tc.label_smoothing
-                )
-            loss = loss + weight * task_loss / ntokens
-            metrics[f"multitask_{name}_loss"] = task_loss / jnp.maximum(
-                jnp.sum(mt_tgt != PAD), 1
-            )
+        loss = apply_multitask_losses(
+            self.multitask, out, batch, loss, metrics, ntokens
+        )
         if self.multitask:
             metrics["loss"] = loss
         return loss, metrics, mutated

@@ -162,9 +162,13 @@ class ARUnitDecoder(nn.Module):
     @nn.compact
     def __call__(self, tokens, enc, enc_mask, deterministic: bool = True,
                  decode: bool = False, decode_position=None,
-                 max_decode_len: int = 256):
+                 max_decode_len: int = 256, return_inner: bool = False):
         """tokens: [B, T] (T=1 when decode; packed ids when stacked).
-        Returns logits [B, T, V], or [B, T, k, V] when stacked."""
+        Returns logits [B, T, V], or [B, T, k, V] when stacked. With
+        return_inner=True (training path only) also returns the pre-final-norm
+        hidden states [embed_out, after layer 1, ...] — fairseq
+        TransformerDecoder inner_states, tapped by decoder-side multitask CTC
+        heads (reference return_all_hiddens)."""
         k = self.n_frames_per_step
         if k > 1:
             from diffnorm_tpu.models.stacked import StackedEmbedding
@@ -199,6 +203,7 @@ class ARUnitDecoder(nn.Module):
             )
             self_mask = valid
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        inner = [x]
         for i in range(self.layers):
             x = ARDecoderLayer(
                 dim=self.dim, ffn_dim=self.ffn_dim, heads=self.heads,
@@ -208,6 +213,8 @@ class ARUnitDecoder(nn.Module):
                 dtype=self.dtype, name=f"layer_{i}",
             )(x, self_mask, enc, enc_mask, deterministic=deterministic,
               decode=decode, max_decode_len=max_decode_len)
+            if return_inner:
+                inner.append(x)
         x = nn.LayerNorm(dtype=self.dtype, name="layer_norm")(x)
         if k > 1:
             b, t, _ = x.shape
@@ -219,11 +226,12 @@ class ARUnitDecoder(nn.Module):
             # projects through the output layer per sub-frame)
             logits = nn.Dense(self.vocab_size, use_bias=False,
                               dtype=self.dtype, name="subframe_out")(h)
-            return logits  # [B, T, k, V]
-        if self.share_input_output_embed:
-            return embed.attend(x)
-        return nn.Dense(self.vocab_size, use_bias=False, dtype=self.dtype,
-                        name="output_proj")(x)
+        elif self.share_input_output_embed:
+            logits = embed.attend(x)
+        else:
+            logits = nn.Dense(self.vocab_size, use_bias=False,
+                              dtype=self.dtype, name="output_proj")(x)
+        return (logits, inner) if return_inner else logits
 
 
 class ARS2UTModule(nn.Module):
@@ -241,6 +249,10 @@ class ARS2UTModule(nn.Module):
     activation_dropout: Optional[float] = None
     depthwise_kernel_size: int = 31
     n_frames_per_step: int = 1
+    # --multitask-config-yaml aux tasks (AuxTaskSpec tuple; the reference's
+    # S2STransformerMultitaskModelBase builds the same aux decoders onto the
+    # AR S2UT model as onto the NAR one, s2s_transformer.py:171-230)
+    multitask: tuple = ()
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -262,6 +274,9 @@ class ARS2UTModule(nn.Module):
             n_frames_per_step=self.n_frames_per_step,
             dtype=self.dtype, name="decoder",
         )
+        from diffnorm_tpu.models.nar_transformer import build_aux_heads
+
+        self.mt_modules = build_aux_heads(self.multitask, self.dtype)
 
     def encode(self, src, src_lengths, deterministic: bool = True):
         return self.encoder(src, src_lengths, deterministic=deterministic)
@@ -275,12 +290,38 @@ class ARS2UTModule(nn.Module):
         )
         return logits[:, 0]
 
-    def __call__(self, src, src_lengths, prev_tokens, deterministic=True):
-        enc, enc_mask = self.encoder(src, src_lengths,
-                                     deterministic=deterministic)
-        logits = self.decoder(prev_tokens, enc, enc_mask,
-                              deterministic=deterministic)
-        return dict(logits=logits)
+    def __call__(self, src, src_lengths, prev_tokens, tgt_tokens=None,
+                 deterministic=True, multitask_prev=None):
+        """Teacher-forced training forward. tgt_tokens only gates the aux
+        heads (same convention as NARS2UTModule: aux losses run in train and
+        valid steps, never in generation); multitask_prev:
+        {task_name: prev_output_tokens [B, L]} for transformer aux decoders."""
+        run_mt = bool(self.multitask) and tgt_tokens is not None
+        if run_mt:
+            from diffnorm_tpu.models.nar_transformer import aux_head_outputs
+
+            enc, enc_mask, enc_states = self.encoder(
+                src, src_lengths, deterministic=deterministic,
+                return_all_layers=True)
+        else:
+            enc, enc_mask = self.encoder(src, src_lengths,
+                                         deterministic=deterministic)
+        need_inner = run_mt and any(
+            s.input_from == "decoder" for s in self.multitask)
+        if need_inner:
+            logits, inner = self.decoder(
+                prev_tokens, enc, enc_mask, deterministic=deterministic,
+                return_inner=True)
+        else:
+            logits = self.decoder(prev_tokens, enc, enc_mask,
+                                  deterministic=deterministic)
+        out = dict(logits=logits)
+        if run_mt:
+            out["multitask"] = aux_head_outputs(
+                self.multitask, self.mt_modules, multitask_prev, enc_states,
+                enc_mask, inner if need_inner else None, prev_tokens,
+                deterministic)
+        return out
 
 
 @register_model("ar_s2ut")
@@ -306,6 +347,7 @@ class ARS2UTModel(ModelHolder):
                 "relu_dropout", cfg.get("activation_dropout")),
             depthwise_kernel_size=cfg.get("depthwise_conv_kernel_size", 31),
             n_frames_per_step=cfg.get("n_frames_per_step", 1),
+            multitask=tuple(getattr(task, "aux_task_specs", lambda: ())()),
             dtype=jnp.dtype(cfg.get("dtype", "float32")),
         )
         return cls(module=module, cfg=cfg)

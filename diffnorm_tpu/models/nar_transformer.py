@@ -54,6 +54,64 @@ class AuxTaskSpec(NamedTuple):
     dropout: float = 0.3
 
 
+def build_aux_heads(specs, dtype):
+    """Construct the per-task aux head modules from AuxTaskSpecs — a linear
+    CTC projection or a small causal transformer decoder per task (reference
+    S2STransformerMultitaskModelBase.build_multitask_decoder,
+    s2s_transformer.py:171-230). Shared by the NAR and AR S2UT models; must
+    be called from a flax `setup` (names are explicit)."""
+    from diffnorm_tpu.models.ar_transformer import ARUnitDecoder
+
+    mt_modules = {}
+    for spec in specs:
+        if spec.decoder_type == "ctc":
+            mt_modules[spec.name] = nn.Dense(
+                spec.vocab_size, dtype=dtype, name=f"mt_{spec.name}_ctc",
+            )
+        else:
+            mt_modules[spec.name] = ARUnitDecoder(
+                vocab_size=spec.vocab_size,
+                dim=spec.decoder_dim,
+                ffn_dim=spec.decoder_ffn_dim,
+                layers=spec.decoder_layers,
+                heads=spec.decoder_heads,
+                dropout=spec.dropout,
+                share_input_output_embed=True,
+                dtype=dtype,
+                name=f"mt_{spec.name}_decoder",
+            )
+    return mt_modules
+
+
+def aux_head_outputs(specs, mt_modules, multitask_prev, enc_states, enc_mask,
+                     inner, dec_tokens, deterministic):
+    """Run the aux heads over their tapped states. enc_states: per-layer
+    encoder states (fairseq return_all_hiddens); inner: decoder inner_states
+    [embed_out, after layer 1, ...] (may be None when no decoder tap);
+    dec_tokens: the main decoder's input tokens (mask source for
+    decoder-tapped CTC heads, reference research/TranSpeech/criterion.py:62-67).
+    Transformer aux decoders always cross-attend the tapped ENCODER states
+    (reference criterion.py:69-80 uses encoder_states for the non-CTC branch
+    regardless of input_from)."""
+    mt_out = {}
+    for spec in specs:
+        head = mt_modules[spec.name]
+        if spec.decoder_type == "ctc":
+            if spec.input_from == "decoder":
+                tapped, mask = inner[spec.input_layer], dec_tokens != PAD
+            else:
+                tapped, mask = enc_states[spec.input_layer], enc_mask
+            mt_out[spec.name] = {"logits": head(tapped), "mask": mask}
+        else:
+            prev_mt = multitask_prev[spec.name]
+            mt_out[spec.name] = {
+                "logits": head(
+                    prev_mt, enc_states[spec.input_layer], enc_mask,
+                    deterministic=deterministic),
+            }
+    return mt_out
+
+
 class MultiheadAttention(nn.Module):
     """fairseq-style MHA (bias on qkv/out projections)."""
 
@@ -334,28 +392,7 @@ class NARS2UTModule(nn.Module):
         # --multitask-config-yaml aux decoders (reference
         # s2s_transformer.py:171-230): a linear CTC head or a small causal
         # transformer decoder per task, tapping encoder/decoder states
-        mt_modules = {}
-        for spec in self.multitask:
-            if spec.decoder_type == "ctc":
-                mt_modules[spec.name] = nn.Dense(
-                    spec.vocab_size, dtype=self.dtype,
-                    name=f"mt_{spec.name}_ctc",
-                )
-            else:
-                from diffnorm_tpu.models.ar_transformer import ARUnitDecoder
-
-                mt_modules[spec.name] = ARUnitDecoder(
-                    vocab_size=spec.vocab_size,
-                    dim=spec.decoder_dim,
-                    ffn_dim=spec.decoder_ffn_dim,
-                    layers=spec.decoder_layers,
-                    heads=spec.decoder_heads,
-                    dropout=spec.dropout,
-                    share_input_output_embed=True,
-                    dtype=self.dtype,
-                    name=f"mt_{spec.name}_decoder",
-                )
-        self.mt_modules = mt_modules
+        self.mt_modules = build_aux_heads(self.multitask, self.dtype)
 
     def encode(self, src, src_lengths, deterministic: bool = True):
         return self.encoder(src, src_lengths, deterministic=deterministic)
@@ -462,31 +499,13 @@ class NARS2UTModule(nn.Module):
             out["ctc_logits"] = self.ctc_proj(enc)
             out["ctc_mask"] = enc_mask
         if run_mt:
-            mt_out = {}
-            for spec in self.multitask:
-                head = self.mt_modules[spec.name]
-                if spec.decoder_type == "ctc":
-                    if spec.input_from == "decoder":
-                        # inner_states[decoder_layer - 1] over the CMLM
-                        # canvas, where inner_states = [embed_out, after
-                        # layer 1, ...] exactly as in fairseq
-                        # (research/TranSpeech/criterion.py:62-67)
-                        tapped, mask = inner[spec.input_layer], prev_tokens != PAD
-                    else:
-                        tapped, mask = enc_states[spec.input_layer], raw_enc_mask
-                    mt_out[spec.name] = {"logits": head(tapped), "mask": mask}
-                else:
-                    # transformer aux decoders always cross-attend the tapped
-                    # ENCODER states (reference criterion.py:69-80 uses
-                    # encoder_states for the non-CTC branch regardless of
-                    # input_from)
-                    prev_mt = multitask_prev[spec.name]
-                    mt_out[spec.name] = {
-                        "logits": head(
-                            prev_mt, enc_states[spec.input_layer],
-                            raw_enc_mask, deterministic=deterministic),
-                    }
-            out["multitask"] = mt_out
+            # decoder taps index inner_states[decoder_layer - 1] over the
+            # CMLM canvas, where inner_states = [embed_out, after layer 1,
+            # ...] exactly as in fairseq (research/TranSpeech/criterion.py:62-67)
+            out["multitask"] = aux_head_outputs(
+                self.multitask, self.mt_modules, multitask_prev, enc_states,
+                raw_enc_mask, inner if need_inner else None, prev_tokens,
+                deterministic)
         return out
 
 

@@ -82,16 +82,25 @@ class ARS2UTTask(NARS2UTTask):
             batch["prev_output_tokens"] = shift_right(packed)
         elif batch["target"].ndim == 2:
             batch["prev_output_tokens"] = shift_right(batch["target"])
+        self.inject_loss_weights(batch)
         return batch
 
     def init_variables(self, model, rng, batch):
         r_p, r_d = jax.random.split(rng)
+        kwargs = {}
+        if self.multitask_tasks:
+            # initialize the aux head params too (speech_to_unit criterion)
+            kwargs = dict(
+                tgt_tokens=batch["target"],
+                multitask_prev=self.multitask_prev(batch),
+            )
         return model.init(
             {"params": r_p, "dropout": r_d},
             batch["src_tokens"],
             batch["src_lengths"],
             batch["prev_output_tokens"],
             deterministic=True,
+            **kwargs,
         )
 
     def dummy_batch(self, batch_size: int = 2, seq_len: int = 48) -> Dict:

@@ -156,14 +156,18 @@ class NARS2UTTask(Task):
             batch["prev_target"] = side_mask(target, rng)
         else:
             batch["prev_target"] = random_mask(target, rng)
-        # per-task loss weights (fixed or linearly decaying with num_updates)
-        # as traced scalars: the decay schedule moving never retraces the step
+        self.inject_loss_weights(batch)
+        return batch
+
+    def inject_loss_weights(self, batch):
+        """Per-task loss weights (fixed or linearly decaying with
+        num_updates) as traced scalars: the decay schedule moving never
+        retraces the step."""
         for name, tc in self.multitask_tasks.items():
             if "multitask" in batch and name in batch["multitask"]:
                 batch["multitask"][name]["loss_weight"] = np.float32(
                     tc.get_loss_weight(self._num_updates)
                 )
-        return batch
 
     def multitask_prev(self, batch):
         """{task: prev_output_tokens} for transformer aux decoders."""

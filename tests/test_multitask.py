@@ -278,6 +278,92 @@ def test_loss_weight_decays_with_num_updates(mt_built, mt_data_dir):
     task.set_num_updates(0)
 
 
+# --------------------------------------------------------------------------
+# AR model ("speech_to_unit" criterion) shares the same aux-head stack
+# (reference builds identical aux decoders onto the AR S2UT model,
+# s2s_transformer.py:171-230 + speech_to_speech_criterion.py:159-225)
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def mt_ar_built(mt_data_dir):
+    cfg = _mt_cfg(
+        mt_data_dir, arch="s2ut_conformer", criterion="speech_to_unit")
+    task = TASKS.get("speech_to_speech_ar").setup_task(cfg)
+    ds = task.dataset("train")
+    batch = ds.collater([ds[i] for i in range(4)])
+    batch = task.prepare_batch(batch, np.random.default_rng(0))
+    model = task.build_model()
+    crit = task.build_criterion()
+    variables = task.init_variables(model, jax.random.PRNGKey(0), batch)
+    return task, model, crit, batch, variables
+
+
+def test_ar_model_emits_aux_logits(mt_ar_built):
+    task, model, crit, batch, variables = mt_ar_built
+    out = model.apply(
+        variables, batch["src_tokens"], batch["src_lengths"],
+        batch["prev_output_tokens"], tgt_tokens=batch["target"],
+        deterministic=True, multitask_prev=task.multitask_prev(batch),
+    )
+    mt = out["multitask"]
+    b = batch["target"].shape[0]
+    enc_t = int(np.asarray(mt["source_unigram"]["mask"]).shape[1])
+    assert mt["source_unigram"]["logits"].shape == (b, enc_t, 10)
+    # decoder-tapped ctc runs over the teacher-forced decoder input
+    assert (mt["decoder_ctc"]["logits"].shape[:2]
+            == batch["prev_output_tokens"].shape)
+    np.testing.assert_array_equal(
+        np.asarray(mt["decoder_ctc"]["mask"]),
+        batch["prev_output_tokens"] != PAD)
+    letter_prev = batch["multitask"]["target_letter"]["prev_output_tokens"]
+    assert mt["target_letter"]["logits"].shape == (*letter_prev.shape, 10)
+    # without tgt_tokens (generation path) no aux heads run
+    out_gen = model.apply(
+        variables, batch["src_tokens"], batch["src_lengths"],
+        batch["prev_output_tokens"], deterministic=True,
+    )
+    assert "multitask" not in out_gen
+
+
+def test_ar_criterion_adds_weighted_aux_losses(mt_ar_built):
+    task, model, crit, batch, variables = mt_ar_built
+    loss, mets, _ = crit(model, variables, batch, jax.random.PRNGKey(1),
+                         train=True)
+    assert np.isfinite(float(loss))
+    for name in ("source_unigram", "target_letter", "decoder_ctc"):
+        assert np.isfinite(float(mets[f"multitask_{name}_loss"]))
+
+    import copy
+
+    zeroed = copy.deepcopy(batch)
+    for name in zeroed["multitask"]:
+        zeroed["multitask"][name]["loss_weight"] = np.float32(0.0)
+    loss0, _, _ = crit(model, variables, zeroed, jax.random.PRNGKey(1),
+                       train=False)
+    lossw, _, _ = crit(model, variables, batch, jax.random.PRNGKey(1),
+                       train=False)
+    assert float(lossw) > float(loss0)
+
+
+def test_ar_train_step_with_multitask(mt_data_dir):
+    """One jitted trainer step through the AR aux-head grad path."""
+    from diffnorm_tpu.config import make_trainer_config
+    from diffnorm_tpu.train.trainer import Trainer
+
+    cfg = _mt_cfg(mt_data_dir, arch="s2ut_conformer",
+                  criterion="speech_to_unit", warmup_updates=10)
+    task = TASKS.get("speech_to_speech_ar").setup_task(cfg)
+    ds = task.dataset("train")
+    batch = ds.collater([ds[i] for i in range(2)])
+    batch = task.prepare_batch(batch, np.random.default_rng(0))
+    trainer = Trainer(make_trainer_config(cfg), task, task.build_model(),
+                      task.build_criterion())
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    state, mets = trainer.train_step(state, [batch], jax.random.PRNGKey(1))
+    assert np.isfinite(mets["loss"])
+    assert np.isfinite(mets["multitask_target_letter_loss"])
+
+
 def test_train_step_with_multitask(mt_data_dir):
     """One jitted trainer step end-to-end with aux heads in the graph."""
     from diffnorm_tpu.config import make_trainer_config

@@ -223,6 +223,8 @@ def main(cfg: Optional[Config] = None) -> int:
     # ar_generation (text translation)
     is_ar = isinstance(task, ARS2UTTask) or getattr(task, "ar_generation",
                                                     False)
+    # UnitY two-pass models expose a first-pass decode method
+    is_unity = is_ar and hasattr(model.module, "decode_mt_step")
     n_frames = int(cfg.get("n_frames_per_step", 1))
     needs_target = False  # set by decoders that consume the reference
     needs_rng = False  # set by stochastic decoders (--sampling)
@@ -240,6 +242,38 @@ def main(cfg: Optional[Config] = None) -> int:
             b = canvas.shape[0]
             return canvas, jnp.zeros(canvas.shape, jnp.float32), \
                 jnp.full((b,), max_iter, jnp.int32)
+    elif is_unity:
+        # UnitY two-pass beam decoding (reference
+        # MultiDecoderSequenceGenerator via task.build_generator_dual_decoder,
+        # speech_to_speech.py:373-401): --beam-mt / --lenpen-mt /
+        # --max-len-b-mt control the first (text) pass
+        from diffnorm_tpu.generate.unity import unity_generate
+
+        beam = int(cfg.get("beam", 5))
+        if isinstance(variables, list):
+            logger.warning("unity generation uses the first model of the "
+                           "ensemble")
+            variables = variables[0]
+        if n_frames > 1:
+            raise NotImplementedError(
+                "unity generation with n_frames_per_step>1")
+
+        def _decode(v, src, lengths):
+            seqs, scores, _mt = unity_generate(
+                model, v, src, lengths, beam_size=beam,
+                beam_size_mt=int(cfg.get("beam_mt", beam)),
+                max_len=min(max_len, 256),
+                max_len_mt=min(int(cfg.get("max_len_b_mt", 200)), 256),
+                min_len=int(cfg.get("min_len", 1)),
+                len_penalty=float(cfg.get("lenpen", 1.0)),
+                len_penalty_mt=float(cfg.get("lenpen_mt", 1.0)),
+                no_repeat_ngram=int(cfg.get("no_repeat_ngram_size", 0)),
+                unk_penalty=float(cfg.get("unkpen", 0.0)),
+            )
+            best = seqs[:, 0]
+            return best, jnp.broadcast_to(
+                scores[:, :1], best.shape
+            ).astype(jnp.float32), jnp.ones((best.shape[0],), jnp.int32)
     elif is_ar and n_frames > 1:
         # greedy stacked-unit generation; report the full-rate unit stream
         # (no ensemble support here — the reference's StackUnitSequenceGenerator
@@ -465,7 +499,8 @@ def main(cfg: Optional[Config] = None) -> int:
     want_static = bool(
         cfg.get("quant_int8") and cfg.get("quant_int8_static")
         and not isinstance(task, LevenshteinTask)
-        and not getattr(task, "ctc_generation", False))
+        and not getattr(task, "ctc_generation", False)
+        and not is_unity)  # two-pass forward needs prev_tokens_mt
     static_done = False
 
     def _calibrate_static(batch):

@@ -101,6 +101,34 @@ class SpeechToUnitLoss(LabelSmoothedCrossEntropy):
         )
 
 
+@register_criterion("speech_to_unit_2pass")
+class SpeechToUnit2PassLoss(SpeechToUnitLoss):
+    """UnitY two-pass criterion (reference
+    SpeechToUnit2passMultitaskTaskCriterion,
+    speech_to_speech_criterion.py:258-330): the model forward additionally
+    takes the first-pass task's prev_output_tokens; the first-pass loss
+    arrives through the regular multitask accounting (the model emits that
+    task's logits from its mt_decoder)."""
+
+    def __init__(self, cfg=None, task=None):
+        super().__init__(cfg, task)
+        self.mt_task_name = getattr(task, "mt_task_name", None)
+        assert self.mt_task_name, (
+            "speech_to_unit_2pass needs a first-pass decoder multitask"
+        )
+
+    def _model_kwargs(self, batch):
+        kw = super()._model_kwargs(batch) or {}
+        kw["prev_tokens_mt"] = (
+            batch["multitask"][self.mt_task_name]["prev_output_tokens"]
+        )
+        # the two-pass forward always needs tgt gating intact even without
+        # extra aux heads
+        kw.setdefault("tgt_tokens", batch["target"])
+        kw.setdefault("multitask_prev", None)
+        return kw
+
+
 @register_criterion("lm_cross_entropy")
 class LMCrossEntropy:
     """Next-token CE for the decoder-only unit LM (reference cross_entropy

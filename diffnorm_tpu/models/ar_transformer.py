@@ -162,13 +162,18 @@ class ARUnitDecoder(nn.Module):
     @nn.compact
     def __call__(self, tokens, enc, enc_mask, deterministic: bool = True,
                  decode: bool = False, decode_position=None,
-                 max_decode_len: int = 256, return_inner: bool = False):
+                 max_decode_len: int = 256, return_inner: bool = False,
+                 return_features: bool = False):
         """tokens: [B, T] (T=1 when decode; packed ids when stacked).
         Returns logits [B, T, V], or [B, T, k, V] when stacked. With
         return_inner=True (training path only) also returns the pre-final-norm
         hidden states [embed_out, after layer 1, ...] — fairseq
         TransformerDecoder inner_states, tapped by decoder-side multitask CTC
-        heads (reference return_all_hiddens)."""
+        heads (reference return_all_hiddens). With return_features=True also
+        returns the post-final-norm features [B, T, D] (the UnitY first-pass
+        handoff: reference s2s_conformer_unity.py:236-240 takes
+        inner_states[-1] + mt_decoder.layer_norm). Extras order:
+        (logits, features?, inner?)."""
         k = self.n_frames_per_step
         if k > 1:
             from diffnorm_tpu.models.stacked import StackedEmbedding
@@ -231,7 +236,12 @@ class ARUnitDecoder(nn.Module):
         else:
             logits = nn.Dense(self.vocab_size, use_bias=False,
                               dtype=self.dtype, name="output_proj")(x)
-        return (logits, inner) if return_inner else logits
+        out = (logits,)
+        if return_features:
+            out = out + (x,)
+        if return_inner:
+            out = out + (inner,)
+        return out if len(out) > 1 else logits
 
 
 class ARS2UTModule(nn.Module):

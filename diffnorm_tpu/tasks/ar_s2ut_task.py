@@ -87,6 +87,11 @@ class ARS2UTTask(NARS2UTTask):
 
     def init_variables(self, model, rng, batch):
         r_p, r_d = jax.random.split(rng)
+        if "prev_output_tokens" not in batch and batch["target"].ndim == 2:
+            # generation-time init: the CLI hands a raw collated batch
+            # (prepare_batch only runs in the train loop)
+            batch = {**batch,
+                     "prev_output_tokens": shift_right(batch["target"])}
         kwargs = {}
         if self.multitask_tasks:
             # initialize the aux head params too (speech_to_unit criterion)
@@ -94,6 +99,19 @@ class ARS2UTTask(NARS2UTTask):
                 tgt_tokens=batch["target"],
                 multitask_prev=self.multitask_prev(batch),
             )
+        mt_name = getattr(model.module, "mt_task_name", "")
+        if mt_name and hasattr(model.module, "decode_mt_step"):
+            # UnitY two-pass: the forward needs the first-pass prev tokens.
+            # Param shapes don't depend on its length, so a 2-step stub
+            # suffices when the split lacks first-pass text (generation).
+            mt = batch.get("multitask", {}).get(mt_name, {})
+            prev_mt = mt.get("prev_output_tokens")
+            if prev_mt is None:
+                b = batch["target"].shape[0]
+                prev_mt = np.full((b, 2), PAD, np.int32)
+                prev_mt[:, 0] = EOS
+            kwargs["prev_tokens_mt"] = prev_mt
+            kwargs.setdefault("tgt_tokens", batch["target"])
         return model.init(
             {"params": r_p, "dropout": r_d},
             batch["src_tokens"],

@@ -74,6 +74,7 @@ class NARS2UTTask(Task):
         # --multitask-config-yaml (reference speech_to_speech.py:229-245):
         # aux text-decoder tasks tapping the main model's encoder/decoder
         self.multitask_tasks = {}
+        self.multitask_config = None
         self._num_updates = 0
         mt_yaml = cfg.get("multitask_config_yaml")
         if mt_yaml:
@@ -83,7 +84,20 @@ class NARS2UTTask(Task):
 
             if not os.path.isabs(mt_yaml):
                 mt_yaml = os.path.join(self.data_path(1), mt_yaml)
-            self.multitask_tasks = MultitaskConfig(mt_yaml).get_all_tasks()
+            self.multitask_config = MultitaskConfig(mt_yaml)
+            self.multitask_tasks = self.multitask_config.get_all_tasks()
+
+    @property
+    def mt_task_name(self):
+        """Name of the first-pass (UnitY MT) decoder task, or None
+        (reference s2s_conformer_unity.py:160-165 selects it via
+        task_obj.is_first_pass_decoder / data_cfg first-pass index)."""
+        if self.multitask_config is None:
+            return None
+        idx = self.multitask_config.first_pass_decoder_task_index
+        if idx < 0:
+            return None
+        return list(self.multitask_tasks)[idx]
 
     def aux_task_specs(self):
         """Static AuxTaskSpec tuple for the model's aux decoders (reference

@@ -99,18 +99,10 @@ class ARS2UTTask(NARS2UTTask):
                 tgt_tokens=batch["target"],
                 multitask_prev=self.multitask_prev(batch),
             )
-        mt_name = getattr(model.module, "mt_task_name", "")
-        if mt_name and hasattr(model.module, "decode_mt_step"):
-            # UnitY two-pass: the forward needs the first-pass prev tokens.
-            # Param shapes don't depend on its length, so a 2-step stub
-            # suffices when the split lacks first-pass text (generation).
-            mt = batch.get("multitask", {}).get(mt_name, {})
-            prev_mt = mt.get("prev_output_tokens")
-            if prev_mt is None:
-                b = batch["target"].shape[0]
-                prev_mt = np.full((b, 2), PAD, np.int32)
-                prev_mt[:, 0] = EOS
-            kwargs["prev_tokens_mt"] = prev_mt
+        if getattr(model.module, "mt_task_name", "") and hasattr(
+                model.module, "decode_mt_step"):
+            # UnitY two-pass: the forward needs the first-pass prev tokens
+            kwargs["prev_tokens_mt"] = self.first_pass_prev_tokens(batch)
             kwargs.setdefault("tgt_tokens", batch["target"])
         return model.init(
             {"params": r_p, "dropout": r_d},

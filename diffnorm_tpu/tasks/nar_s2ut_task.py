@@ -14,6 +14,7 @@ from diffnorm_tpu.config import Config
 from diffnorm_tpu.data.dictionary import Dictionary
 from diffnorm_tpu.registry import register_task
 from diffnorm_tpu.tasks.base import Task
+from diffnorm_tpu.tasks.multitask_mixin import MultitaskTaskMixin
 
 PAD, BOS, EOS, UNK = 1, 0, 2, 3
 
@@ -66,68 +67,14 @@ def side_mask(target: np.ndarray, rng: np.random.Generator) -> np.ndarray:
 
 
 @register_task("speech_to_speech_fasttranslate")
-class NARS2UTTask(Task):
+class NARS2UTTask(MultitaskTaskMixin, Task):
     def __init__(self, cfg: Config):
         super().__init__(cfg)
         self.tgt_dict = Dictionary.unit_dictionary(cfg.get("target_code_size", 1000))
         self.use_side = bool(cfg.get("use_side", False))
         # --multitask-config-yaml (reference speech_to_speech.py:229-245):
         # aux text-decoder tasks tapping the main model's encoder/decoder
-        self.multitask_tasks = {}
-        self.multitask_config = None
-        self._num_updates = 0
-        mt_yaml = cfg.get("multitask_config_yaml")
-        if mt_yaml:
-            import os
-
-            from diffnorm_tpu.data.multitask import MultitaskConfig
-
-            if not os.path.isabs(mt_yaml):
-                mt_yaml = os.path.join(self.data_path(1), mt_yaml)
-            self.multitask_config = MultitaskConfig(mt_yaml)
-            self.multitask_tasks = self.multitask_config.get_all_tasks()
-
-    @property
-    def mt_task_name(self):
-        """Name of the first-pass (UnitY MT) decoder task, or None
-        (reference s2s_conformer_unity.py:160-165 selects it via
-        task_obj.is_first_pass_decoder / data_cfg first-pass index)."""
-        if self.multitask_config is None:
-            return None
-        idx = self.multitask_config.first_pass_decoder_task_index
-        if idx < 0:
-            return None
-        return list(self.multitask_tasks)[idx]
-
-    def aux_task_specs(self):
-        """Static AuxTaskSpec tuple for the model's aux decoders (reference
-        build_multitask_decoder + base_multitask_text_transformer_decoder_arch
-        defaults, s2s_transformer.py:171-230,582-616)."""
-        from diffnorm_tpu.models.nar_transformer import AuxTaskSpec
-
-        specs = []
-        for name, tc in self.multitask_tasks.items():
-            dargs = tc.decoder_args
-            vocab = len(tc.tgt_dict) if tc.tgt_dict is not None else 0
-            assert vocab > 0, f"multitask '{name}': missing dictionary"
-            specs.append(AuxTaskSpec(
-                name=name,
-                decoder_type=tc.decoder_type,
-                vocab_size=vocab,
-                input_from=tc.input_from,
-                input_layer=tc.input_layer,
-                decoder_layers=int(dargs.get("decoder_layers", 2)),
-                decoder_dim=int(dargs.get("decoder_embed_dim", 256)),
-                decoder_heads=int(dargs.get("decoder_attention_heads", 4)),
-                decoder_ffn_dim=int(dargs.get("decoder_ffn_embed_dim", 2048)),
-                dropout=float(dargs.get("dropout", 0.3)),
-            ))
-        return tuple(specs)
-
-    def set_num_updates(self, num_updates: int):
-        """Drives the per-task loss-weight decay schedule host-side
-        (reference speech_to_speech.py:511-516 set_multitask_loss_weight)."""
-        self._num_updates = int(num_updates)
+        self._init_multitask(cfg)
 
     def load_dataset(self, split: str, epoch: int = 1):
         from diffnorm_tpu.data.s2s_dataset import SpeechToUnitDataset
@@ -142,10 +89,7 @@ class NARS2UTTask(Task):
                 "config_yaml", self.cfg.get("dummy_config", "config.yaml")),
             is_train=split.startswith("train"),
         )
-        for name, tc in self.multitask_tasks.items():
-            from diffnorm_tpu.data.multitask import TextTargetData
-
-            ds.add_multitask(name, TextTargetData(tc, split), tc.decoder_type)
+        self.attach_multitask(ds, split)
         self.datasets[split] = ds
 
     def prepare_batch(self, batch: Dict[str, np.ndarray], rng: np.random.Generator):
@@ -172,25 +116,6 @@ class NARS2UTTask(Task):
             batch["prev_target"] = random_mask(target, rng)
         self.inject_loss_weights(batch)
         return batch
-
-    def inject_loss_weights(self, batch):
-        """Per-task loss weights (fixed or linearly decaying with
-        num_updates) as traced scalars: the decay schedule moving never
-        retraces the step."""
-        for name, tc in self.multitask_tasks.items():
-            if "multitask" in batch and name in batch["multitask"]:
-                batch["multitask"][name]["loss_weight"] = np.float32(
-                    tc.get_loss_weight(self._num_updates)
-                )
-
-    def multitask_prev(self, batch):
-        """{task: prev_output_tokens} for transformer aux decoders."""
-        out = {}
-        for name, tc in self.multitask_tasks.items():
-            mt = batch.get("multitask", {}).get(name)
-            if mt is not None and "prev_output_tokens" in mt:
-                out[name] = mt["prev_output_tokens"]
-        return out or None
 
     def init_variables(self, model, rng, batch):
         r_p, r_d, r_cg = jax.random.split(rng, 3)

@@ -74,6 +74,37 @@ def _tts_generate(cfg, task, model, split) -> int:
             out = gen.generate(batch["src_tokens"])
             feats, masks = out["feature"], out["frame_mask"]
             return [feats[i][masks[i]] for i in range(feats.shape[0])]
+    elif hasattr(model.module, "decode_mt_step"):
+        # Translatotron2 two-pass: first-pass text beam + AR mel rollout
+        # (reference MultiDecoderSpeechGenerator via
+        # task.build_generator, speech_to_speech.py:448-465); --beam-mt /
+        # --lenpen-mt / --max-len-b-mt control the text pass
+        from diffnorm_tpu.generate.translatotron2 import (
+            Translatotron2SpeechGenerator,
+        )
+
+        mt_dict = task.multitask_tasks[task.mt_task_name].tgt_dict
+        beam = int(cfg.get("beam", 5))
+        gen = Translatotron2SpeechGenerator(
+            model, variables,
+            max_iter=int(cfg.get("max_target_positions", 256)),
+            eos_prob_threshold=float(cfg.get("eos_prob_threshold", 0.5)),
+            beam_size_mt=int(cfg.get("beam_mt", beam)),
+            max_len_mt=min(int(cfg.get("max_len_b_mt", 200)), 256),
+            len_penalty_mt=float(cfg.get("lenpen_mt", 1.0)),
+            no_repeat_ngram=int(cfg.get("no_repeat_ngram_size", 0)),
+        )
+
+        def synthesize(batch, rng):
+            entries = gen.generate(batch["src_tokens"],
+                                   batch["src_lengths"], rng=rng)
+            ids = batch.get("id", range(len(entries)))
+            for i, e in enumerate(entries):
+                # the reference prints the first-pass text per sample
+                # (speech_generator.py:219-228)
+                text = " ".join(mt_dict[int(t)] for t in e["mt_tokens"])
+                logger.info("MT-%d\t%s", int(ids[i]), text)
+            return [e["feature"] for e in entries]
     else:
         from diffnorm_tpu.generate.speech_ar import ARSpeechGenerator
 

@@ -25,6 +25,15 @@ class Tacotron2Loss:
             cfg.get("bce_pos_weight", 5.0) if cfg is not None else 5.0
         )
 
+    def _model_kwargs(self, batch):
+        """Extra kwargs for the model forward (subclass hook)."""
+        return {}
+
+    def _finalize(self, out, batch, loss, metrics, sample_size):
+        """Post-main-loss hook (subclass hook). Returns the final loss;
+        may add metrics in place."""
+        return loss
+
     def __call__(self, model, variables, batch, rng, train: bool = True):
         from diffnorm_tpu.models.tts_transformer import tts_loss
 
@@ -42,6 +51,7 @@ class Tacotron2Loss:
             jnp.asarray(batch["tgt_mask"]),
             deterministic=not train,
             **kw,
+            **self._model_kwargs(batch),
         )
         if "mutable" in kw:
             out, mutated = out
@@ -55,7 +65,54 @@ class Tacotron2Loss:
             ntokens=jnp.sum(jnp.asarray(batch["tgt_lengths"])),
             nsentences=n, sample_size=n,
         )
+        loss = self._finalize(out, batch, loss, metrics, n)
+        metrics["loss"] = loss
         return loss, metrics, mutated
+
+
+@register_criterion("speech_to_spectrogram_2pass")
+class SpeechToSpectrogram2PassLoss(Tacotron2Loss):
+    """Translatotron2 criterion (reference
+    SpeechToSpectrogram2passMultitaskTaskCriterion,
+    speech_to_speech_criterion.py:434-520): Tacotron2 losses on the mel
+    decoder + the model forward additionally takes the first-pass task's
+    prev_output_tokens; the first-pass loss arrives through the regular
+    multitask accounting (the model emits that task's logits from its
+    mt_decoder). Aux sums are normalized by sample_size (=nsentences, the
+    tacotron2 sentence_avg convention) so the trainer's
+    sum-loss/sum-sample_size semantics hold."""
+
+    def __init__(self, cfg=None, task=None):
+        super().__init__(cfg, task)
+        self.multitask = dict(getattr(task, "multitask_tasks", None) or {})
+        self.mt_task_name = getattr(task, "mt_task_name", None)
+        assert self.mt_task_name, (
+            "speech_to_spectrogram_2pass needs a first-pass decoder "
+            "multitask (is_first_pass_decoder in --multitask-config-yaml)"
+        )
+
+    def _model_kwargs(self, batch):
+        mt_prev = {
+            name: batch.get("multitask", {}).get(name, {}).get(
+                "prev_output_tokens")
+            for name in self.multitask
+        }
+        mt_prev = {k: v for k, v in mt_prev.items() if v is not None} or None
+        return dict(
+            prev_tokens_mt=(
+                batch["multitask"][self.mt_task_name]["prev_output_tokens"]),
+            # tgt_tokens gates the aux heads on (train/valid only, never in
+            # generation) — same convention as the NAR/AR unit models
+            tgt_tokens=batch["feat_tgt"],
+            multitask_prev=mt_prev,
+        )
+
+    def _finalize(self, out, batch, loss, metrics, sample_size):
+        from diffnorm_tpu.criterions.nar_loss import apply_multitask_losses
+
+        return apply_multitask_losses(
+            self.multitask, out, batch, loss, metrics, sample_size
+        )
 
 
 @register_criterion("fastspeech2_loss")

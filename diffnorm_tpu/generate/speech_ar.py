@@ -27,43 +27,28 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def ar_speech_generate(
-    model,
+def ar_rollout(
+    module,
     variables,
-    src_tokens,
+    enc,
+    enc_mask,
     max_iter: int = 512,
     eos_prob_threshold: float = 0.5,
     rng=None,
     gcmvn_stats: Optional[Dict] = None,
-    src_lengths=None,
 ):
-    """Returns (feat [B, max_iter*k, raw_dim], out_lens [B], eos_prob
-    [B, max_iter*k]) with feat already postnet-refined and gcmvn-denormalized
-    (reference generate():49-116). k = n_frames_per_step.
-
-    Rows keep decoding after their eos fires (shape-static scan) but their
-    reported length freezes at the firing step, matching the reference's
-    per-sentence cutoffs.
-    """
-    module = model.module
+    """The jitted AR mel rollout over an already-computed cross-attention
+    context: one lax.scan over the KV cache with per-row eos freeze, one
+    full-sequence postnet pass, optional gcmvn denormalization. Returns
+    (feat [B, max_iter*k, raw_dim], out_lens [B], eos_prob [B, max_iter*k]).
+    Shared by the single-pass speech/text generators (context = source
+    encoder output) and the Translatotron2 two-pass generator (context =
+    synthesizer output over first-pass text features)."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
     out_dim = module.out_dim
     k = module.n_frames_per_step
     raw_dim = out_dim // k
-
-    # speech-input encoders (s2spect, encode_needs_lengths=True) take the
-    # true source lengths; the text-input TTS encoder derives its mask from
-    # the pad id and must NOT receive a lengths positional (it would land
-    # in `deterministic`)
-    enc_args = (jnp.asarray(src_tokens),)
-    if getattr(module, "encode_needs_lengths", False):
-        assert src_lengths is not None, "this encoder needs src_lengths"
-        enc_args = enc_args + (jnp.asarray(src_lengths),)
-    enc, enc_mask = module.apply(
-        variables, *enc_args, method="encode",
-        rngs={"dropout": jax.random.fold_in(rng, 0)},
-    )
     b = enc.shape[0]
 
     # trace one step to shape the cache, then zero it
@@ -117,6 +102,45 @@ def ar_speech_generate(
         std = jnp.asarray(np.asarray(gcmvn_stats["std"]), feats.dtype)
         feats = feats * std[None, None, :] + mean[None, None, :]
     return feats, out_lens, eos_prob
+
+
+def ar_speech_generate(
+    model,
+    variables,
+    src_tokens,
+    max_iter: int = 512,
+    eos_prob_threshold: float = 0.5,
+    rng=None,
+    gcmvn_stats: Optional[Dict] = None,
+    src_lengths=None,
+):
+    """Returns (feat [B, max_iter*k, raw_dim], out_lens [B], eos_prob
+    [B, max_iter*k]) with feat already postnet-refined and gcmvn-denormalized
+    (reference generate():49-116). k = n_frames_per_step.
+
+    Rows keep decoding after their eos fires (shape-static scan) but their
+    reported length freezes at the firing step, matching the reference's
+    per-sentence cutoffs.
+    """
+    module = model.module
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    # speech-input encoders (s2spect, encode_needs_lengths=True) take the
+    # true source lengths; the text-input TTS encoder derives its mask from
+    # the pad id and must NOT receive a lengths positional (it would land
+    # in `deterministic`)
+    enc_args = (jnp.asarray(src_tokens),)
+    if getattr(module, "encode_needs_lengths", False):
+        assert src_lengths is not None, "this encoder needs src_lengths"
+        enc_args = enc_args + (jnp.asarray(src_lengths),)
+    enc, enc_mask = module.apply(
+        variables, *enc_args, method="encode",
+        rngs={"dropout": jax.random.fold_in(rng, 0)},
+    )
+    return ar_rollout(module, variables, enc, enc_mask, max_iter=max_iter,
+                      eos_prob_threshold=eos_prob_threshold, rng=rng,
+                      gcmvn_stats=gcmvn_stats)
 
 
 class ARSpeechGenerator:

@@ -16,3 +16,4 @@ from diffnorm_tpu.models import hubert  # noqa: F401
 from diffnorm_tpu.models import wav2vec2  # noqa: F401
 from diffnorm_tpu.models import s2spect  # noqa: F401
 from diffnorm_tpu.models import unity  # noqa: F401
+from diffnorm_tpu.models import s2spect2  # noqa: F401

@@ -208,22 +208,29 @@ class TTSTransformerModule(nn.Module):
         ).astype(x.dtype)
 
     def decode_full(self, prev_feats, tgt_mask, enc, enc_mask,
-                    deterministic: bool = True):
+                    deterministic: bool = True, return_inner: bool = False):
         """Teacher-forced full-sequence decode (training).
 
         prev_feats [B, T, out_dim] (shifted-right targets, zeros first),
         tgt_mask [B, T] True=valid. Returns (post_feat, feat, eos_logits).
+        With return_inner=True also returns the pre-final-norm hidden states
+        [embed_out, after layer 1, ...] (fairseq inner_states via
+        return_all_hiddens) for decoder-tapped multitask CTC heads.
         """
         t = prev_feats.shape[1]
         x = self._dec_input(prev_feats, jnp.arange(t)[None, :])
         x = self.dec_dropout(x, deterministic=deterministic)
+        inner = [x]
         for layer in self.dec_layers:
             x = layer(x, tgt_mask, enc, enc_mask,
                       deterministic=deterministic)
+            inner.append(x)
         x = self.dec_norm(x)
         feat = self.feat_proj(x)
         eos_logits = self.eos_proj(x)[..., 0]
         post = feat + self.postnet(feat, deterministic=deterministic)
+        if return_inner:
+            return post, feat, eos_logits, inner
         return post, feat, eos_logits
 
     def decode_step(self, prev_feat, enc, enc_mask, position,

@@ -108,7 +108,11 @@ class MultitaskTaskMixin:
         mt = batch.get("multitask", {}).get(self.mt_task_name, {})
         prev_mt = mt.get("prev_output_tokens")
         if prev_mt is None:
-            b = batch["target"].shape[0]
+            # unit targets live in "target"; spectrogram targets in "feat_tgt"
+            tgt = batch.get("target")
+            if tgt is None:
+                tgt = batch["feat_tgt"]
+            b = tgt.shape[0]
             prev_mt = np.full((b, 2), pad, np.int32)
             prev_mt[:, 0] = eos
         return prev_mt

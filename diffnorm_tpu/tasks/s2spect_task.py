@@ -16,6 +16,7 @@ import numpy as np
 from diffnorm_tpu.config import Config
 from diffnorm_tpu.registry import register_task
 from diffnorm_tpu.tasks.base import Task
+from diffnorm_tpu.tasks.multitask_mixin import MultitaskTaskMixin
 
 PAD = 1
 
@@ -33,6 +34,17 @@ class SpeechToSpectrogramDataset:
         self.seed = seed
         self._sizes = np.asarray(
             [int(r.get("src_n_frames", 0) or 0) for r in rows], np.int64)
+        # --multitask-config-yaml aux text targets, keyed by task name
+        # (reference SpeechToSpeechMultitaskDataset,
+        # speech_to_speech_dataset.py:333-387)
+        self.multitask_data: Dict[str, Dict] = {}
+
+    def add_multitask(self, name: str, text_data, decoder_type: str):
+        """Attach one aux task's per-sample text targets (TextTargetData)."""
+        self.multitask_data[name] = {
+            "data": text_data,
+            "with_prev": decoder_type != "ctc",
+        }
 
     @classmethod
     def from_tsv(cls, root: str, split: str, config_yaml: str = "config.yaml",
@@ -70,11 +82,19 @@ class SpeechToSpectrogramDataset:
 
     def __getitem__(self, i):
         r = self.rows[i]
-        return {
+        sample = {
             "index": i,
             "source": self._load(r["src_audio"]),
             "feat": self._load(r["tgt_audio"]),
         }
+        if self.multitask_data:
+            sample["multitask"] = {}
+            for name, mt in self.multitask_data.items():
+                enc = mt["data"].get(r["id"])
+                if enc is None:  # reference warns and uses an empty target
+                    enc = np.zeros((0,), np.int32)
+                sample["multitask"][name] = enc
+        return sample
 
     def collater(self, samples: List[Dict]) -> Dict:
         if not samples:
@@ -93,7 +113,7 @@ class SpeechToSpectrogramDataset:
             feat[i, : t_lens[i]] = s["feat"]
         prev = np.zeros_like(feat)
         prev[:, 1:] = feat[:, :-1]
-        return {
+        batch = {
             "id": np.asarray([s["index"] for s in samples], np.int64),
             "src_tokens": src,
             "src_lengths": s_lens,
@@ -104,26 +124,53 @@ class SpeechToSpectrogramDataset:
             "ntokens": int(t_lens.sum()),
             "nsentences": len(samples),
         }
+        if self.multitask_data:
+            from diffnorm_tpu.data.multitask import collate_text_targets
+
+            batch["multitask"] = {}
+            for name, mt in self.multitask_data.items():
+                targets = [s["multitask"][name] for s in samples]
+                pad_to = max(1, max(len(t) for t in targets))
+                batch["multitask"][name] = collate_text_targets(
+                    targets, with_prev=mt["with_prev"], pad_to=pad_to
+                )
+        return batch
 
 
 @register_task("speech_to_speech_spect")
-class S2SpectTask(Task):
+class S2SpectTask(MultitaskTaskMixin, Task):
     # cli/generate.py dispatches the TTS/spectrogram synthesis branch
     tts_generation = True
 
+    def __init__(self, cfg: Config):
+        super().__init__(cfg)
+        self._init_multitask(cfg)
+
     def load_dataset(self, split: str, epoch: int = 1):
-        self.datasets[split] = SpeechToSpectrogramDataset.from_tsv(
+        ds = SpeechToSpectrogramDataset.from_tsv(
             root=self.data_path(epoch), split=split,
             config_yaml=self.cfg.get("config_yaml", "config.yaml"),
             is_train=split.startswith("train"),
         )
+        self.attach_multitask(ds, split)
+        self.datasets[split] = ds
 
     def prepare_batch(self, batch: Dict[str, np.ndarray],
                       rng: np.random.Generator):
+        self.inject_loss_weights(batch)
         return batch
 
     def init_variables(self, model, rng, batch):
         r_p, r_d = jax.random.split(rng)
+        kwargs = {}
+        if self.multitask_tasks and hasattr(model.module, "multitask"):
+            kwargs = dict(tgt_tokens=batch["feat_tgt"],
+                          multitask_prev=self.multitask_prev(batch))
+        if getattr(model.module, "mt_task_name", "") and hasattr(
+                model.module, "decode_mt_step"):
+            # Translatotron2 two-pass: the forward needs first-pass prevs
+            kwargs["prev_tokens_mt"] = self.first_pass_prev_tokens(batch)
+            kwargs.setdefault("tgt_tokens", batch["feat_tgt"])
         return model.init(
             {"params": r_p, "dropout": r_d},
             jax.numpy.asarray(batch["src_tokens"]),
@@ -131,6 +178,7 @@ class S2SpectTask(Task):
             jax.numpy.asarray(batch["prev_feats"]),
             jax.numpy.asarray(batch["tgt_mask"]),
             deterministic=True,
+            **kwargs,
         )
 
     def dummy_batch(self, batch_size: int = 2, seq_len: int = 48) -> Dict:

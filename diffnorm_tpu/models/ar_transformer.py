@@ -258,6 +258,11 @@ class ARS2UTModule(nn.Module):
     attention_dropout: Optional[float] = None
     activation_dropout: Optional[float] = None
     depthwise_kernel_size: int = 31
+    # "conformer" (reference s2ut_conformer, s2s_conformer.py) or
+    # "transformer" (reference s2ut_transformer, s2s_transformer.py:237-300)
+    encoder_type: str = "conformer"
+    conv_channels: int = 1024
+    conv_kernel_sizes: tuple = (5, 5)
     n_frames_per_step: int = 1
     # --multitask-config-yaml aux tasks (AuxTaskSpec tuple; the reference's
     # S2STransformerMultitaskModelBase builds the same aux decoders onto the
@@ -266,15 +271,25 @@ class ARS2UTModule(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.encoder = ConformerEncoder(
+        common = dict(
             dim=self.encoder_dim, ffn_dim=self.encoder_ffn_dim,
             layers=self.encoder_layers, heads=self.encoder_heads,
             dropout=self.dropout,
             attention_dropout=self.attention_dropout,
             activation_dropout=self.activation_dropout,
-            depthwise_kernel_size=self.depthwise_kernel_size,
             dtype=self.dtype, name="encoder",
         )
+        if self.encoder_type == "conformer":
+            self.encoder = ConformerEncoder(
+                depthwise_kernel_size=self.depthwise_kernel_size, **common)
+        else:
+            from diffnorm_tpu.models.s2t_transformer import (
+                S2TTransformerEncoder,
+            )
+
+            self.encoder = S2TTransformerEncoder(
+                conv_channels=self.conv_channels,
+                conv_kernel_sizes=tuple(self.conv_kernel_sizes), **common)
         self.decoder = ARUnitDecoder(
             vocab_size=self.vocab_size, dim=self.decoder_dim,
             ffn_dim=self.decoder_ffn_dim, layers=self.decoder_layers,
@@ -356,11 +371,20 @@ class ARS2UTModel(ModelHolder):
             activation_dropout=cfg.get(
                 "relu_dropout", cfg.get("activation_dropout")),
             depthwise_kernel_size=cfg.get("depthwise_conv_kernel_size", 31),
+            encoder_type=cfg.get("encoder_type", "conformer"),
+            conv_channels=cfg.get("conv_channels", 1024),
+            conv_kernel_sizes=_conv_ks(cfg.get("conv_kernel_sizes", "5,5")),
             n_frames_per_step=cfg.get("n_frames_per_step", 1),
             multitask=tuple(getattr(task, "aux_task_specs", lambda: ())()),
             dtype=jnp.dtype(cfg.get("dtype", "float32")),
         )
         return cls(module=module, cfg=cfg)
+
+
+def _conv_ks(v):
+    if isinstance(v, str):
+        return tuple(int(k) for k in v.split(","))
+    return tuple(v)
 
 
 @register_architecture("ar_s2ut", "s2ut_conformer")
@@ -373,3 +397,27 @@ def s2ut_conformer_arch(cfg: Config):
     cfg.setdefault("decoder_ffn_embed_dim", 2048)
     cfg.setdefault("decoder_layers", 6)
     cfg.setdefault("decoder_attention_heads", 8)
+
+
+@register_architecture("ar_s2ut", "s2ut_transformer")
+def s2ut_transformer_arch(cfg: Config):
+    """Reference s2ut_architecture_base (fairseq/models/speech_to_speech/
+    s2s_transformer.py:644-674): S2TTransformerEncoder speech encoder +
+    causal unit decoder."""
+    cfg["encoder_type"] = "transformer"
+    # reference: decoder dims default to the encoder's (s2s_transformer.py:
+    # 650-653)
+    cfg.setdefault("encoder_embed_dim", 512)
+    cfg.setdefault("encoder_ffn_embed_dim", 2048)
+    cfg.setdefault("decoder_embed_dim", cfg["encoder_embed_dim"])
+    cfg.setdefault("decoder_ffn_embed_dim", cfg["encoder_ffn_embed_dim"])
+    s2ut_conformer_arch(cfg)
+
+
+@register_architecture("ar_s2ut", "s2ut_transformer_fisher")
+def s2ut_transformer_fisher_arch(cfg: Config):
+    """Reference s2ut_architecture_fisher (s2s_transformer.py:676-682)."""
+    cfg.setdefault("encoder_embed_dim", 256)
+    cfg.setdefault("encoder_attention_heads", 4)
+    cfg.setdefault("dropout", 0.1)
+    s2ut_transformer_arch(cfg)

@@ -89,7 +89,8 @@ class S2TTransformerEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, src, src_lengths, deterministic: bool = True):
+    def __call__(self, src, src_lengths, deterministic: bool = True,
+                 return_all_layers: bool = False):
         x, out_lengths = Conv1dSubsampler(
             mid_channels=self.conv_channels,
             out_channels=self.dim,
@@ -104,6 +105,7 @@ class S2TTransformerEncoder(nn.Module):
             x.dtype
         )
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        states = []
         for i in range(self.layers):
             x = S2TEncoderLayer(
                 dim=self.dim, ffn_dim=self.ffn_dim, heads=self.heads,
@@ -112,7 +114,13 @@ class S2TTransformerEncoder(nn.Module):
                 activation_dropout=self.activation_dropout,
                 dtype=self.dtype, name=f"layer_{i}",
             )(x, mask=mask, deterministic=deterministic)
+            if return_all_layers:
+                states.append(x)
         x = nn.LayerNorm(dtype=self.dtype, name="layer_norm")(x)
+        if return_all_layers:
+            # reference return_all_hiddens encoder_states (pre-final-LN,
+            # post-layer) — multitask aux heads tap these by index
+            return x, mask, states
         return x, mask
 
 

@@ -125,3 +125,46 @@ def test_ar_generate_runs(built):
     assert np.asarray(scores).shape == (2, 2)
     # best-first ordering
     assert (np.asarray(scores)[:, 0] >= np.asarray(scores)[:, 1]).all()
+
+
+def test_s2ut_transformer_encoder_variant():
+    """--arch s2ut_transformer swaps the conformer encoder for the plain
+    S2T transformer encoder (reference s2s_transformer.py:237-300,644-682)
+    behind the same AR decode surface."""
+    from diffnorm_tpu.registry import ARCHITECTURES
+
+    cfg = tiny_cfg(arch="s2ut_transformer")
+    _, stamp = ARCHITECTURES.get("s2ut_transformer")
+    stamp(cfg)
+    assert cfg["encoder_type"] == "transformer"
+    task = TASKS.get("dummy_ar").setup_task(cfg)
+    model = task.build_model()
+    crit = task.build_criterion()
+    batch = task.dummy_batch(2, 48)
+    variables = task.init_variables(model, jax.random.PRNGKey(0), batch)
+    # no depthwise conv module params anywhere in the encoder
+    flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    names = ["/".join(str(k) for k in path) for path, _ in flat]
+    assert not any("conv_module" in n for n in names)
+    loss, mets, _ = crit(model, variables, batch, jax.random.PRNGKey(1),
+                         train=True)
+    assert np.isfinite(float(loss))
+    seqs, scores = ar_generate(
+        model, variables, batch["src_tokens"], batch["src_lengths"],
+        beam_size=2, max_len=8,
+    )
+    assert np.asarray(seqs).shape == (2, 2, 8)
+
+
+def test_s2ut_transformer_fisher_arch_defaults():
+    from diffnorm_tpu.registry import ARCHITECTURES
+
+    cfg = Config(arch="s2ut_transformer_fisher")
+    _, stamp = ARCHITECTURES.get("s2ut_transformer_fisher")
+    stamp(cfg)
+    # reference s2ut_architecture_fisher: encoder 256/4 heads, decoder dims
+    # inherit the encoder's (s2s_transformer.py:650-653,676-682)
+    assert cfg["encoder_embed_dim"] == 256
+    assert cfg["encoder_attention_heads"] == 4
+    assert cfg["decoder_embed_dim"] == 256
+    assert cfg["decoder_ffn_embed_dim"] == 2048

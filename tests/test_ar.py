@@ -168,3 +168,34 @@ def test_s2ut_transformer_fisher_arch_defaults():
     assert cfg["encoder_attention_heads"] == 4
     assert cfg["decoder_embed_dim"] == 256
     assert cfg["decoder_ffn_embed_dim"] == 2048
+
+
+def test_s2ut_transformer_multitask_encoder_taps():
+    """The transformer-encoder AR variant must expose per-layer encoder
+    states for --multitask-config-yaml aux heads (return_all_layers on
+    S2TTransformerEncoder, reference return_all_hiddens)."""
+    from diffnorm_tpu.models.nar_transformer import AuxTaskSpec
+
+    spec = AuxTaskSpec(name="src_ctc", decoder_type="ctc", vocab_size=11,
+                       input_from="encoder", input_layer=0,
+                       decoder_dim=16, decoder_heads=2, decoder_ffn_dim=32)
+    module = ARS2UTModule(
+        vocab_size=16, encoder_dim=32, encoder_ffn_dim=64, encoder_layers=2,
+        encoder_heads=2, decoder_dim=32, decoder_ffn_dim=64,
+        decoder_layers=1, decoder_heads=2, encoder_type="transformer",
+        conv_channels=32, multitask=(spec,),
+    )
+    src = jnp.zeros((2, 40, 80), jnp.float32)
+    src_lengths = jnp.asarray([40, 24], jnp.int32)
+    prev = jnp.full((2, 6), 5, jnp.int32)
+    tgt = jnp.full((2, 6), 5, jnp.int32)
+    variables = module.init(jax.random.PRNGKey(0), src, src_lengths, prev,
+                            tgt_tokens=tgt)
+    out = module.apply(variables, src, src_lengths, prev, tgt_tokens=tgt,
+                       deterministic=True)
+    assert "multitask" in out
+    aux = out["multitask"]["src_ctc"]
+    assert aux["logits"].shape[-1] == 11
+    # tapped encoder states ride the subsampled (4x) time axis
+    assert aux["logits"].shape[1] == aux["mask"].shape[1]
+    assert np.isfinite(np.asarray(aux["logits"])).all()

@@ -32,6 +32,10 @@ class LabelSmoothedCrossEntropy:
         prev = batch["prev_output_tokens"]
         tgt = batch["target"]
         kwargs = self._model_kwargs(batch)
+        if batch.get("tgt_speaker") is not None:
+            # --target-speaker-embed conditioning (only S2S datasets emit it;
+            # the S2UT modules accept the kwarg)
+            kwargs["tgt_speaker"] = batch["tgt_speaker"]
 
         if train:
             out, mutated = model.apply(

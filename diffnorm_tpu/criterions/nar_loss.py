@@ -105,6 +105,10 @@ class NARSpeechToUnitLoss:
             for name in self.multitask
             if self._get_multitask_prev(name, batch) is not None
         } or None
+        extra = {}
+        if batch.get("tgt_speaker") is not None:
+            # --target-speaker-embed conditioning (s2s_transformer.py:38-52)
+            extra["tgt_speaker"] = batch["tgt_speaker"]
 
         if train:
             r_drop, r_cg, r_sp = jax.random.split(rng, 3)
@@ -119,11 +123,12 @@ class NARSpeechToUnitLoss:
                 rngs=rngs,
                 mutable=["batch_stats"],
                 multitask_prev=mt_prev,
+                **extra,
             )
         else:
             out = model.apply(
                 variables, src, src_lengths, prev, tgt_tokens=tgt,
-                deterministic=True, multitask_prev=mt_prev,
+                deterministic=True, multitask_prev=mt_prev, **extra,
             )
             mutated = {}
 

@@ -61,6 +61,10 @@ class SpeechToUnitDataset:
         # (reference SpeechToSpeechMultitaskDataset,
         # speech_to_speech_dataset.py:333-387)
         self.multitask_data: Dict[str, Dict] = {}
+        # target_speaker_embed (reference speech_to_speech_dataset.py:90-96):
+        # per-utterance speaker-embedding paths, joined by id from the
+        # {split}.tsv inside the configured directory
+        self.tgt_speakers: Optional[List[str]] = None
 
     def add_multitask(self, name: str, text_data, decoder_type: str):
         """Attach one aux task's per-sample text targets (TextTargetData)."""
@@ -138,6 +142,10 @@ class SpeechToUnitDataset:
             "source": feat,
             "target": target,
         }
+        if self.tgt_speakers is not None:
+            sample["tgt_speaker"] = np.asarray(
+                get_features_or_waveform(self.tgt_speakers[index]),
+                np.float32).reshape(-1)
         if self.multitask_data:
             sample["multitask"] = {}
             for name, mt in self.multitask_data.items():
@@ -174,6 +182,11 @@ class SpeechToUnitDataset:
             "ntokens": int(tgt_lens.sum()),
             "nsentences": bsz,
         }
+        if self.tgt_speakers is not None:
+            # reference collater emits tgt_speaker [B, D]
+            # (speech_to_speech_dataset.py:219-229)
+            batch["tgt_speaker"] = np.stack(
+                [s["tgt_speaker"] for s in samples]).astype(np.float32)
         if self.multitask_data:
             from diffnorm_tpu.data.multitask import collate_text_targets
 
@@ -217,7 +230,23 @@ class SpeechToUnitDataset:
             n_frames.append(int(row["src_n_frames"]))
             enc = tgt_dict.encode_line(row["tgt_audio"], append_eos=True)
             units.append(enc.astype(np.int32))
-        return cls(
+        tgt_speakers = None
+        spk_dir = data_cfg.get("target_speaker_embed")
+        if spk_dir:
+            # reference speech_to_speech_dataset.py:90-96: join a
+            # {split}.tsv (columns id / speaker_embed) by utterance id
+            import csv
+
+            if not os.path.isabs(spk_dir):
+                spk_dir = os.path.join(root, spk_dir)
+            with open(os.path.join(spk_dir, f"{split}.tsv")) as f:
+                spk_rows = list(csv.DictReader(f, delimiter="\t"))
+            spk_map = {r["id"]: r["speaker_embed"] for r in spk_rows}
+            tgt_speakers = [
+                p if os.path.isabs(p) else os.path.join(spk_dir, p)
+                for p in (spk_map[i] for i in ids)
+            ]
+        ds = cls(
             ids=ids,
             src_audio_paths=paths,
             src_n_frames=n_frames,
@@ -227,3 +256,5 @@ class SpeechToUnitDataset:
             is_train=is_train,
             seed=seed,
         )
+        ds.tgt_speakers = tgt_speakers
+        return ds

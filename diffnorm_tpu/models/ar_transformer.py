@@ -268,9 +268,15 @@ class ARS2UTModule(nn.Module):
     # S2STransformerMultitaskModelBase builds the same aux decoders onto the
     # AR S2UT model as onto the NAR one, s2s_transformer.py:171-230)
     multitask: tuple = ()
+    # --target-speaker-embed (reference s2s_transformer.py:38-52)
+    target_speaker_embed: bool = False
+    speaker_embed_dim: int = 256
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
+        if self.target_speaker_embed:
+            self.spk_emb_proj = nn.Dense(
+                self.encoder_dim, dtype=self.dtype, name="spk_emb_proj")
         common = dict(
             dim=self.encoder_dim, ffn_dim=self.encoder_ffn_dim,
             layers=self.encoder_layers, heads=self.encoder_heads,
@@ -303,8 +309,22 @@ class ARS2UTModule(nn.Module):
 
         self.mt_modules = build_aux_heads(self.multitask, self.dtype)
 
-    def encode(self, src, src_lengths, deterministic: bool = True):
-        return self.encoder(src, src_lengths, deterministic=deterministic)
+    def encode(self, src, src_lengths, deterministic: bool = True,
+               tgt_speaker=None):
+        enc, enc_mask = self.encoder(src, src_lengths,
+                                     deterministic=deterministic)
+        return self.apply_speaker(enc, tgt_speaker), enc_mask
+
+    def apply_speaker(self, enc, tgt_speaker):
+        """Concat the [B, D] target-speaker embedding to each encoder frame
+        + Dense back to encoder_dim (reference s2s_transformer.py:44-52);
+        no-op unless enabled and an embedding is supplied."""
+        if not self.target_speaker_embed or tgt_speaker is None:
+            return enc
+        spk = jnp.broadcast_to(
+            tgt_speaker[:, None, :].astype(enc.dtype),
+            (enc.shape[0], enc.shape[1], tgt_speaker.shape[-1]))
+        return self.spk_emb_proj(jnp.concatenate([enc, spk], axis=-1))
 
     def decode_step(self, token, enc, enc_mask, position,
                     max_decode_len: int = 256):
@@ -316,7 +336,7 @@ class ARS2UTModule(nn.Module):
         return logits[:, 0]
 
     def __call__(self, src, src_lengths, prev_tokens, tgt_tokens=None,
-                 deterministic=True, multitask_prev=None):
+                 deterministic=True, multitask_prev=None, tgt_speaker=None):
         """Teacher-forced training forward. tgt_tokens only gates the aux
         heads (same convention as NARS2UTModule: aux losses run in train and
         valid steps, never in generation); multitask_prev:
@@ -331,6 +351,7 @@ class ARS2UTModule(nn.Module):
         else:
             enc, enc_mask = self.encoder(src, src_lengths,
                                          deterministic=deterministic)
+        enc = self.apply_speaker(enc, tgt_speaker)
         need_inner = run_mt and any(
             s.input_from == "decoder" for s in self.multitask)
         if need_inner:
@@ -376,6 +397,8 @@ class ARS2UTModel(ModelHolder):
             conv_kernel_sizes=_conv_ks(cfg.get("conv_kernel_sizes", "5,5")),
             n_frames_per_step=cfg.get("n_frames_per_step", 1),
             multitask=tuple(getattr(task, "aux_task_specs", lambda: ())()),
+            target_speaker_embed=bool(cfg.get("target_speaker_embed", False)),
+            speaker_embed_dim=cfg.get("speaker_embed_dim", 256),
             dtype=jnp.dtype(cfg.get("dtype", "float32")),
         )
         return cls(module=module, cfg=cfg)

@@ -351,9 +351,17 @@ class NARS2UTModule(nn.Module):
     quant_int8: bool = False  # int8 W8A8 inference matmuls (decode path)
     # --multitask-config-yaml aux tasks (static specs; see AuxTaskSpec)
     multitask: Tuple[AuxTaskSpec, ...] = ()
+    # --target-speaker-embed: concat a per-utterance speaker embedding to
+    # every (final) encoder frame and project back to encoder_dim
+    # (reference s2s_transformer.py:38-52)
+    target_speaker_embed: bool = False
+    speaker_embed_dim: int = 256
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
+        if self.target_speaker_embed:
+            self.spk_emb_proj = nn.Dense(
+                self.encoder_dim, dtype=self.dtype, name="spk_emb_proj")
         self.encoder = ConformerEncoder(
             dim=self.encoder_dim,
             ffn_dim=self.encoder_ffn_dim,
@@ -394,8 +402,22 @@ class NARS2UTModule(nn.Module):
         # transformer decoder per task, tapping encoder/decoder states
         self.mt_modules = build_aux_heads(self.multitask, self.dtype)
 
-    def encode(self, src, src_lengths, deterministic: bool = True):
-        return self.encoder(src, src_lengths, deterministic=deterministic)
+    def encode(self, src, src_lengths, deterministic: bool = True,
+               tgt_speaker=None):
+        enc, enc_mask = self.encoder(src, src_lengths,
+                                     deterministic=deterministic)
+        return self.apply_speaker(enc, tgt_speaker), enc_mask
+
+    def apply_speaker(self, enc, tgt_speaker):
+        """Speaker-conditioned encoder output: concat the [B, D] embedding
+        to every frame + Dense back to encoder_dim (s2s_transformer.py:44-52).
+        No-op unless target_speaker_embed is on and an embedding is given."""
+        if not self.target_speaker_embed or tgt_speaker is None:
+            return enc
+        spk = jnp.broadcast_to(
+            tgt_speaker[:, None, :].astype(enc.dtype),
+            (enc.shape[0], enc.shape[1], tgt_speaker.shape[-1]))
+        return self.spk_emb_proj(jnp.concatenate([enc, spk], axis=-1))
 
     def apply_cg_drop(self, enc, enc_mask, drop):
         """Replace dropped sequences' encoder output with the BOS null context
@@ -420,6 +442,7 @@ class NARS2UTModule(nn.Module):
         tgt_tokens=None,
         deterministic: bool = True,
         multitask_prev=None,
+        tgt_speaker=None,
     ):
         """Training/valid forward. Returns dict with unit logits, the CMLM
         word-insertion mask (positions where prev==unk), length logits and the
@@ -436,6 +459,7 @@ class NARS2UTModule(nn.Module):
         else:
             enc, enc_mask = self.encoder(
                 src, src_lengths, deterministic=deterministic)
+        enc = self.apply_speaker(enc, tgt_speaker)
         raw_enc_mask = enc_mask
 
         length_logits = self.decoder.forward_length(enc, enc_mask)
@@ -549,6 +573,8 @@ class NARS2UTModel(ModelHolder):
                 "quant_int8",
                 __import__("os").environ.get("DIFFNORM_INT8") == "1")),
             multitask=tuple(getattr(task, "aux_task_specs", lambda: ())()),
+            target_speaker_embed=bool(cfg.get("target_speaker_embed", False)),
+            speaker_embed_dim=cfg.get("speaker_embed_dim", 256),
             dtype=jnp.dtype(cfg.get("dtype", "float32")),
         )
         return cls(module=module, cfg=cfg)

@@ -115,3 +115,66 @@ def test_concataugment_wiring(data_dir):
     assert (item["target"][:-1] != EOS).all()
     partner_frames = item["source"].shape[0] - single["source"].shape[0]
     assert partner_frames in [base[j]["source"].shape[0] for j in range(1, 4)]
+
+
+def test_target_speaker_embed(data_dir):
+    """--target-speaker-embed plumbing (reference
+    speech_to_speech_dataset.py:90-96,219-229 + s2s_transformer.py:38-52):
+    per-utt speaker embeddings joined by id, collated [B, D], consumed by the
+    NAR/AR S2UT modules via a concat + projection on the encoder output."""
+    import jax.numpy as jnp
+
+    from diffnorm_tpu.models.nar_transformer import NARS2UTModule
+
+    rng = np.random.default_rng(1)
+    spk_dir = data_dir / "spk"
+    spk_dir.mkdir()
+    lines = ["id\tspeaker_embed"]
+    for i in range(4):
+        emb = rng.normal(size=(16,)).astype(np.float32)
+        np.save(spk_dir / f"utt{i}.spk.npy", emb)
+        lines.append(f"utt{i}\t{spk_dir}/utt{i}.spk.npy")
+    (spk_dir / "train.tsv").write_text("\n".join(lines) + "\n")
+    cfg = yaml.safe_load((data_dir / "config.yaml").read_text())
+    cfg["target_speaker_embed"] = str(spk_dir)
+    (data_dir / "config.yaml").write_text(yaml.safe_dump(cfg))
+
+    d = Dictionary.unit_dictionary(10)
+    ds = SpeechToUnitDataset.from_tsv(
+        root=str(data_dir), split="train", tgt_dict=d, is_train=False,
+    )
+    assert ds.tgt_speakers is not None
+    item = ds[2]
+    np.testing.assert_array_equal(
+        item["tgt_speaker"], np.load(spk_dir / "utt2.spk.npy"))
+    batch = ds.collater([ds[i] for i in range(4)])
+    assert batch["tgt_speaker"].shape == (4, 16)
+    # join is by id, surviving the desc-length collation sort
+    order = batch["id"]
+    for row, idx in enumerate(order):
+        np.testing.assert_array_equal(
+            batch["tgt_speaker"][row],
+            np.load(spk_dir / f"utt{idx}.spk.npy"))
+
+    module = NARS2UTModule(
+        vocab_size=14, encoder_dim=32, encoder_ffn_dim=64, encoder_layers=1,
+        encoder_heads=2, decoder_dim=32, decoder_ffn_dim=64, decoder_layers=1,
+        decoder_heads=2, depthwise_kernel_size=7, conv_channels=32,
+        target_speaker_embed=True, speaker_embed_dim=16,
+    )
+    src = jnp.asarray(batch["src_tokens"])
+    src_lengths = jnp.asarray(batch["src_lengths"])
+    prev = jnp.full((4, 6), 3, jnp.int32)
+    tgt = jnp.full((4, 6), 5, jnp.int32)
+    spk = jnp.asarray(batch["tgt_speaker"])
+    variables = module.init(jax.random.PRNGKey(0), src, src_lengths, prev,
+                            tgt_tokens=tgt, tgt_speaker=spk)
+    assert "spk_emb_proj" in variables["params"]
+    out = module.apply(variables, src, src_lengths, prev, tgt_tokens=tgt,
+                       tgt_speaker=spk, deterministic=True)
+    out_no = module.apply(variables, src, src_lengths, prev, tgt_tokens=tgt,
+                          deterministic=True)
+    # the speaker embedding changes the logits; omitting it is a no-op path
+    assert not np.allclose(np.asarray(out["logits"]),
+                           np.asarray(out_no["logits"]))
+    assert np.isfinite(np.asarray(out["logits"])).all()

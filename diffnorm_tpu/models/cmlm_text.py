@@ -121,7 +121,12 @@ class TextCMLMModule(nn.Module):
         return self.decoder.forward_length(enc, enc_mask)
 
     def __call__(self, src_tokens, src_lengths, prev_tokens, tgt_tokens=None,
-                 deterministic: bool = True):
+                 deterministic: bool = True, multitask_prev=None):
+        # multitask_prev is accepted for call-surface compatibility with the
+        # NAR task/criterion (MultitaskTaskMixin passes it unconditionally);
+        # the text CMLM family has no aux decoders
+        assert multitask_prev is None, (
+            "cmlm_text has no --multitask-config-yaml aux decoders")
         enc, enc_mask = self.encoder(src_tokens, deterministic=deterministic)
         length_logits = self.decoder.forward_length(enc, enc_mask)
         if tgt_tokens is not None:

@@ -259,6 +259,7 @@ def main(cfg: Optional[Config] = None) -> int:
     n_frames = int(cfg.get("n_frames_per_step", 1))
     needs_target = False  # set by decoders that consume the reference
     needs_rng = False  # set by stochastic decoders (--sampling)
+    accepts_speaker = False  # S2UT decoders (--target-speaker-embed)
     init_lengths = None  # set by --init-unit-file (mask-predict branch)
     if isinstance(task, LevenshteinTask):
         # iterative insert/delete refinement, one shape-static jitted scan
@@ -379,10 +380,12 @@ def main(cfg: Optional[Config] = None) -> int:
         prefix_size = int(cfg.get("prefix_size", 0))
         needs_target = prefix_size > 0
         needs_rng = sampling
+        accepts_speaker = True
 
-        def _decode(v, src, lengths, target=None, rng=None):
+        def _decode(v, src, lengths, target=None, rng=None, tgt_speaker=None):
             seqs, scores = ar_generate(
                 model, v, src, lengths, beam_size=beam,
+                tgt_speaker=tgt_speaker,
                 max_len=min(max_len, 256),
                 len_penalty=cfg.get("lenpen", 1.0),
                 min_len=int(cfg.get("min_len", 1)),
@@ -457,7 +460,9 @@ def main(cfg: Optional[Config] = None) -> int:
             logger.info("forcing canvas lengths from %s (%d utts)",
                         cfg["init_unit_file"], len(init_lengths))
 
-        def _decode(v, src, lengths, true_length=None):
+        accepts_speaker = True
+
+        def _decode(v, src, lengths, true_length=None, tgt_speaker=None):
             return mask_predict_decode_chunked(
                 model, v, src, lengths,
                 chunk=int(cfg.get("decode_chunk", 0)),
@@ -466,6 +471,7 @@ def main(cfg: Optional[Config] = None) -> int:
                 length_beam=beam, n_frames_per_step=n_frames,
                 reranker=reranker, retain_history=retain_history,
                 adaptive=adaptive, true_length=true_length,
+                tgt_speaker=tgt_speaker,
             )
 
     decode = jax.jit(_decode)
@@ -582,6 +588,10 @@ def main(cfg: Optional[Config] = None) -> int:
             variables = _calibrate_static(batch)
             static_done = True
         kw = {"rng": jax.random.fold_in(base_key, batch_i)} if needs_rng else {}
+        if accepts_speaker and batch.get("tgt_speaker") is not None:
+            # --target-speaker-embed inference conditioning
+            kw["tgt_speaker"] = jnp.asarray(
+                np.asarray(batch["tgt_speaker"]), jnp.float32)
         if init_lengths is not None:
             def _lookup(bid):
                 for key in (int(bid), str(bid)):

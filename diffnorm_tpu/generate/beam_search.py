@@ -340,6 +340,7 @@ def ar_generate(
     sampling_topp: float = 0.0,
     temperature: float = 1.0,
     rng=None,
+    tgt_speaker=None,
 ):
     """End-to-end AR generation for encode/decode_step modules (encode once, replicate
     encoder states across beams, run the jitted beam loop).
@@ -355,7 +356,10 @@ def ar_generate(
              else [variables])
     n_models = len(vlist)
 
-    pairs = [module.apply(v, src, src_lengths, method="encode")
+    # --target-speaker-embed conditioning at inference (only passed when
+    # supplied; keeps duck-typed encode signatures of other families intact)
+    enc_kw = {} if tgt_speaker is None else {"tgt_speaker": tgt_speaker}
+    pairs = [module.apply(v, src, src_lengths, method="encode", **enc_kw)
              for v in vlist]
     b = pairs[0][0].shape[0]
     enc_reps = [jnp.repeat(e, beam_size, axis=0) for e, _ in pairs]

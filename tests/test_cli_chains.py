@@ -1022,3 +1022,12 @@ def test_pretrain_finetune_wer_chain(tmp_path):
 
     wer = float(re.search(r"WER[:= ]+([0-9.]+)", txt).group(1))
     assert wer < 50.0, f"pretrain->finetune WER gate failed: {wer}\n{txt}"
+
+
+def test_s2ut_transformer_train_generate_chain(tmp_path):
+    """AR S2UT with the plain S2T transformer encoder (--arch
+    s2ut_transformer, reference s2s_transformer.py:644-682) through the
+    real train -> beam-decode CLI seam."""
+    cfg = dict(AR_CFG, arch="s2ut_transformer")
+    ckpt = _train(tmp_path, "ar_tf", **cfg)
+    _generate(tmp_path, ckpt, "beam_tf", beam=2, **cfg)

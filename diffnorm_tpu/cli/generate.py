@@ -289,10 +289,12 @@ def main(cfg: Optional[Config] = None) -> int:
         if n_frames > 1:
             raise NotImplementedError(
                 "unity generation with n_frames_per_step>1")
+        accepts_speaker = True
 
-        def _decode(v, src, lengths):
+        def _decode(v, src, lengths, tgt_speaker=None):
             seqs, scores, _mt = unity_generate(
                 model, v, src, lengths, beam_size=beam,
+                tgt_speaker=tgt_speaker,
                 beam_size_mt=int(cfg.get("beam_mt", beam)),
                 max_len=min(max_len, 256),
                 max_len_mt=min(int(cfg.get("max_len_b_mt", 200)), 256),
@@ -316,10 +318,12 @@ def main(cfg: Optional[Config] = None) -> int:
             logger.warning("stacked-unit generation uses the first model "
                            "of the ensemble")
             variables = variables[0]
+        accepts_speaker = True
 
-        def _decode(v, src, lengths):
+        def _decode(v, src, lengths, tgt_speaker=None):
             packed, sub = ar_generate_stacked(
-                model, v, src, lengths, max_len=min(max_len, 256)
+                model, v, src, lengths, max_len=min(max_len, 256),
+                tgt_speaker=tgt_speaker,
             )
             b = sub.shape[0]
             tokens = sub.reshape(b, -1)  # [B, L*k] full-rate units

@@ -325,4 +325,7 @@ class EpochBatchIterator:
     def load_state_dict(self, state: Dict[str, Any]):
         self.epoch = state.get("epoch", 1)
         self._offset = state.get("offset", 0)
+        # a stale trained-count from before the restore would make
+        # mark_trained resume from the wrong base (and state_dict prefer it)
+        self._trained = None
         self._batches = None

@@ -117,11 +117,18 @@ class SpeechToUnitDataset:
         if raw_audio:
             if feat.ndim == 1:
                 feat = feat[:, None]
-            return {
+            sample = {
                 "index": index,
                 "source": feat,
                 "target": self.tgt_units[index],
             }
+            # the collater stacks tgt_speaker unconditionally when configured
+            # — omitting it here would KeyError when both options are on
+            if self.tgt_speakers is not None:
+                sample["tgt_speaker"] = np.asarray(
+                    get_features_or_waveform(self.tgt_speakers[index]),
+                    np.float32).reshape(-1)
+            return sample
         if len(indices) == 1:
             target = self.tgt_units[index]
         else:

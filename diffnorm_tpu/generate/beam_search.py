@@ -431,7 +431,7 @@ def ar_generate(
 
 
 def ar_generate_stacked(model, variables, src, src_lengths,
-                        max_len: int = 256):
+                        max_len: int = 256, tgt_speaker=None):
     """Greedy stacked-unit generation for an n_frames_per_step>1 AR decoder
     (reference StackUnitSequenceGenerator, fairseq/tasks/speech_to_speech.py
     :31-137): encode once, then one packed token per step whose [B, k, V]
@@ -443,8 +443,11 @@ def ar_generate_stacked(model, variables, src, src_lengths,
 
     module = model.module
     k = module.n_frames_per_step  # setup() attrs are apply-scoped in flax
+    # --target-speaker-embed conditioning (reference StackUnitSequenceGenerator
+    # passes speaker to forward_encoder, tasks/speech_to_speech.py:71-73)
+    enc_kw = {} if tgt_speaker is None else {"tgt_speaker": tgt_speaker}
     enc, enc_mask = module.apply(
-        variables, src, src_lengths, method="encode"
+        variables, src, src_lengths, method="encode", **enc_kw
     )
     b = enc.shape[0]
     _, cache_vars = module.apply(

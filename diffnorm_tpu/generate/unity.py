@@ -67,6 +67,7 @@ def unity_generate(
     len_penalty_mt: float = 1.0,
     no_repeat_ngram: int = 0,
     unk_penalty: float = 0.0,
+    tgt_speaker=None,
 ):
     """Returns (unit_seqs [B, K, L], unit_scores [B, K], mt_best [B, Lmt]).
     mt_best is the selected first-pass text hypothesis (with terminating
@@ -75,7 +76,11 @@ def unity_generate(
     if isinstance(variables, (list, tuple)):
         variables = variables[0]  # no ensemble support (reference likewise)
 
-    enc, enc_mask = module.apply(variables, src, src_lengths, method="encode")
+    # --target-speaker-embed conditioning at inference (reference passes
+    # tgt_speaker into the encoder, s2s_conformer_unity.py:219-227)
+    enc_kw = {} if tgt_speaker is None else {"tgt_speaker": tgt_speaker}
+    enc, enc_mask = module.apply(variables, src, src_lengths,
+                                 method="encode", **enc_kw)
     b = enc.shape[0]
 
     # ---- pass 1: MT text beam ----

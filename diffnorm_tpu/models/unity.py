@@ -119,9 +119,13 @@ class UnityS2UTModule(nn.Module):
     # aux tasks EXCLUDING the first-pass one (that task's decoder is the
     # mt_decoder below and its logits are emitted directly)
     multitask: tuple = ()
+    target_speaker_embed: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
+        if self.target_speaker_embed:
+            self.spk_emb_proj = nn.Dense(
+                self.encoder_dim, dtype=self.dtype, name="spk_emb_proj")
         self.encoder = ConformerEncoder(
             dim=self.encoder_dim, ffn_dim=self.encoder_ffn_dim,
             layers=self.encoder_layers, heads=self.encoder_heads,
@@ -169,8 +173,23 @@ class UnityS2UTModule(nn.Module):
     # ---- generation methods (each pass is cache-decodable; see
     # generate/unity.py for the fused two-pass beam program) ----
 
-    def encode(self, src, src_lengths, deterministic: bool = True):
-        return self.encoder(src, src_lengths, deterministic=deterministic)
+    def encode(self, src, src_lengths, deterministic: bool = True,
+               tgt_speaker=None):
+        enc, enc_mask = self.encoder(src, src_lengths,
+                                     deterministic=deterministic)
+        return self.apply_speaker(enc, tgt_speaker), enc_mask
+
+    def apply_speaker(self, enc, tgt_speaker):
+        """--target-speaker-embed conditioning on the speech-encoder output
+        (reference s2s_conformer_unity.py:219-227 passes tgt_speaker into the
+        encoder; the concat+Dense matches s2s_transformer.py:44-52). No-op
+        unless enabled and an embedding is supplied."""
+        if not self.target_speaker_embed or tgt_speaker is None:
+            return enc
+        spk = jnp.broadcast_to(
+            tgt_speaker[:, None, :].astype(enc.dtype),
+            (enc.shape[0], enc.shape[1], tgt_speaker.shape[-1]))
+        return self.spk_emb_proj(jnp.concatenate([enc, spk], axis=-1))
 
     def decode_mt_step(self, token, enc, enc_mask, position,
                        max_decode_len: int = 256):
@@ -212,7 +231,8 @@ class UnityS2UTModule(nn.Module):
     # ---- training forward ----
 
     def __call__(self, src, src_lengths, prev_tokens, prev_tokens_mt,
-                 tgt_tokens=None, deterministic=True, multitask_prev=None):
+                 tgt_tokens=None, deterministic=True, multitask_prev=None,
+                 tgt_speaker=None):
         """Teacher-forced two-pass forward (reference forward :214-275).
         Returns logits over units plus out["multitask"][mt_task_name]
         logits from the first-pass decoder (the reference reuses
@@ -228,6 +248,7 @@ class UnityS2UTModule(nn.Module):
         else:
             enc, enc_mask = self.encoder(src, src_lengths,
                                          deterministic=deterministic)
+        enc = self.apply_speaker(enc, tgt_speaker)
 
         # 1. first-pass MT decoder (logits for its loss + features)
         mt_logits, mt_feats = self.mt_decoder(
@@ -301,6 +322,7 @@ class UnityModel(ModelHolder):
             depthwise_kernel_size=cfg.get("depthwise_conv_kernel_size", 31),
             n_frames_per_step=cfg.get("n_frames_per_step", 1),
             multitask=tuple(s for s in specs if s.name != mt_name),
+            target_speaker_embed=bool(cfg.get("target_speaker_embed", False)),
             dtype=jnp.dtype(cfg.get("dtype", "float32")),
         )
         return cls(module=module, cfg=cfg)

@@ -104,6 +104,10 @@ class ARS2UTTask(NARS2UTTask):
             # UnitY two-pass: the forward needs the first-pass prev tokens
             kwargs["prev_tokens_mt"] = self.first_pass_prev_tokens(batch)
             kwargs.setdefault("tgt_tokens", batch["target"])
+        if batch.get("tgt_speaker") is not None:
+            # --target-speaker-embed: trace spk_emb_proj at init (the
+            # criterion passes tgt_speaker on every train/valid step)
+            kwargs["tgt_speaker"] = batch["tgt_speaker"]
         return model.init(
             {"params": r_p, "dropout": r_d},
             batch["src_tokens"],

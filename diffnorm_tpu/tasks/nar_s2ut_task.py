@@ -119,6 +119,12 @@ class NARS2UTTask(MultitaskTaskMixin, Task):
 
     def init_variables(self, model, rng, batch):
         r_p, r_d, r_cg = jax.random.split(rng, 3)
+        kwargs = {}
+        if batch.get("tgt_speaker") is not None:
+            # --target-speaker-embed: the spk_emb_proj Dense must be traced
+            # at init or the first train step (which does pass tgt_speaker
+            # via the criterion) hits ScopeParamNotFoundError
+            kwargs["tgt_speaker"] = batch["tgt_speaker"]
         return model.init(
             {"params": r_p, "dropout": r_d, "cg": r_cg},
             batch["src_tokens"],
@@ -127,6 +133,7 @@ class NARS2UTTask(MultitaskTaskMixin, Task):
             tgt_tokens=batch["target"],
             deterministic=True,
             multitask_prev=self.multitask_prev(batch),
+            **kwargs,
         )
 
     def dummy_batch(self, batch_size: int = 2, seq_len: int = 48) -> Dict:

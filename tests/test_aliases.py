@@ -48,6 +48,52 @@ def test_tts_criterion_aliases():
     assert CRITERIONS.get("fastspeech2") is FastSpeech2Loss
 
 
+def test_reference_criterion_name_stragglers():
+    """ddpm_loss / speech_decoder_loss / unit_to_speech / repr_to_speech
+    criterion names resolve (reference ddpm_loss.py:14,
+    speech_decoder_loss.py:14, hubert_to_speech.py:57,
+    repr_to_speech_loss.py:56)."""
+    from diffnorm_tpu.criterions.ddpm_loss import (
+        DDPMDiscreteLoss,
+        DDPMLatentLoss,
+    )
+
+    assert isinstance(CRITERIONS.get("ddpm_loss")(Config()), DDPMLatentLoss)
+    sd = CRITERIONS.get("speech_decoder_loss")(Config())
+    assert isinstance(sd, DDPMDiscreteLoss)
+    assert sd.eps == 0.2  # reference speech_decoder_loss.py:18
+    assert CRITERIONS.get("unit_to_speech") is CRITERIONS.get(
+        "repr_to_speech")
+
+
+def test_unit_to_speech_criterion_prices_generator():
+    """The registered unit_to_speech criterion computes the generator-side
+    45x log-mel L1 (+ duration MSE) on a vocoder batch."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffnorm_tpu.models.hifigan import CodeGenerator
+
+    gen = CodeGenerator(
+        num_embeddings=10, embedding_dim=8,
+        upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 2),),
+    )
+    rng = np.random.default_rng(0)
+    code = jnp.asarray(rng.integers(0, 10, size=(2, 16)), jnp.int32)
+    wav = jnp.asarray(rng.normal(size=(2, 16 * 8)) * 0.1, jnp.float32)
+    variables = gen.init(jax.random.PRNGKey(0), code)
+    crit = CRITERIONS.get("unit_to_speech")(
+        Config(n_fft=64, hop_size=32, win_size=64, num_mels=20))
+    loss, metrics, _ = crit(gen, variables, {"code": code, "wav": wav},
+                            jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    np.testing.assert_allclose(float(loss), 45.0 * float(metrics["mel"]),
+                               rtol=1e-5)
+
+
 def test_unit_to_speech_task_dispatches_to_gan_cli(monkeypatch):
     """fairseq-train --task unit_to_speech/repr_to_speech reaches the GAN
     vocoder trainer (cli/train.py dispatch; reference code_hifigan.py /

@@ -26,6 +26,11 @@ from diffnorm_tpu.utils.masking import lengths_to_mask
 
 @register_criterion("ddpm_discrete_loss")
 class DDPMDiscreteLoss:
+    # reference backwards the normalized loss verbatim
+    # (ddpm_discrete_loss.py:59-64, sample_size=nsentences) — trainer.py
+    # grad_accum conventions
+    grad_accum = "mean_loss"
+
     def __init__(self, cfg=None, task=None):
         self.eps = 0.1
         self.recon_mse_weight = 50.0
@@ -86,10 +91,16 @@ class DDPMDiscreteLoss:
         mask = lengths_to_mask(lengths, feature.shape[1])
 
         r_model, r_drop = jax.random.split(rng)
+        extra = {}
+        # injected draws (trajectory-parity tests share the reference's
+        # stream): diffusion times + posterior / beta_0-jitter / q-sample eps
+        for key in ("times", "enc_noise", "x1_noise", "q_noise"):
+            if batch.get(f"inject_{key}") is not None:
+                extra[key] = batch[f"inject_{key}"]
         out = model.apply(
             variables, feature, mask, r_model,
             deterministic=not train,
-            rngs={"dropout": r_drop},
+            rngs={"dropout": r_drop}, **extra,
         )
         loss, metrics = self.assemble(
             out, feature, units, mask, model.module.timesteps,
@@ -103,6 +114,8 @@ class DDPMLatentLoss:
     """Continuous diffusion criterion (reference ddpm_latent_loss.py /
     ddpm_loss.py): min-SNR weighted noise MSE only — used by the
     `speech_diffusion` / `speech_diffusion_hubert` tasks."""
+
+    grad_accum = "mean_loss"  # ddpm_latent_loss.py:69 sample_size=nsentences
 
     def __init__(self, cfg=None, task=None):
         pass

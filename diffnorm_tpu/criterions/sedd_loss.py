@@ -14,6 +14,10 @@ from diffnorm_tpu.utils.masking import lengths_to_mask
 
 @register_criterion("sedd_loss")
 class SEDDLoss:
+    # batch-mean loss backwarded verbatim (score_model.py:1203-1207
+    # convention; sample_size=nsentences for logging)
+    grad_accum = "mean_loss"
+
     def __init__(self, cfg=None, task=None):
         pass
 

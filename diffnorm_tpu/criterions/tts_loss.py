@@ -20,6 +20,11 @@ PAD = 1
 
 @register_criterion("tacotron2_loss")
 class Tacotron2Loss:
+    # the reference backwards the mean-reduced loss verbatim
+    # (tacotron2_loss.py reduction="mean"; fairseq trainer multiply_grads
+    # by 1/sample_size) — see train/trainer.py grad_accum conventions
+    grad_accum = "mean_loss"
+
     def __init__(self, cfg=None, task=None):
         self.bce_pos_weight = (
             cfg.get("bce_pos_weight", 5.0) if cfg is not None else 5.0
@@ -61,11 +66,12 @@ class Tacotron2Loss:
             bce_pos_weight=self.bce_pos_weight,
         )
         n = batch["src_tokens"].shape[0]
-        metrics.update(
-            ntokens=jnp.sum(jnp.asarray(batch["tgt_lengths"])),
-            nsentences=n, sample_size=n,
-        )
-        loss = self._finalize(out, batch, loss, metrics, n)
+        ntokens = jnp.sum(jnp.asarray(batch["tgt_lengths"]))
+        # sample_size = ntokens (reference tacotron2_loss.py:155 with the
+        # recipes' sentence_avg=False) — weights both the grad denominator
+        # and the logged-metric aggregation like the reference
+        metrics.update(ntokens=ntokens, nsentences=n, sample_size=ntokens)
+        loss = self._finalize(out, batch, loss, metrics, ntokens)
         metrics["loss"] = loss
         return loss, metrics, mutated
 
@@ -78,9 +84,9 @@ class SpeechToSpectrogram2PassLoss(Tacotron2Loss):
     decoder + the model forward additionally takes the first-pass task's
     prev_output_tokens; the first-pass loss arrives through the regular
     multitask accounting (the model emits that task's logits from its
-    mt_decoder). Aux sums are normalized by sample_size (=nsentences, the
-    tacotron2 sentence_avg convention) so the trainer's
-    sum-loss/sum-sample_size semantics hold."""
+    mt_decoder). Aux task SUMS add onto the mean-reduced main loss verbatim
+    (reference :500-506 `loss += multitask_loss` — the mixed mean+sum
+    assembly is a reference quirk kept for trajectory parity)."""
 
     def __init__(self, cfg=None, task=None):
         super().__init__(cfg, task)
@@ -110,8 +116,10 @@ class SpeechToSpectrogram2PassLoss(Tacotron2Loss):
     def _finalize(self, out, batch, loss, metrics, sample_size):
         from diffnorm_tpu.criterions.nar_loss import apply_multitask_losses
 
+        # denominator 1: raw weighted task sums, exactly the reference's
+        # `loss += multitask_loss`
         return apply_multitask_losses(
-            self.multitask, out, batch, loss, metrics, sample_size
+            self.multitask, out, batch, loss, metrics, 1.0
         )
 
 
@@ -119,6 +127,10 @@ class SpeechToSpectrogram2PassLoss(Tacotron2Loss):
 class FastSpeech2Loss:
     """Masked L1 on both mel heads + MSE on log(1+duration), pitch and
     energy over valid source tokens (reference fastspeech2_loss.py)."""
+
+    # reference backwards the mean loss; sample_size = nsentences
+    # (fastspeech2_loss.py:89) is for logging + the grad denominator
+    grad_accum = "mean_loss"
 
     def __init__(self, cfg=None, task=None):
         pass

@@ -23,6 +23,11 @@ from diffnorm_tpu.utils.masking import lengths_to_mask
 
 @register_criterion("speech_vae_decoder_loss")
 class SpeechVAELoss:
+    # the reference backwards this already-normalized loss verbatim
+    # (speech_vae_decoder_loss.py:85-87; fairseq trainer then
+    # multiply_grads by 1/sum(nsentences)) — see trainer.py grad_accum
+    grad_accum = "mean_loss"
+
     def __init__(self, cfg=None, task=None):
         self.eps = 0.1
         self.ce_weight = 0.1
@@ -39,10 +44,15 @@ class SpeechVAELoss:
         if train:
             r_sample, r_drop = jax.random.split(rng)
             rngs = {"sample": r_sample, "dropout": r_drop}
+        extra = {}
+        if batch.get("posterior_noise") is not None:
+            # injected posterior eps (trajectory-parity tests share the
+            # reference's draw stream)
+            extra["noise"] = batch["posterior_noise"]
         decoded, logits, kl = model.apply(
             variables, feature, mask, rngs["sample"],
             deterministic=not train,
-            rngs=rngs,
+            rngs=rngs, **extra,
         )
 
         # masked MSE over valid elements only

@@ -87,6 +87,7 @@ def s2st_generate(
     spkr: Optional[jnp.ndarray] = None,
     vocoder_chunk: int = 4,
     decode_chunk: int = 0,
+    tgt_speaker: Optional[jnp.ndarray] = None,
 ):
     """Speech (fbank) in, waveform out, fully on device.
 
@@ -94,12 +95,14 @@ def s2st_generate(
     unit_counts [B]): `units` are the reduced raw unit ids (0-based, pad 0
     past count), `wav_lengths` in samples. With dur_prediction=False the
     decoded unit stream drives the vocoder un-expanded (reference
-    --dur-prediction off).
+    --dur-prediction off). `tgt_speaker` [B, D] conditions the NAR decode
+    (--target-speaker-embed); `spkr` [B] selects the multi-speaker
+    vocoder's speaker embedding.
     """
     tokens, _scores, _ = mask_predict_decode_chunked(
         nar_model, nar_variables, src, src_lengths, chunk=decode_chunk,
         max_iter=max_iter, max_len=max_len, cond_scale=cond_scale,
-        length_beam=length_beam,
+        length_beam=length_beam, tgt_speaker=tgt_speaker,
     )
     packed, packed_valid, reduced, counts = strip_and_reduce_tokens(tokens)
     t = reduced.shape[1]

@@ -119,10 +119,13 @@ class SpeechVAEModule(nn.Module):
         feat = self.decoder_tf(x, mask=mask, deterministic=deterministic)
         return feat, self.decoder_lm(feat)
 
-    def __call__(self, feature, mask, rng, deterministic: bool = True):
-        """Training forward. Returns (decoded_feature, lm_logits, kl_per_seq)."""
+    def __call__(self, feature, mask, rng, deterministic: bool = True,
+                 noise=None):
+        """Training forward. Returns (decoded_feature, lm_logits, kl_per_seq).
+        `noise` overrides the posterior eps draw (trajectory-parity tests
+        inject the reference's stream)."""
         params2c = self.encode_params(feature)
-        z, mean, logvar = gaussian_sample(params2c, rng)
+        z, mean, logvar = gaussian_sample(params2c, rng, noise=noise)
         kl = gaussian_kl_masked(mean, logvar, mask)
         feat, logits = self.decode(z, mask, deterministic=deterministic)
         return feat, logits, kl

@@ -172,10 +172,26 @@ class Trainer:
         # the key order is recorded at trace time (static per criterion)
         keys = self._record_keys(mets, "_metric_keys")
         vec = jnp.stack([jnp.asarray(mets[k], jnp.float32) for k in keys])
-        # pre-scale grads by sample_size ON DEVICE so grad accumulation
-        # needs no host sync per microbatch (fairseq sum-loss semantics)
-        ss = vec[keys.index("sample_size")] if "sample_size" in keys else 1.0
-        grads = jax.tree_util.tree_map(lambda g: g * ss, grads)
+        # fairseq grad-accumulation semantics: the effective gradient is
+        # sum_i d(loss_ref_i) / denom, where loss_ref is what the reference
+        # criterion hands optimizer.backward (fairseq trainer.py:832,932).
+        # Criterions declare which convention their reference counterpart
+        # uses via `grad_accum`:
+        #   "sum_loss" (default): reference backwards a SUM loss; our
+        #     criterion returns the mean, so pre-scale grads by sample_size
+        #     (done ON DEVICE so accumulation needs no host sync), denom =
+        #     total sample_size (label-smoothed CE, CTC, hubert, wav2vec...)
+        #   "mean_loss": reference backwards the already-normalized loss
+        #     verbatim (speech_vae_decoder_loss, ddpm_* losses, tts losses:
+        #     reduction="mean" + multiply_grads(1/sample_size)); grads stay
+        #     unscaled, denom = total sample_size
+        #   "mean_loss_per_batch": reference backwards the normalized loss
+        #     with sample_size=1 "just used for logging" (nat_loss.py:131);
+        #     denom = number of microbatches
+        if getattr(self.criterion, "grad_accum", "sum_loss") == "sum_loss":
+            ss = (vec[keys.index("sample_size")]
+                  if "sample_size" in keys else 1.0)
+            grads = jax.tree_util.tree_map(lambda g: g * ss, grads)
         return grads, vec, mutated
 
     def _apply_step(self, state: TrainState, grads, ss_total=None,
@@ -243,14 +259,17 @@ class Trainer:
                 grads if grads_acc is None else self._jit_acc(grads_acc, grads)
             )
         keys = self._metric_keys
-        # normalize grads ON DEVICE by the total sample size (device scalar
-        # sum of the per-microbatch metric vectors; no host pull needed)
+        # normalize grads ON DEVICE by the accumulation denominator (device
+        # scalar; no host pull needed) — total sample_size, or the
+        # microbatch count for "mean_loss_per_batch" criterions (see
+        # _grad_step's grad_accum conventions)
         ss_idx = keys.index("sample_size") if "sample_size" in keys else None
         vec_stack = jnp.stack(vecs)
-        if ss_idx is not None:
-            ss_total_dev = jnp.maximum(jnp.sum(vec_stack[:, ss_idx]), 1.0)
-        else:
+        accum_mode = getattr(self.criterion, "grad_accum", "sum_loss")
+        if accum_mode == "mean_loss_per_batch" or ss_idx is None:
             ss_total_dev = jnp.asarray(float(len(vecs)))
+        else:
+            ss_total_dev = jnp.maximum(jnp.sum(vec_stack[:, ss_idx]), 1.0)
         if self._host_step is None:
             self._host_step = int(state.step)
         step_before = self._host_step

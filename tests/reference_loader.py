@@ -1467,3 +1467,195 @@ def load_wav2vec2():
     load_hubert, Wav2Vec2Model + Wav2Vec2Config + GumbelVectorQuantizer)."""
     load_hubert()
     return sys.modules["fairseq.models.wav2vec.wav2vec2"]
+
+
+def load_transformer_decoder():
+    """Exec the REAL fairseq/models/transformer/transformer_decoder.py
+    verbatim (TransformerDecoderBase + the args-namespace TransformerDecoder
+    wrapper) on the REAL transformer_layer / MultiheadAttention /
+    positional-embedding stack, plus the REAL StackedEmbedding
+    (speech_to_speech/modules/stacked_embedding.py).
+
+    Shimmed glue only: TransformerConfig.from_namespace (args -> nested
+    namespace mapping extended with the decoder-side fields), the
+    FairseqIncrementalDecoder base (dictionary holder), fsdp_wrap /
+    checkpoint_wrapper identities, and AdaptiveSoftmax/BaseLayer (unused
+    with the DiffNorm configs: no adaptive softmax, base_layers 0)."""
+    if "transformer_decoder" in _cache:
+        return _cache["transformer_decoder"]
+    import torch
+
+    load_s2t_transformer()  # real transformer_layer, MHA, pos embeddings
+
+    tm = sys.modules["fairseq.models.transformer"]
+    _Base = tm.TransformerConfig  # the s2t shim
+
+    class _TransformerConfigShim2(_Base):
+        @staticmethod
+        def from_namespace(args):
+            cfg = _Base.from_namespace(args)
+            if getattr(cfg, "_decoder_full", False):
+                return cfg
+            d = cfg.decoder
+            d.layers = getattr(args, "decoder_layers", 6)
+            d.layerdrop = getattr(args, "decoder_layerdrop", 0.0)
+            d.learned_pos = getattr(args, "decoder_learned_pos", False)
+            d.output_dim = getattr(args, "decoder_output_dim", d.embed_dim)
+            d.input_dim = getattr(args, "decoder_input_dim", d.embed_dim)
+            cfg.share_decoder_input_output_embed = getattr(
+                args, "share_decoder_input_output_embed", False)
+            cfg.max_target_positions = getattr(
+                args, "max_target_positions", 1024)
+            cfg.no_scale_embedding = getattr(args, "no_scale_embedding",
+                                             False)
+            cfg.adaptive_input = getattr(args, "adaptive_input", False)
+            cfg.no_token_positional_embeddings = getattr(
+                args, "no_token_positional_embeddings", False)
+            cfg.layernorm_embedding = getattr(args, "layernorm_embedding",
+                                              False)
+            cfg.no_decoder_final_norm = getattr(
+                args, "no_decoder_final_norm", False)
+            cfg.tie_adaptive_weights = getattr(args, "tie_adaptive_weights",
+                                               False)
+            cfg.adaptive_softmax_cutoff = getattr(
+                args, "adaptive_softmax_cutoff", None)
+            cfg.base_layers = getattr(args, "base_layers", 0)
+            cfg.checkpoint_activations = getattr(
+                args, "checkpoint_activations", False)
+            cfg.offload_activations = getattr(args, "offload_activations",
+                                              False)
+            cfg.min_params_to_wrap = getattr(args, "min_params_to_wrap",
+                                             int(1e9))
+            cfg._decoder_full = True
+            return cfg
+
+    tm.TransformerConfig = _TransformerConfigShim2
+
+    class _FairseqDecoderBase(torch.nn.Module):
+        """Base-class glue: dictionary holder + the incremental-state API
+        surface the training forward never touches."""
+
+        def __init__(self, dictionary):
+            super().__init__()
+            self.dictionary = dictionary
+            self.onnx_trace = False
+
+    sys.modules["fairseq.models"].FairseqIncrementalDecoder = (
+        _FairseqDecoderBase)
+
+    _stub("fairseq.distributed", fsdp_wrap=lambda m, **k: m)
+    m = sys.modules["fairseq.modules"]
+    quant_noise_mod = _file_module(
+        "fairseq.modules.quant_noise", f"{REF}/fairseq/modules/quant_noise.py"
+    )
+    layer_drop = _file_module(
+        "fairseq.modules.layer_drop", f"{REF}/fairseq/modules/layer_drop.py"
+    )
+    m.LayerDropModuleList = layer_drop.LayerDropModuleList
+
+    class _Unused(torch.nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+            raise NotImplementedError("unused with DiffNorm configs")
+
+    m.AdaptiveSoftmax = _Unused
+    m.BaseLayer = _Unused
+    _stub("fairseq.modules.checkpoint_activations",
+          checkpoint_wrapper=lambda mod, offload_to_cpu=False: mod)
+    sys.modules["fairseq.modules.quant_noise"] = quant_noise_mod
+
+    if not hasattr(tm, "Linear"):
+        def _linear(in_f, out_f, bias=True):
+            lin = torch.nn.Linear(in_f, out_f, bias)
+            torch.nn.init.xavier_uniform_(lin.weight)
+            if bias:
+                torch.nn.init.constant_(lin.bias, 0.0)
+            return lin
+
+        tm.Linear = _linear
+
+    td = _file_module(
+        "ref_transformer_decoder",
+        f"{REF}/fairseq/models/transformer/transformer_decoder.py")
+    tm.TransformerDecoder = td.TransformerDecoder
+
+    se = _file_module(
+        "fairseq.models.speech_to_speech.modules.stacked_embedding",
+        f"{REF}/fairseq/models/speech_to_speech/modules/stacked_embedding.py")
+    _cache["transformer_decoder"] = types.SimpleNamespace(
+        TransformerDecoder=td.TransformerDecoder,
+        TransformerDecoderBase=td.TransformerDecoderBase,
+        StackedEmbedding=se.StackedEmbedding,
+    )
+    return _cache["transformer_decoder"]
+
+
+def load_nar_full_model():
+    """The verbatim NAR S2UT CONFORMER model (the DiffNorm/TranSpeech
+    `nar_s2ut_conformer` arch): research/TranSpeech/nar_transformer.py
+    exec'd with the REAL TransformerDecoder installed (so
+    TransformerUnitDecoder is fully real) + research/TranSpeech/
+    nar_conformer.py on the REAL S2TConformerEncoder.
+
+    Returns a namespace with NARS2UTConformerModel, NARS2UTTransformerModel,
+    TransformerUnitDecoder, S2SConformerEncoder."""
+    if "nar_full" in _cache:
+        return _cache["nar_full"]
+    import torch
+
+    load_transformer_decoder()
+    load_nar_transformer()  # installs its stub web (then upgraded below)
+    conf_enc = load_s2t_conformer_encoder()
+
+    class _NATModelBase(torch.nn.Module):
+        """FairseqEncoderDecoderModel/NATransformerModel base glue: holds
+        encoder/decoder and the special ids (the real base's forward and
+        generation helpers are overridden by the loaded subclasses)."""
+
+        def __init__(self, args, encoder, decoder):
+            super().__init__()
+            self.args = args
+            self.encoder = encoder
+            self.decoder = decoder
+            d = decoder.dictionary
+            self.bos, self.eos = d.bos(), d.eos()
+            self.pad, self.unk = d.pad(), d.unk()
+            self.tgt_dict = d
+            self.allow_length_beam = False
+
+    # upgrade the stubs the nar module binds at exec time, then force a
+    # re-exec so TransformerUnitDecoder subclasses the REAL decoder
+    sys.modules["fairseq.models.nat"].NATransformerModel = _NATModelBase
+    sys.modules["fairseq.models.speech_to_text"].S2TTransformerEncoder = (
+        sys.modules["ref_s2t_transformer"].S2TTransformerEncoder)
+    # load_nar_transformer re-stubbed fairseq.models.transformer and the
+    # stacked embedding — restore the REAL classes installed by
+    # load_transformer_decoder
+    sys.modules["fairseq.models.transformer"].TransformerDecoder = (
+        sys.modules["ref_transformer_decoder"].TransformerDecoder)
+    sys.modules[
+        "fairseq.models.speech_to_speech.modules.stacked_embedding"
+    ].StackedEmbedding = _cache["transformer_decoder"].StackedEmbedding
+    nar = _file_module(
+        "ref_nar_transformer", f"{REF}/research/TranSpeech/nar_transformer.py"
+    )
+    _cache["nar"] = nar
+
+    _stub("research")
+    _stub("research.TranSpeech", nar_transformer=nar)
+    sys.modules["research.TranSpeech.nar_transformer"] = nar
+    _stub("fairseq.models.speech_to_text.s2t_conformer",
+          S2TConformerEncoder=conf_enc.S2TConformerEncoder)
+    sys.modules["fairseq.models.speech_to_text"].S2TConformerEncoder = (
+        conf_enc.S2TConformerEncoder)
+
+    narc = _file_module(
+        "ref_nar_conformer", f"{REF}/research/TranSpeech/nar_conformer.py")
+    _cache["nar_full"] = types.SimpleNamespace(
+        NARS2UTConformerModel=narc.NARS2UTConformerModel,
+        NARS2UTTransformerModel=nar.NARS2UTTransformerModel,
+        TransformerUnitDecoder=nar.TransformerUnitDecoder,
+        S2SConformerEncoder=narc.S2SConformerEncoder,
+        nar_module=nar,
+    )
+    return _cache["nar_full"]

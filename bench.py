@@ -53,6 +53,50 @@ START_STEP = 50
 SECONDS_PER_UNIT = 0.02  # 50 Hz unit rate
 
 
+def _device_peak_flops(int8: bool = False):
+    """Dense-matmul peak of the attached chip by device_kind (bf16, or int8
+    where the MXU doubles), for the MFU denominators. Override with
+    BENCH_PEAK_TFLOPS (in TFLOP/s). Returns None when unknown."""
+    env = _os.environ.get("BENCH_PEAK_TFLOPS")
+    if env:
+        return float(env) * 1e12
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return None
+    table = [  # (substring, bf16 peak, int8 multiplier)
+        ("v6", 918e12, 2.0), ("v5p", 459e12, 1.0),
+        ("v5 lite", 197e12, 2.0), ("v5e", 197e12, 2.0),
+        ("v4", 275e12, 1.0), ("v3", 123e12, 1.0), ("v2", 45e12, 1.0),
+    ]
+    for sub, peak, mult in table:
+        if sub in kind:
+            return peak * (mult if int8 else 1.0)
+    return None
+
+
+def _mfu_pct(jitted, args, seconds: float, repeats: int = 1,
+             int8: bool = False):
+    """Model FLOPs utilization of one timed unit: XLA's own cost analysis
+    of the compiled program (flops / repeats) over `seconds`, against the
+    chip's dense peak. The persistent compile cache makes the AOT
+    lower+compile here a cache hit of the already-benched program.
+    Returns a rounded percentage, or None when the backend exposes no
+    cost analysis (MFU is then reported in PERFORMANCE.md analytically)."""
+    try:
+        compiled = jitted.lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        peak = _device_peak_flops(int8=int8)
+        if flops <= 0 or not peak or seconds <= 0:
+            return None
+        return round(100.0 * flops / repeats / seconds / peak, 1)
+    except Exception:
+        return None
+
+
 def main():
     from diffnorm_tpu.config import Config
     from diffnorm_tpu.models.diffusion import LatentDiffusionModel, ddim_sample
@@ -139,12 +183,15 @@ def main():
     wall = max(min(times) - latency, 1e-9) / REPEATS
     audio_seconds = BATCH * SEQ * SECONDS_PER_UNIT
     rtf = audio_seconds / wall
+    mfu = _mfu_pct(fn, (variables, feat, mask, rng), wall, repeats=REPEATS,
+                   int8=use_int8)
     print(json.dumps({
         "metric": "diffnorm_ddim_normalization_rtf",
         "value": round(rtf, 3),
         "unit": f"audio_s/wall_s (B{BATCH}xT128, 49 DDIM steps, "
                 f"{'int8-W8A8' if use_int8 else 'bf16'}, 1 chip)",
         "vs_baseline": round(rtf / 5.0, 3),
+        "mfu_pct": mfu,
     }))
 
 
@@ -232,11 +279,14 @@ def main_nar():
         times.append(time.perf_counter() - t0)
     wall = max(min(times) - latency, 1e-9)
     utts_per_sec = b * REPEATS / wall
+    mfu = _mfu_pct(fn, (variables, src, lens), wall / REPEATS,
+                   repeats=REPEATS, int8=nar_int8)
     print(json.dumps({
         "metric": "nar_s2ut_decode_throughput",
         "value": round(utts_per_sec, 3),
         "unit": "utts/s (B16, 480 fbank frames, 16 decode passes, 1 chip)",
         "vs_baseline": round(utts_per_sec / 5.0, 3),
+        "mfu_pct": mfu,
     }))
 
 
@@ -265,7 +315,32 @@ def _measure_train_ups(trainer, state, batch, n: int = 8):
                                       jax.random.fold_in(rng, 100 + i))
     _ = float(m["loss"])  # sync
     wall = max(time.perf_counter() - t0 - latency, 1e-9)
-    return n / wall, state
+    return n / wall, state, _train_mfu(trainer, state, batch, wall / n)
+
+
+def _train_mfu(trainer, state, batch, step_seconds: float):
+    """MFU of one optimizer update: XLA cost analysis of the grad program +
+    the apply program (both already compiled — the persistent cache makes
+    the AOT lookup free) over the measured step time."""
+    try:
+        rng = jax.random.PRNGKey(0)
+
+        def _flops(compiled):
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            return float(ca.get("flops", 0.0))
+
+        flops = _flops(trainer._jit_grad.lower(state, batch, rng).compile())
+        grads, _vec, _mut = trainer._jit_grad(state, batch, rng)
+        flops += _flops(trainer._jit_apply.lower(
+            state, grads, jnp.asarray(1.0), None).compile())
+        peak = _device_peak_flops()
+        if flops <= 0 or not peak or step_seconds <= 0:
+            return None
+        return round(100.0 * flops / step_seconds / peak, 1)
+    except Exception:
+        return None
 
 
 def main_train():
@@ -296,12 +371,13 @@ def main_train():
     trainer = Trainer(make_trainer_config(cfg), task, model, crit)
     batch = task.dummy_batch(b, seq)
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
-    ups, _state = _measure_train_ups(trainer, state, batch)
+    ups, _state, mfu = _measure_train_ups(trainer, state, batch)
     print(json.dumps({
         "metric": "diffusion_train_step_throughput",
         "value": round(ups * b * seq, 1),
         "unit": f"unit_tokens/s (B{b}xT{seq} fwd+bwd+adam, bf16, 1 chip)",
         "vs_baseline": round(ups, 3),
+        "mfu_pct": mfu,
     }))
 
 
@@ -331,12 +407,13 @@ def main_vae_train():
                       task.build_criterion())
     batch = task.dummy_batch(b, seq)
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
-    ups, _state = _measure_train_ups(trainer, state, batch)
+    ups, _state, mfu = _measure_train_ups(trainer, state, batch)
     print(json.dumps({
         "metric": "vae_train_step_throughput",
         "value": round(ups * b * seq, 1),
         "unit": f"unit_tokens/s (B{b}xT{seq} fwd+bwd+adam, bf16, 1 chip)",
         "vs_baseline": round(ups, 3),
+        "mfu_pct": mfu,
     }))
 
 
@@ -385,12 +462,15 @@ def main_prepare():
     _ = int(run_many(variables, wav, cent))
     wall = max(time.perf_counter() - t0 - latency, 1e-9)
     rtf = REPEATS * b * secs / wall
+    mfu = _mfu_pct(run_many, (variables, wav, cent), wall / REPEATS,
+                   repeats=REPEATS)
     print(json.dumps({
         "metric": "hubert_kmeans_prepare_rtf",
         "value": round(rtf, 1),
         "unit": f"audio_s/wall_s (B{b}x{secs}s, mHuBERT layer-11 + K=1000 "
                 "fused, bf16, 1 chip)",
         "vs_baseline": round(rtf / 5.0, 2),
+        "mfu_pct": mfu,
     }))
 
 
@@ -428,12 +508,13 @@ def main_nar_train():
     trainer = Trainer(make_trainer_config(cfg), task, model, crit)
     batch = task.dummy_batch(b, seq)
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
-    ups, _state = _measure_train_ups(trainer, state, batch)
+    ups, _state, mfu = _measure_train_ups(trainer, state, batch)
     print(json.dumps({
         "metric": "nar_s2ut_train_step_throughput",
         "value": round(ups * b * seq, 1),
         "unit": f"src_frames/s (B{b}xT{seq} fwd+bwd+adam, bf16, 1 chip)",
         "vs_baseline": round(ups, 3),
+        "mfu_pct": mfu,
     }))
 
 
@@ -472,7 +553,7 @@ def _pretrain_train_bench(family: str):
     trainer = Trainer(make_trainer_config(cfg), task, model, crit)
     batch = task.dummy_batch(b, seq)
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
-    ups, _state = _measure_train_ups(trainer, state, batch)
+    ups, _state, mfu = _measure_train_ups(trainer, state, batch)
     audio_s = b * seq / 16_000.0
     print(json.dumps({
         "metric": f"{family}_pretrain_step_throughput",
@@ -480,6 +561,7 @@ def _pretrain_train_bench(family: str):
         "unit": f"audio_s/s (B{b}x{seq / 16000:.0f}s fwd+bwd+adam, "
                 f"base size, bf16, 1 chip)",
         "vs_baseline": round(ups, 3),
+        "mfu_pct": mfu,
     }))
 
 
@@ -547,12 +629,14 @@ def main_vocoder():
     wall = max(min(times) - latency, 1e-9) / REPEATS
     audio_seconds = b * t * 320 / 16000.0
     rtf = audio_seconds / wall
+    mfu = _mfu_pct(fn, (variables, code), wall, repeats=REPEATS)
     print(json.dumps({
         "metric": "codehifigan_vocoder_rtf",
         "value": round(rtf, 3),
         "unit": f"audio_s/wall_s (B{b}xT{t} units, x320 upsample, bf16, "
                 "1 chip)",
         "vs_baseline": round(rtf / 5.0, 3),
+        "mfu_pct": mfu,
     }))
 
 

@@ -11,6 +11,7 @@ import os
 import wave
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import yaml
@@ -61,6 +62,31 @@ def s2st_setup(tmp_path_factory):
     batch0.setdefault("prev_target", batch0["target"])
     model = task.build_model()
     variables = task.init_variables(model, jax.random.PRNGKey(0), batch0)
+
+    # a random init collapses every mask-predict fill onto one dominant
+    # logit column (often a special) — zero the specials' output columns
+    # and amplify the unit columns so the decode emits a varied unit stream
+    def _bias_units(path, leaf):
+        names = [getattr(p, "key", "") for p in path]
+        if names[-2:] == ["output_proj", "kernel"]:
+            leaf = np.array(leaf)
+            leaf[:, :4] = 0.0
+            leaf[:, 4:] *= 10.0
+            return jnp.asarray(leaf)
+        if names[-2:] == ["embed_tokens", "embedding"]:
+            # shared in/out embedding (logits = x @ embed.T): suppress the
+            # special rows, amplify the unit rows
+            leaf = np.array(leaf)
+            leaf[:4] = 0.0
+            leaf[4:] *= 10.0
+            return jnp.asarray(leaf)
+        return leaf
+
+    import jax.tree_util as jtu
+
+    variables = dict(variables)
+    variables["params"] = jtu.tree_map_with_path(
+        _bias_units, jax.device_get(variables["params"]))
     import orbax.checkpoint as ocp
 
     ckpt = str(tmp_path / "nar_ck")
@@ -116,20 +142,33 @@ def test_s2st_cli_matches_separate_pipeline(s2st_setup):
         data=str(tmp_path), path=ckpt, cpu=True, gen_subset="test",
         results_path=gen_dir, batch_size=4, **NAR_CFG))
     assert rc == 0
+    def to_code(x):
+        try:
+            return int(x)
+        except ValueError:
+            return -1  # <unk> etc. — stripped like the reference vocoder
+            # wrapper (generate_waveform.parse_code_line)
+
     hyp = {}
     with open(os.path.join(gen_dir, "generate-test.txt")) as f:
         for line in f:
             if line.startswith("H-"):
                 key, _score, units = line.rstrip("\n").split("\t")
-                hyp[key[2:]] = [int(u) for u in units.split()] if units \
-                    else []
+                hyp[key[2:]] = [to_code(u) for u in units.split()] \
+                    if units else []
     assert len(hyp) == 4
 
-    # unit parity: fused REDUCED stream == dedup of the generate H- stream
+    # unit parity: fused REDUCED stream == dedup of the valid (non-special)
+    # generate H- stream — the fused chain strips specials before reducing
+    any_units = False
     for uid, units in hyp.items():
-        reduced = [u for i, u in enumerate(units)
-                   if i == 0 or u != units[i - 1]]
+        valid = [u for u in units if u >= 0]
+        reduced = [u for i, u in enumerate(valid)
+                   if i == 0 or u != valid[i - 1]]
         assert fused_units[uid] == reduced, uid
+        any_units = any_units or bool(reduced)
+    assert any_units  # random init must decode SOME units or the test is
+    # vacuous (reseed the fixture if this ever trips)
 
     # waveform parity: synthesize the generate units (un-reduced, matching
     # the fused dur_prediction=False path) through the standalone vocoder
@@ -144,7 +183,8 @@ def test_s2st_cli_matches_separate_pipeline(s2st_setup):
         "--vocoder-cfg", str(tmp_path / "voc_cfg.json"),
         "--results-path", wav_dir, "--cpu"])
     upsample = 4 * 2
-    guard = 32 * upsample  # transposed-conv receptive-field bleed
+    guard = 6 * upsample  # transposed-conv receptive-field bleed from the
+    # fused chain's padded unit tail (tiny vocoder: kernels 8/4, res k=3)
     for i, uid in enumerate(sorted(hyp)):
         fused = _read_wav(os.path.join(fused_dir, f"{uid}_pred.wav"))
         sep = _read_wav(os.path.join(wav_dir, f"{i}_pred.wav"))

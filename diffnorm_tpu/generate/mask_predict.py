@@ -243,7 +243,12 @@ def mask_predict_decode(
         # and can finalize canvases still holding <unk> placeholders; we
         # compare filled canvases so frozen rows always return real units.
         # adaptive=False (reference --iter-decode-force-max-iter) makes both
-        # loops exactly step-equivalent (tests/test_generator_loop_parity.py).
+        # loops exactly step-equivalent (tests/test_generator_loop_parity.py);
+        # the DEFAULT path's divergence is pinned on a constructed case where
+        # the reference's loop detection fires mid-decode:
+        # test_default_adaptive_exit_and_place_eos_pinned asserts ours equals
+        # the reference token-for-token except that we fill its leftover
+        # <unk>s with real units (and pin the terminal EOS).
         now_done = jnp.all(filled_tokens == prev_tokens, axis=1)
         if not adaptive:
             now_done = jnp.zeros_like(now_done)

@@ -444,3 +444,105 @@ def _ref_style_score(w, src, lengths, i, hyp):
         jnp.asarray(cand),
     )
     return float(sc[0])
+
+
+# ---------------------------------------------------------------------------
+# Default decode semantics: the two flag-gated deviations pinned (VERDICT r2
+# item 6). A context-FREE toy decoder makes every fill/score stable across
+# iterations, so the reference's is_a_loop fires as soon as two consecutive
+# skeptical-remask counts repeat — finalizing canvases that still hold <unk>
+# placeholders (iterative_refinement_generator.py:218-230). Our DEFAULT path
+# (adaptive filled-canvas exit + place_eos) must agree with the reference
+# everywhere the reference emitted a real token, fill the reference's
+# leftover <unk>s with real units, and pin EOS at the canvas end.
+# ---------------------------------------------------------------------------
+
+MAX_ITER_ADAPT = 8
+ADAPT_LENS = [5, 3, 7]
+
+
+class _StableFakeDecoder(_FakeDecoder):
+    """Canvas-independent logits: fills and scores never change between
+    iterations, so consecutive re-masked canvases repeat exactly when the
+    skeptical counts repeat."""
+
+    def _logits(self, tok, encoder_out):
+        pooled = _pooled_t(
+            encoder_out["encoder_out"][0],
+            encoder_out["encoder_padding_mask"][0],
+        )
+        h = torch.tanh(0.5 * pooled[:, None, :] + self.w["pos"][: tok.shape[1]])
+        logits = (h @ self.w["w_o"]).expand(tok.shape[0], -1, -1).clone()
+        logits[..., :4] -= 30.0
+        return logits
+
+    def forward_length_prediction(self, length_out, encoder_out,
+                                  tgt_tokens=None):
+        return torch.tensor(ADAPT_LENS)
+
+
+class _StableToyModule(_ToyModule):
+    def decode(self, tok, enc, enc_mask):
+        pooled = self._pooled(enc, enc_mask)
+        h = jnp.tanh(0.5 * pooled[:, None, :] + self.w["pos"][: tok.shape[1]])
+        logits = jnp.broadcast_to(h @ self.w["w_o"],
+                                  (tok.shape[0], tok.shape[1], V))
+        return logits.at[..., :4].add(-30.0)
+
+
+def test_default_adaptive_exit_and_place_eos_pinned():
+    w = _weights()
+    ig = load_iterative_refinement_generator()
+    nar = load_nar_transformer()
+    m = object.__new__(nar.NARS2UTTransformerModel)
+    torch.nn.Module.__init__(m)
+    m.unk, m.pad, m.bos, m.eos = 3, 1, 0, 2
+    m.encoder = _FakeEncoder(w)
+    m.decoder = _StableFakeDecoder(w)
+    m.allow_length_beam = True
+    gen = ig.IterativeRefinementGenerator(
+        _ToyDict(), models=None, max_iter=MAX_ITER_ADAPT, beam_size=1,
+        adaptive=True,
+    )
+    src, lengths = _inputs()
+    sample = {"net_input": {"src_tokens": torch.from_numpy(src),
+                            "src_lengths": torch.from_numpy(lengths)}}
+    with _cuda_free(), torch.no_grad():
+        finalized = gen.generate([m], sample)
+
+    model = types.SimpleNamespace(module=_StableToyModule(w))
+    tokens, scores, n_steps = mask_predict_decode(
+        model, {}, jnp.asarray(src), jnp.asarray(lengths),
+        max_iter=MAX_ITER_ADAPT, max_len=MAX_LEN,
+        true_length=jnp.asarray(ADAPT_LENS),
+        # DEFAULTS under test: adaptive=True, place_eos=True
+    )
+    tokens = np.asarray(tokens)
+
+    saw_early_exit = saw_unk = False
+    for i, hyp in enumerate(f[0] for f in finalized):
+        ref_tok = hyp["tokens"].numpy()
+        assert len(ref_tok) == ADAPT_LENS[i]
+        # the constructed case: the reference's loop detection FIRES
+        assert hyp["steps"] < MAX_ITER_ADAPT, f"row {i} never early-exited"
+        saw_early_exit = True
+        ours = tokens[i][tokens[i] != PAD]
+        assert len(ours) == ADAPT_LENS[i]
+        # place_eos deviation: our canvas pins a terminal EOS the
+        # reference's canvas never contains
+        assert ours[-1] == EOS and ref_tok[-1] != EOS
+        # everywhere the reference emitted a real token (and our EOS slot
+        # aside), the default path agrees token-for-token
+        for pos in range(ADAPT_LENS[i] - 1):
+            if ref_tok[pos] != 3:
+                np.testing.assert_array_equal(ours[pos], ref_tok[pos],
+                                              err_msg=f"row {i} pos {pos}")
+            else:
+                # adaptive-exit deviation, pinned: the reference finalizes
+                # leftover <unk> placeholders; ours fills them with the
+                # (stable) argmax unit instead
+                saw_unk = True
+                assert ours[pos] >= 4, (i, pos, ours[pos])
+    assert saw_early_exit
+    assert saw_unk, ("constructed case no longer reproduces the reference's "
+                     "unk-emitting early exit — revisit ADAPT_LENS/MAX_ITER")

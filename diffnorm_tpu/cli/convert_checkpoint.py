@@ -42,6 +42,9 @@ def main(argv=None) -> int:
     p.add_argument("--vocoder-cfg",
                    help="HiFi-GAN config.json (required for --type hifigan)")
     p.add_argument("--hubert-layers", type=int, default=12)
+    p.add_argument("--no-strict", dest="strict", action="store_false",
+                   help="skip the key-inventory audit (conversion proceeds "
+                        "even when checkpoint weights go unconsumed)")
     args = p.parse_args(argv)
 
     from diffnorm_tpu.utils import convert_weights as cw
@@ -75,6 +78,26 @@ def main(argv=None) -> int:
     else:
         variables = cw.convert_hubert_checkpoint(args.input,
                                                  layers=args.hubert_layers)
+
+    # --strict (default): audit the conversion against the checkpoint's key
+    # inventory — every learned element must land in the converted tree,
+    # with the family's documented pretrain-only heads excepted. Released
+    # checkpoints carry key quirks (optimizer/ema envelopes, extra heads);
+    # an unconsumed weight fails LOUD here instead of silently degrading.
+    if args.strict and args.type != "gan_discriminators":
+        if args.type == "hifigan":
+            import torch
+
+            ckpt = torch.load(args.input, map_location="cpu",
+                              weights_only=False)
+            sd = ckpt.get("generator", ckpt.get("model", ckpt))
+        else:
+            sd = cw._load_torch_state(args.input)
+            if args.type in ("hubert", "hubert_ctc"):
+                sd = {k: v for k, v in sd.items()}
+        expected = cw.EXPECTED_UNCONSUMED.get(args.type, ())
+        cw.conversion_inventory(sd, variables, expected_unconsumed=expected)
+        logger.info("key inventory balanced (%s)", args.type)
 
     import orbax.checkpoint as ocp
 

@@ -830,3 +830,101 @@ def convert_s2t_encoder_state(sd: Dict, layers: int) -> Dict:
         "bias": _t(sd["layer_norm.bias"]),
     }
     return {"params": params}
+
+
+# ------------------------------------------------------- key inventory -----
+
+#: torch buffers carrying no learned weights (fairseq save paths emit them)
+_BUFFER_SUFFIXES = (
+    ".version", "._float_tensor", ".num_batches_tracked",
+)
+
+
+def _numel(x) -> int:
+    return int(np.prod(np.asarray(x).shape)) if np.asarray(x).shape else 1
+
+
+def conversion_inventory(sd: Dict, converted, expected_unconsumed=()):
+    """Audit a conversion against the source state dict's key inventory.
+
+    Released fairseq checkpoints carry key quirks the synthetic-state-dict
+    tests never see; this makes `convert_checkpoint` trustworthy without
+    the assets: every learned element of `sd` must land in the converted
+    tree. Accounting rules:
+
+      * buffers (`.version`, sinusoidal `._float_tensor`, batch-norm
+        `num_batches_tracked`) carry no weights — ignored
+      * weight-norm pairs fold `weight_g` into the kernel — `weight_g`
+        auxiliary, `weight_v` counts as the kernel
+      * spectral-norm triplets (`weight_orig`/`weight_u`/`weight_v`) fold
+        to one kernel — `_u`/`_v` auxiliary
+      * a `*.output_projection.weight` bit-equal to the embedding table is
+        the shared in/out embedding — one tree leaf covers both keys
+      * `expected_unconsumed`: the family's documented pretrain-only heads
+        (e.g. hubert `label_embs_concat`/`final_proj` for the inference
+        encoder converter)
+
+    Raises ValueError naming the unaccounted keys when the element counts
+    do not balance — the loud failure released-checkpoint quirks need.
+    Returns (consumed_elements, tree_elements).
+    """
+    import jax
+
+    bn_stats = (".running_mean", ".running_var")
+    embed_tables = {k: np.asarray(v) for k, v in sd.items()
+                    if k.endswith("embed_tokens.weight")}
+    consumed = 0
+    counted_keys = []
+    for k, v in sd.items():
+        if k.endswith(_BUFFER_SUFFIXES):
+            continue
+        if any(k == e or k.startswith(e) for e in expected_unconsumed):
+            continue
+        base = k.rsplit(".", 1)[0]
+        if k.endswith(".weight_g") and f"{base}.weight_v" in sd:
+            continue  # weight-norm magnitude, folded
+        if (k.endswith((".weight_u", ".weight_v"))
+                and f"{base}.weight_orig" in sd):
+            continue  # spectral-norm power-iteration vectors, folded
+        if k.endswith("output_projection.weight"):
+            shared = any(v.shape == t.shape and np.array_equal(
+                np.asarray(v), t) for t in embed_tables.values())
+            if shared:
+                continue
+        consumed += _numel(v)
+        counted_keys.append(k)
+    tree_elems = sum(
+        _numel(leaf) for leaf in jax.tree_util.tree_leaves(converted))
+    if consumed != tree_elems:
+        diff = consumed - tree_elems
+        sizes = [(k, _numel(sd[k])) for k in counted_keys]
+        exact = [f"{k} ({n})" for k, n in sizes if n == abs(diff)]
+        close = [f"{k} ({n})" for k, n in sorted(sizes, key=lambda kv: -kv[1])
+                 if n < abs(diff)]
+        suspects = (exact + close)[:20]
+        raise ValueError(
+            f"conversion inventory mismatch: source carries {consumed} "
+            f"learned elements but the converted tree has {tree_elems} "
+            f"(difference {diff}). Unaccounted checkpoint keys are likely "
+            f"among: {suspects or '(none <= diff — shape mismatch?)'} — "
+            "either the converter must consume them or they belong in "
+            "expected_unconsumed with a documented reason."
+        )
+    return consumed, tree_elems
+
+
+#: per-family pretrain-only / aux heads the inference converters
+#: deliberately leave behind (cli/convert_checkpoint audits with these)
+EXPECTED_UNCONSUMED = {
+    # inference encoder drops the masked-prediction head + target embs
+    "hubert": ("label_embs_concat", "final_proj.", "mask_emb"),
+    # ctc fine-tune keeps the backbone; the pretrain heads inside it stay
+    # behind (mask_emb IS consumed when present — apply_mask resumes)
+    "hubert_ctc": ("w2v_encoder.w2v_model.label_embs_concat",
+                   "w2v_encoder.w2v_model.final_proj."),
+    "vae": (),
+    "diffusion": (),
+    "nar": (),
+    "hifigan": (),
+    "gan_discriminators": (),
+}

@@ -1640,6 +1640,11 @@ def load_nar_full_model():
         "ref_nar_transformer", f"{REF}/research/TranSpeech/nar_transformer.py"
     )
     _cache["nar"] = nar
+    # the conformer encoder's reorder_encoder_out delegates to the parent
+    # S2TTransformerEncoder classmethod — give it the REAL class (the
+    # generator calls reorder even at beam 1)
+    sys.modules["ref_s2t_conformer"].S2TTransformerEncoder = (
+        sys.modules["ref_s2t_transformer"].S2TTransformerEncoder)
 
     _stub("research")
     _stub("research.TranSpeech", nar_transformer=nar)

@@ -106,7 +106,8 @@ def _kernels_numel(tree, exclude=("embedding",)) -> int:
 
     total = 0
     for path, leaf in _jax.tree_util.tree_flatten_with_path(tree)[0]:
-        name = str(getattr(path[-1], "key", path[-1])).lower()
+        name = "/".join(
+            str(getattr(p, "key", p)) for p in path).lower()
         if any(e in name for e in exclude):
             continue
         if getattr(leaf, "ndim", 0) >= 2:
@@ -223,11 +224,20 @@ def main():
     rtf = audio_seconds / wall
     # analytic MFU (the 49-step reverse scan hides its body from XLA's
     # cost analysis): per-step denoiser matmuls from the real param tree +
-    # one frozen-VAE encode/decode
+    # one frozen-VAE encode/decode. The FiLM/adaptive-norm projections
+    # (`to_time_cond`/`to_gamma_beta`, [2048 x 1024] each — the bulk of the
+    # denoiser's parameters) are HOISTED out of the scan
+    # (precompute_step_conds) and run ONCE per call over [steps x B, 1]
+    # rows, so they are excluded from the per-step term and added once.
     p = variables["params"]
     den = {k: v for k, v in p.items() if k != "vae"}
-    flops = (START_STEP - 1) * _param_flops(
-        den, BATCH, SEQ, attn_layers=12, attn_dim=512)
+    film = ("to_time_cond", "to_gamma_beta", "time_proj")
+    den_core = _kernels_numel(den, exclude=("embedding",) + film)
+    film_k = _kernels_numel(den) - den_core
+    per_step = (2.0 * BATCH * SEQ * den_core
+                + 12 * 4.0 * BATCH * SEQ * SEQ * 512)
+    flops = (START_STEP - 1) * per_step
+    flops += 2.0 * (START_STEP - 1) * BATCH * film_k  # hoisted, T=1 rows
     flops += _param_flops(p.get("vae", {}), BATCH, SEQ,
                           attn_layers=6, attn_dim=768)
     mfu = _mfu_from_flops(flops, wall, int8=use_int8)
@@ -332,8 +342,8 @@ def main_nar():
     enc_flops = _param_flops(p["encoder"], b, t_enc,
                              attn_layers=16, attn_dim=256)
     dec_flops = _param_flops(p["decoder"], b, 256, attn_layers=6,
-                             attn_dim=512)
-    dec_flops += 6 * 4.0 * b * 256 * t_enc * 512  # cross-attention
+                             attn_dim=256)  # base arch: decoder dim 256
+    dec_flops += 6 * 4.0 * b * 256 * t_enc * 256  # cross-attention
     flops = enc_flops + 16 * dec_flops
     mfu = _mfu_from_flops(flops, wall / REPEATS, int8=nar_int8)
     print(json.dumps({
@@ -823,8 +833,8 @@ def main_e2e():
         nar_flops = _param_flops(p["encoder"], b, t_enc,
                                  attn_layers=16, attn_dim=256)
         dflops = _param_flops(p["decoder"], b, 256, attn_layers=6,
-                              attn_dim=512)
-        dflops += 6 * 4.0 * b * 256 * t_enc * 512  # cross-attention
+                              attn_dim=256)
+        dflops += 6 * 4.0 * b * 256 * t_enc * 256  # cross-attention
         nar_flops += 16 * dflops
         voc_fn = jax.jit(lambda v, c: voc.apply(v, c))
         codes_probe = jnp.zeros((b, wav_units), jnp.int32)
@@ -864,9 +874,14 @@ def main_gan_train():
     b = int(os.environ.get("BENCH_BATCH", 16))
     seg = 8960  # reference vocoder fine-tune segment (28 units x 320)
     t_code = seg // 320
+    # BENCH_GAN_BF16=1: bfloat16 generator+discriminator compute (params
+    # f32, losses reduce in f32) — the waveform-rate convs are
+    # bandwidth-bound, so halving activation bytes is the lever
+    gan_bf16 = os.environ.get("BENCH_GAN_BF16", "1") == "1"
     gen = CodeGenerator(num_embeddings=1000, embedding_dim=128,
-                        dur_predictor=True)
-    cfg = Config(lr=2e-4)
+                        dur_predictor=True,
+                        dtype=jnp.bfloat16 if gan_bf16 else jnp.float32)
+    cfg = Config(lr=2e-4, bf16_disc=gan_bf16)
     trainer = GanTrainer(gen, cfg)
     rng = np.random.default_rng(0)
     batch = {
@@ -919,7 +934,8 @@ def main_gan_train():
         "metric": "gan_vocoder_train_throughput",
         "value": round(audio_per_step / step_s, 3),
         "unit": f"audio_s/wall_s (B{b}x{seg} samples, D+G update, "
-                f"full MPD+MSD, 1 chip; step {step_s*1e3:.0f} ms, "
+                f"full MPD+MSD, {'bf16' if gan_bf16 else 'f32'} compute, "
+                f"1 chip; step {step_s*1e3:.0f} ms, "
                 f"compile {compile_s:.0f} s)",
         "vs_baseline": round(audio_per_step / step_s / 5.0, 3),
         "mfu_pct": mfu,

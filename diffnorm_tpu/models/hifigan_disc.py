@@ -147,6 +147,8 @@ def discriminator_loss(outs) -> jnp.ndarray:
     """LSGAN: (1-D(real))^2 + D(fake)^2 summed over discriminators."""
     loss = 0.0
     for (real_score, _), (fake_score, _) in outs:
+        real_score = real_score.astype(jnp.float32)
+        fake_score = fake_score.astype(jnp.float32)
         loss = loss + jnp.mean((1.0 - real_score) ** 2)
         loss = loss + jnp.mean(fake_score ** 2)
     return loss
@@ -156,7 +158,7 @@ def generator_adv_loss(outs) -> jnp.ndarray:
     """LSGAN generator side: (1 - D(fake))^2."""
     loss = 0.0
     for _, (fake_score, _) in outs:
-        loss = loss + jnp.mean((1.0 - fake_score) ** 2)
+        loss = loss + jnp.mean((1.0 - fake_score.astype(jnp.float32)) ** 2)
     return loss
 
 
@@ -165,5 +167,6 @@ def feature_matching_loss(outs) -> jnp.ndarray:
     loss = 0.0
     for (_, real_maps), (_, fake_maps) in outs:
         for r, f in zip(real_maps, fake_maps):
-            loss = loss + jnp.mean(jnp.abs(r - f))
+            loss = loss + jnp.mean(jnp.abs(
+                r.astype(jnp.float32) - f.astype(jnp.float32)))
     return loss

@@ -39,12 +39,18 @@ class GanTrainer:
     def __init__(self, generator_module, cfg):
         self.gen = generator_module
         width = cfg.get("disc_width", 1.0)
+        # --bf16-disc: bfloat16 discriminator compute (params stay f32;
+        # the LSGAN/FM losses mean-reduce in f32 below). The waveform-rate
+        # convs are bandwidth-bound — halving the activation bytes measured
+        # a real step win on v5e (PERFORMANCE.md "GAN fine-tune MFU").
+        ddtype = (jnp.bfloat16 if cfg.get("bf16_disc", False)
+                  else jnp.float32)
         self.mpd = MultiPeriodDiscriminator(
             periods=tuple(cfg.get("mpd_periods", (2, 3, 5, 7, 11))),
-            width=width,
+            width=width, dtype=ddtype,
         )
         self.msd = MultiScaleDiscriminator(
-            scales=cfg.get("msd_scales", 3), width=width
+            scales=cfg.get("msd_scales", 3), width=width, dtype=ddtype,
         )
         self.cfg = cfg
         lr = cfg.get("lr", 2e-4)

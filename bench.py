@@ -792,6 +792,7 @@ def main_e2e():
             wav, wav_lengths, _, _ = s2st_generate(
                 model, nv, voc, vv, si, l, max_iter=15, max_len=256,
                 max_duration=4, max_wav_units=wav_units,
+                vocoder_chunk=int(os.environ.get("BENCH_VOC_CHUNK", 4)),
             )
             return carry + jnp.sum(
                 wav[:, ::1024].astype(jnp.float32)

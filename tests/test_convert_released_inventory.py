@@ -16,16 +16,11 @@ checkpoint weight goes unconsumed (injected-foreign-key case).
 import json
 import types
 
-import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
 
-import jax  # noqa: E402
-
 from diffnorm_tpu.utils import convert_weights as cw  # noqa: E402
-
-ADAM_JUNK_KEYS = True
 
 
 def _fairseq_envelope(sd, criterion="label_smoothed_cross_entropy"):

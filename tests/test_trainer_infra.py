@@ -176,3 +176,56 @@ def test_declared_metric_keys_checked_at_first_trace():
     with pytest.raises(ValueError, match="declared"):
         trainer.train_step(state, [task.dummy_batch(2, 8)],
                            jax.random.PRNGKey(1))
+
+
+def test_grad_accum_conventions():
+    """Criterions declare their fairseq grad-accumulation convention
+    (trainer.py _grad_step): sum_loss pre-scales grads by sample_size,
+    mean_loss leaves them unscaled (fairseq backwards the normalized loss
+    verbatim, e.g. speech_vae_decoder_loss), mean_loss_per_batch divides by
+    the microbatch count. Pinned end-to-end by
+    tests/test_train_trajectory_parity.py; this is the fast regression."""
+    from diffnorm_tpu.train.trainer import Trainer
+
+    cfg = Config(
+        arch="speech_vae_decoder", criterion="speech_vae_decoder_loss",
+        feature_dim=24, latent_dim=3, chan_mults=[4], vae_decoder_depth=1,
+        vae_decoder_dim_head=8, vae_decoder_heads=2, target_code_size=16,
+        lr=1e-3,
+    )
+    task = TASKS.get("dummy_vae").setup_task(cfg)
+    model = task.build_model()
+    crit = task.build_criterion()
+    assert getattr(crit, "grad_accum", None) == "mean_loss"
+    trainer = Trainer(make_trainer_config(cfg), task, model, crit)
+    batch = task.dummy_batch(4, 8)  # sample_size = nsentences = 4
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+
+    import jax.numpy as jnp
+
+    rng = jax.random.PRNGKey(1)
+    grads, vec, _ = trainer._jit_grad(state, batch, rng)
+
+    # raw criterion gradient of the (already normalized) loss
+    def loss_fn(p):
+        loss, _, _ = crit(model, {"params": p}, batch, rng, train=True)
+        return loss
+
+    raw = jax.grad(loss_fn)(state.params)
+    g0 = jax.tree_util.tree_leaves(grads)[0]
+    r0 = jax.tree_util.tree_leaves(raw)[0]
+    # mean_loss: NOT multiplied by sample_size (the old sum_loss behavior
+    # would make this 4x)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(r0),
+                               rtol=1e-4, atol=1e-6)
+
+    # a sum_loss criterion on the same trainer scaffolding DOES pre-scale
+    class _SumConv(type(crit)):
+        grad_accum = "sum_loss"
+
+    trainer2 = Trainer(make_trainer_config(cfg), task, model,
+                       _SumConv(cfg, task))
+    grads2, _, _ = trainer2._jit_grad(state, batch, rng)
+    g2 = jax.tree_util.tree_leaves(grads2)[0]
+    np.testing.assert_allclose(np.asarray(g2), 4.0 * np.asarray(r0),
+                               rtol=1e-4, atol=1e-6)

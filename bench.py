@@ -15,6 +15,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import sys as _sys
 import time
 
 import jax
@@ -67,11 +68,16 @@ def _device_peak_flops(int8: bool = False):
     table = [  # (substring, bf16 peak, int8 multiplier)
         ("v6", 918e12, 2.0), ("v5p", 459e12, 1.0),
         ("v5 lite", 197e12, 2.0), ("v5e", 197e12, 2.0),
+        # some runtimes report v5p as plain "TPU v5"; assume the larger
+        # core so MFU is an underestimate rather than silently null
+        ("v5", 459e12, 1.0),
         ("v4", 275e12, 1.0), ("v3", 123e12, 1.0), ("v2", 45e12, 1.0),
     ]
     for sub, peak, mult in table:
         if sub in kind:
             return peak * (mult if int8 else 1.0)
+    print(f"# warning: unrecognized device_kind {kind!r}; "
+          "set BENCH_PEAK_TFLOPS to get mfu_pct", file=_sys.stderr)
     return None
 
 

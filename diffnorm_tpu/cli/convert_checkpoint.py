@@ -49,14 +49,24 @@ def main(argv=None) -> int:
 
     from diffnorm_tpu.utils import convert_weights as cw
 
+    # Load the state dict ONCE; both the conversion and the strict
+    # key-inventory audit below consume the same `sd`.
+    sd = None
+    if args.type == "hifigan":
+        import torch
+
+        ckpt = torch.load(args.input, map_location="cpu",
+                          weights_only=False)
+        sd = ckpt.get("generator", ckpt.get("model", ckpt))
+    elif args.type != "gan_discriminators":
+        sd = cw._load_torch_state(args.input)
+
     if args.type == "vae":
-        variables = {"params": cw.convert_vae_state(
-            cw._load_torch_state(args.input))}
+        variables = {"params": cw.convert_vae_state(sd)}
     elif args.type == "diffusion":
-        variables = {"params": cw.convert_diffusion_state(
-            cw._load_torch_state(args.input))}
+        variables = {"params": cw.convert_diffusion_state(sd)}
     elif args.type == "nar":
-        variables = cw.convert_nar_state(cw._load_torch_state(args.input))
+        variables = cw.convert_nar_state(sd)
     elif args.type == "hubert_ctc":
         variables = cw.convert_hubert_ctc_checkpoint(
             args.input, layers=args.hubert_layers)
@@ -64,7 +74,7 @@ def main(argv=None) -> int:
         assert args.vocoder_cfg, "--vocoder-cfg required for hifigan"
         with open(args.vocoder_cfg) as f:
             cfg = json.load(f)
-        variables = cw.convert_hifigan_checkpoint(args.input, cfg)
+        variables = cw.convert_hifigan_state(sd, cfg)
     elif args.type == "gan_discriminators":
         # hifigan fine-tune `do_*` checkpoint layout:
         # {"mpd": state_dict, "msd": state_dict, ...} — resumes a vocoder
@@ -85,16 +95,6 @@ def main(argv=None) -> int:
     # checkpoints carry key quirks (optimizer/ema envelopes, extra heads);
     # an unconsumed weight fails LOUD here instead of silently degrading.
     if args.strict and args.type != "gan_discriminators":
-        if args.type == "hifigan":
-            import torch
-
-            ckpt = torch.load(args.input, map_location="cpu",
-                              weights_only=False)
-            sd = ckpt.get("generator", ckpt.get("model", ckpt))
-        else:
-            sd = cw._load_torch_state(args.input)
-            if args.type in ("hubert", "hubert_ctc"):
-                sd = {k: v for k, v in sd.items()}
         expected = cw.EXPECTED_UNCONSUMED.get(args.type, ())
         cw.conversion_inventory(sd, variables, expected_unconsumed=expected)
         logger.info("key inventory balanced (%s)", args.type)

@@ -111,7 +111,12 @@ class UnitToSpeechCriterion:
         gen = getattr(model, "module", model)
         code = batch["features"] if "features" in batch else batch["code"]
         fake = gen.apply(variables, code)
-        real = batch["wav"][:, : fake.shape[1]]
+        # Trim both to the shorter signal: dur-predicted expansion (or a
+        # short final segment) can make the generated wav longer than the
+        # collated one, and mel frames must align for the L1.
+        n = min(fake.shape[1], batch["wav"].shape[1])
+        real = batch["wav"][:, :n]
+        fake = fake[:, :n]
         mel_r = mel_spectrogram(real, **self.mel_kw)
         mel_f = mel_spectrogram(fake, **self.mel_kw)
         mel = jnp.mean(jnp.abs(mel_r - mel_f))

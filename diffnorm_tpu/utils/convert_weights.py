@@ -79,7 +79,11 @@ def convert_hifigan_checkpoint(path: str, cfg: Dict) -> Dict:
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("generator", ckpt.get("model", ckpt))
+    return convert_hifigan_state(sd, cfg)
 
+
+def convert_hifigan_state(sd: Dict, cfg: Dict) -> Dict:
+    """Loaded code-HiFi-GAN generator state dict -> CodeGenerator variables."""
     gen: Dict = {}
     gen["conv_pre"] = {
         "kernel": _get_conv(sd, "conv_pre").transpose(2, 1, 0),

@@ -264,18 +264,44 @@ def mask_predict_decode(
                 result, res_sc), ys
 
     done0 = jnp.zeros((tokens.shape[0],), bool)
-    (_, _, done, _, tokens, scores), ys = jax.lax.scan(
-        step_fn,
-        (tokens, scores, done0, tokens, tokens,
-         jnp.zeros(tokens.shape, jnp.float32)),
-        jnp.arange(max_step),
-    )
     history = None
-    if retain_history:
-        steps, history = ys  # history: [S, B*, T] filled canvas per step
+    if adaptive and not retain_history:
+        # Early-exit serving path: the scan above masks frozen rows but
+        # still pays every remaining decoder forward; the reference's
+        # adaptive exit (iterative_refinement_generator.py:218-230) stops
+        # decoding entirely once every sentence is finalized. A while_loop
+        # with the SAME per-row freeze body converts that freeze into
+        # wall-clock at identical outputs (the skipped iterations were
+        # no-ops for every row). Parity: tests/test_generator_loop_parity.py.
+        def w_cond(carry):
+            step, _, _, done, _, _, _, _ = carry
+            return (step < max_step) & ~jnp.all(done)
+
+        def w_body(carry):
+            step, tok, sc, done, prev, res_t, res_s, n_st = carry
+            (out_t, out_s, new_done, filled, res_t, res_s), steps_used = (
+                step_fn((tok, sc, done, prev, res_t, res_s), step))
+            return (step + 1, out_t, out_s, new_done, filled, res_t, res_s,
+                    n_st + steps_used)
+
+        (_, _, _, done, _, tokens, scores, n_steps) = jax.lax.while_loop(
+            w_cond, w_body,
+            (jnp.asarray(0, jnp.int32), tokens, scores, done0, tokens,
+             tokens, jnp.zeros(tokens.shape, jnp.float32),
+             jnp.zeros((tokens.shape[0],), jnp.int32)),
+        )
     else:
-        steps = ys
-    n_steps = jnp.sum(steps, axis=0)
+        (_, _, done, _, tokens, scores), ys = jax.lax.scan(
+            step_fn,
+            (tokens, scores, done0, tokens, tokens,
+             jnp.zeros(tokens.shape, jnp.float32)),
+            jnp.arange(max_step),
+        )
+        if retain_history:
+            steps, history = ys  # history: [S, B*, T] filled canvas per step
+        else:
+            steps = ys
+        n_steps = jnp.sum(steps, axis=0)
 
     if length_beam > 1:
         if reranker is not None:

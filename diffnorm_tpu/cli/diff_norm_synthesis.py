@@ -67,6 +67,9 @@ def main(cfg: Optional[Config] = None) -> int:
     model = task.build_model()
 
     start_step = cfg.get("start_step", 50)
+    # --ddim-stride N: respaced reverse chain (IDDPM space_timesteps
+    # semantics); 1 = the reference's exact step-by-step loop
+    stride = int(cfg.get("ddim_stride", 1) or 1)
     batch_size = cfg.get("batch_size", 100)
     out_dir = cfg.get("output_dir")
     os.makedirs(out_dir, exist_ok=True)
@@ -108,7 +111,8 @@ def main(cfg: Optional[Config] = None) -> int:
         logger.info("data-parallel normalization over %d devices", dp)
 
     sample_fn = jax.jit(
-        lambda v, f, m, r: ddim_sample(model, v, f, m, r, start_step=start_step),
+        lambda v, f, m, r: ddim_sample(model, v, f, m, r,
+                                       start_step=start_step, stride=stride),
     )
 
     rng = jax.random.PRNGKey(cfg.get("seed", 1))

@@ -30,9 +30,14 @@ class SpeechVAELoss:
 
     def __init__(self, cfg=None, task=None):
         self.eps = 0.1
-        self.ce_weight = 0.1
-        self.mse_weight = 10.0
-        self.kl_weight = 1e-4
+        # reference weights (speech_vae_decoder_loss.py:73-83) as defaults;
+        # overridable for non-CVSS-scale data where the fixed 1e-4 KL leaves
+        # the latent scale uncalibrated vs the diffusion schedule's unit
+        # noise (tests/test_diffnorm_effect.py trains with a stronger beta)
+        cfg = cfg or {}
+        self.ce_weight = float(cfg.get("vae_ce_weight", 0.1))
+        self.mse_weight = float(cfg.get("vae_mse_weight", 10.0))
+        self.kl_weight = float(cfg.get("vae_kl_weight", 1e-4))
 
     def __call__(self, model, variables, batch, rng, train: bool = True):
         feature = batch["reduce_target"]

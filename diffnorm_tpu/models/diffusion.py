@@ -521,6 +521,7 @@ def ddim_sample(
     start_step: int = 50,
     enc_noise=None,
     init_noise=None,
+    stride: int = 1,
 ):
     """Partial-noise DDIM normalization (reference ddim_sample :1385-1471).
 
@@ -532,6 +533,15 @@ def ddim_sample(
     eta=0 (deterministic DDIM), matching the reference's early-break-at-t==1
     semantics (t=0 is never evaluated). Lives outside the flax module so the
     scan body is a pure `apply` call — jit this whole function.
+
+    `stride` > 1 respaces the reverse chain to every stride-th timestep
+    (IDDPM timestep respacing, reference fairseq/models/text_to_speech/
+    respace.py space_timesteps / gaussian_diffusion.py DDIM) — fewer
+    denoiser evaluations compound less model error; stride >= start_step is
+    a single x1-hat jump. stride=1 is the reference's exact step-by-step
+    loop. The recovery effect of normalization on an undertrained denoiser
+    is measurably stronger with coarse respacing
+    (tests/test_diffnorm_effect.py).
     """
     module = model.module
     schedule = DDPMSchedule.create(module.timesteps, module.schedule_name)
@@ -549,7 +559,14 @@ def ddim_sample(
               else jax.random.normal(r_noise, z.shape, z.dtype))
     x = sac * z + s1mac * noise0
 
-    times = jnp.arange(start_step - 1, 0, -1)
+    if stride > 1:
+        # denoise at t, jump to t-stride (clamped to 0 = the x1_hat jump);
+        # prev times ride alongside so the scan body can respace
+        times = jnp.arange(start_step, 0, -stride)
+        prev_times = jnp.maximum(times - stride, 0)
+    else:
+        times = jnp.arange(start_step - 1, 0, -1)
+        prev_times = None
     # hoist every time-dependent FiLM/adaptive-norm projection out of the
     # scan: one [S*B, dim_time] batched matmul per projection instead of a
     # full HBM weight read per step (PERFORMANCE.md)
@@ -566,7 +583,11 @@ def ddim_sample(
         )
 
     def step(x, xs):
-        time, step_cond = xs
+        if stride > 1:
+            time, prev_time, step_cond = xs
+        else:
+            time, step_cond = xs
+            prev_time = None
         t = jnp.full((b,), time, dtype=jnp.int32)
         noise = module.apply(
             variables, x, t, mask, method=LatentDiffusionModule.denoise,
@@ -576,7 +597,11 @@ def ddim_sample(
         s1mac_t = extract(schedule.sqrt_one_minus_alphas_cumprod, t, noise.ndim)
         x1_hat = safe_div(x - s1mac_t * noise, sac_t)
         pred_noise = safe_div(x - sac_t * x1_hat, s1mac_t)
-        ab_prev = extract(schedule.alphas_cumprod_prev, t, noise.ndim)
+        if stride > 1:
+            p = jnp.full((b,), prev_time, dtype=jnp.int32)
+            ab_prev = extract(schedule.alphas_cumprod, p, noise.ndim)
+        else:
+            ab_prev = extract(schedule.alphas_cumprod_prev, t, noise.ndim)
         x_next = x1_hat * jnp.sqrt(ab_prev) + jnp.sqrt(1.0 - ab_prev) * pred_noise
         return x_next, ()
 
@@ -584,7 +609,9 @@ def ddim_sample(
     # (carry copies + loop bookkeeping measured ~8 ms of the 505 ms chain)
     # and lets XLA fuse across adjacent steps (jax runs the odd tail
     # iteration outside the loop)
-    x, _ = jax.lax.scan(step, x, (times, step_conds), unroll=4)
+    xs = ((times, prev_times, step_conds) if stride > 1
+          else (times, step_conds))
+    x, _ = jax.lax.scan(step, x, xs, unroll=4 if stride == 1 else 1)
 
     recon_feature, lm_logits = module.apply(
         variables, x, mask, method=LatentDiffusionModule.decode

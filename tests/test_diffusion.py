@@ -227,3 +227,68 @@ def test_diff_norm_synthesis_static_int8(built, tmp_path, monkeypatch):
     for units in out.values():  # well-formed unit strings (random weights
         assert units.split()    # put no bound on argmax-4 values)
         [int(u) for u in units.split()]
+
+
+def test_ddim_stride_matches_python_respaced_loop(built):
+    """stride > 1 must equal a python re-implementation of the IDDPM
+    respaced DDIM walk (reference respace.py space_timesteps +
+    gaussian_diffusion.py ddim_sample at eta=0): denoise at t, jump to
+    alphas_cumprod[t - stride] (clamped to 0); stride >= start_step is a
+    single x1-hat jump."""
+    task, model, crit, batch, variables = built
+    module = model.module
+    feature = jnp.asarray(batch["reduce_target"])
+    mask = jnp.ones(feature.shape[:2], bool)
+    rng = jax.random.PRNGKey(9)
+    start_step, stride = 6, 3
+
+    units, recon = ddim_sample(model, variables, feature, mask, rng,
+                               start_step=start_step, stride=stride)
+
+    schedule = DDPMSchedule.create(module.timesteps, module.schedule_name)
+    r_enc, r_noise = jax.random.split(rng)
+    z = module.apply(variables, feature, r_enc,
+                     method=LatentDiffusionModule.encode)
+    b = z.shape[0]
+    t0 = jnp.full((b,), start_step, jnp.int32)
+    x = (extract(schedule.sqrt_alphas_cumprod, t0, z.ndim) * z
+         + extract(schedule.sqrt_one_minus_alphas_cumprod, t0, z.ndim)
+         * jax.random.normal(r_noise, z.shape, z.dtype))
+    for time in range(start_step, 0, -stride):
+        t = jnp.full((b,), time, jnp.int32)
+        noise = module.apply(variables, x, t, mask,
+                             method=LatentDiffusionModule.denoise)
+        sac = extract(schedule.sqrt_alphas_cumprod, t, noise.ndim)
+        s1mac = extract(schedule.sqrt_one_minus_alphas_cumprod, t, noise.ndim)
+        x1_hat = safe_div(x - s1mac * noise, sac)
+        pred_noise = safe_div(x - sac * x1_hat, s1mac)
+        prev = max(time - stride, 0)
+        ab_prev = schedule.alphas_cumprod[prev]
+        x = x1_hat * jnp.sqrt(ab_prev) + jnp.sqrt(1 - ab_prev) * pred_noise
+    feat2, logits2 = module.apply(variables, x, mask,
+                                  method=LatentDiffusionModule.decode)
+    units2 = jnp.argmax(logits2, axis=-1).astype(jnp.int32) - 4
+    np.testing.assert_array_equal(np.asarray(units), np.asarray(units2))
+    np.testing.assert_allclose(np.asarray(recon), np.asarray(feat2),
+                               rtol=2e-4, atol=2e-4)
+
+    # stride >= start_step: exactly one denoiser call, the x1-hat jump
+    units_j, _ = ddim_sample(model, variables, feature, mask, rng,
+                             start_step=start_step, stride=start_step)
+    t = jnp.full((b,), start_step, jnp.int32)
+    x = (extract(schedule.sqrt_alphas_cumprod, t, z.ndim) * z
+         + extract(schedule.sqrt_one_minus_alphas_cumprod, t, z.ndim)
+         * jax.random.normal(r_noise, z.shape, z.dtype))
+    noise = module.apply(variables, x, t, mask,
+                         method=LatentDiffusionModule.denoise)
+    sac = extract(schedule.sqrt_alphas_cumprod, t, noise.ndim)
+    s1mac = extract(schedule.sqrt_one_minus_alphas_cumprod, t, noise.ndim)
+    x1_hat = safe_div(x - s1mac * noise, sac)
+    pred_noise = safe_div(x - sac * x1_hat, s1mac)
+    ab0 = schedule.alphas_cumprod[0]
+    x = x1_hat * jnp.sqrt(ab0) + jnp.sqrt(1 - ab0) * pred_noise
+    _, logits_j = module.apply(variables, x, mask,
+                               method=LatentDiffusionModule.decode)
+    np.testing.assert_array_equal(
+        np.asarray(units_j),
+        np.asarray(jnp.argmax(logits_j, axis=-1).astype(jnp.int32) - 4))

@@ -81,6 +81,18 @@ class Trainer:
         # in place (an xplane profile showed ~11% of the post-rbg step in
         # copies — PERFORMANCE.md "NAR train step: RNG dominates")
         self._jit_apply = jax.jit(self._apply_step, donate_argnums=(0, 1))
+        # update_freq=1 fast path: grad + normalize + adam in ONE program
+        # with the state donated — the full gradient tree never round-trips
+        # through HBM between a grad program and an apply program, and the
+        # backward epilogue fuses with the optimizer update (measured on
+        # v5e, PERFORMANCE.md "Fused single-microbatch train step").
+        # TPU-only by default: XLA:CPU schedules the monolithic program
+        # ~2.4x SLOWER than the split pair (measured on the 1-core test
+        # box); --fused-train-step {0,1} overrides the auto choice.
+        fused_flag = task.cfg.get("fused_train_step")
+        self._use_fused = (jax.default_backend() != "cpu"
+                           if fused_flag is None else bool(fused_flag))
+        self._jit_fused = jax.jit(self._fused_step, donate_argnums=(0,))
         self._jit_valid = jax.jit(self._valid_step)
         # microbatch grad accumulation as ONE compiled call (a host-side
         # tree_map of jnp.add is one dispatch per param leaf); the
@@ -163,7 +175,8 @@ class Trainer:
         )
         return loss, (mets, mutated)
 
-    def _grad_step(self, state: TrainState, batch, rng):
+    def _grad_step(self, state: TrainState, batch, rng,
+                   scale_for_accum: bool = True):
         (loss, (mets, mutated)), grads = jax.value_and_grad(
             self._loss, has_aux=True
         )(state.params, state.frozen_params, state.model_state, batch, rng, True)
@@ -188,7 +201,9 @@ class Trainer:
         #   "mean_loss_per_batch": reference backwards the normalized loss
         #     with sample_size=1 "just used for logging" (nat_loss.py:131);
         #     denom = number of microbatches
-        if getattr(self.criterion, "grad_accum", "sum_loss") == "sum_loss":
+        if (scale_for_accum
+                and getattr(self.criterion, "grad_accum",
+                            "sum_loss") == "sum_loss"):
             ss = (vec[keys.index("sample_size")]
                   if "sample_size" in keys else 1.0)
             grads = jax.tree_util.tree_map(lambda g: g * ss, grads)
@@ -233,6 +248,28 @@ class Trainer:
         )
         return new_state, gnorm, ok, lr
 
+    def _fused_step(self, state: TrainState, batch, rng, lr_value=None):
+        """Single-microbatch update as one XLA program (see __init__).
+
+        Grad-accumulation conventions reduce to, for ONE microbatch:
+        sum_loss -> g*ss/ss = g (skip both scalings); mean_loss -> g/ss;
+        mean_loss_per_batch -> g/1 = g. Semantics identical to
+        _grad_step + _apply_step at update_freq=1 (modulo the exact
+        float cancellation of the sum_loss pre/post scaling, which only
+        IMPROVES accuracy)."""
+        grads, vec, mutated = self._grad_step(
+            state, batch, rng, scale_for_accum=False)
+        keys = self._metric_keys
+        accum = getattr(self.criterion, "grad_accum", "sum_loss")
+        if accum == "mean_loss" and "sample_size" in keys:
+            ss = jnp.maximum(vec[keys.index("sample_size")], 1.0)
+            grads = jax.tree_util.tree_map(lambda g: g / ss, grads)
+        # sum_loss: g*ss/ss cancels exactly; mean_loss_per_batch: denom 1
+        state = state.replace(model_state={**state.model_state, **mutated})
+        new_state, gnorm, ok, lr = self._apply_step(
+            state, grads, None, lr_value)
+        return new_state, gnorm, ok, lr, vec
+
     def _valid_step(self, state: TrainState, batch, rng):
         _, (mets, _) = self._loss(
             state.params, state.frozen_params, state.model_state, batch, rng, False
@@ -245,6 +282,8 @@ class Trainer:
         self, state: TrainState, batches: List[Dict], rng
     ) -> Tuple[TrainState, Dict[str, float]]:
         """One optimizer update over `len(batches)` microbatches."""
+        if len(batches) == 1 and self._use_fused:
+            return self._train_step_fused(state, batches[0], rng)
         grads_acc = None
         vecs = []  # device metric vectors; pulled once after the loop
         model_state = state.model_state
@@ -307,6 +346,34 @@ class Trainer:
                 if k not in ("ntokens", "nsentences", "sample_size") else v)
             for k, v in mets_acc.items()
         }
+        out["gnorm"] = float(gnorm_h)
+        out["lr"] = float(lr_h)
+        metrics_mod.log_dict(out)
+        return new_state, out
+
+    def _train_step_fused(self, state: TrainState, batch, rng):
+        """update_freq=1 driver around _jit_fused: one dispatch, one pull."""
+        batch = shard_batch(batch, self.mesh)
+        r = jax.random.fold_in(rng, 0)
+        if self._host_step is None:
+            self._host_step = int(state.step)
+        step_before = self._host_step
+        lr_value = None
+        if self.host_lr_sched is not None:
+            lr_value = jnp.asarray(
+                self.host_lr_sched.step_update(step_before), jnp.float32)
+        new_state, gnorm, ok, lr, vec = self._jit_fused(
+            state, batch, r, lr_value)
+        self._host_step = step_before + 1
+        vec_h, gnorm_h, ok_h, lr_h = jax.device_get((vec, gnorm, ok, lr))
+        vec_h = np.asarray(vec_h)
+        keys = self._metric_keys
+        out: Dict[str, float] = {k: float(vec_h[i])
+                                 for i, k in enumerate(keys)}
+        if not bool(ok_h):
+            self.skipped_steps += 1
+            logger.warning("non-finite gradients at step %d; update skipped",
+                           step_before)
         out["gnorm"] = float(gnorm_h)
         out["lr"] = float(lr_h)
         metrics_mod.log_dict(out)

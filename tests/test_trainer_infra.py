@@ -229,3 +229,56 @@ def test_grad_accum_conventions():
     g2 = jax.tree_util.tree_leaves(grads2)[0]
     np.testing.assert_allclose(np.asarray(g2), 4.0 * np.asarray(r0),
                                rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("task_name,crit_kind", [
+    ("dummy_vae", "mean_loss"),          # mean_loss convention
+    ("dummy_translation", "sum_loss"),   # sum_loss convention
+])
+def test_fused_step_matches_split_path(task_name, crit_kind):
+    """The TPU fused single-microbatch step (--fused-train-step 1) must
+    produce the same update as the split grad+apply path: params, gnorm,
+    lr and metrics agree to float tolerance for every grad-accum
+    convention (sum_loss's pre/post sample_size scaling cancels exactly in
+    the fused program)."""
+    from diffnorm_tpu.train.trainer import Trainer
+
+    if task_name == "dummy_vae":
+        cfg = Config(
+            arch="speech_vae_decoder", criterion="speech_vae_decoder_loss",
+            feature_dim=24, latent_dim=3, chan_mults=[4],
+            vae_decoder_depth=1, vae_decoder_dim_head=8,
+            vae_decoder_heads=2, target_code_size=16, lr=1e-3,
+        )
+    else:
+        cfg = Config(
+            arch="transformer", criterion="label_smoothed_cross_entropy",
+            label_smoothing=0.1, encoder_embed_dim=16,
+            encoder_ffn_embed_dim=32, encoder_layers=1, decoder_layers=1,
+            encoder_attention_heads=2, decoder_attention_heads=2,
+            decoder_embed_dim=16, decoder_ffn_embed_dim=32,
+            tokens_per_sample=10, lr=1e-3,
+        )
+    task = TASKS.get(task_name).setup_task(cfg)
+    model = task.build_model()
+    crit = task.build_criterion()
+    assert getattr(crit, "grad_accum", "sum_loss") == crit_kind
+    batch = task.dummy_batch(2, 8)
+
+    results = {}
+    for fused in (False, True):
+        cfg["fused_train_step"] = fused
+        trainer = Trainer(make_trainer_config(cfg), task, model, crit)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        state, mets = trainer.train_step(state, [batch],
+                                         jax.random.PRNGKey(1))
+        results[fused] = (jax.device_get(state.params), mets)
+
+    p_split, m_split = results[False]
+    p_fused, m_fused = results[True]
+    for a, b in zip(jax.tree_util.tree_leaves(p_split),
+                    jax.tree_util.tree_leaves(p_fused)):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+    for k in m_split:
+        np.testing.assert_allclose(m_split[k], m_fused[k], rtol=2e-5,
+                                   atol=2e-6, err_msg=k)

@@ -306,6 +306,11 @@ def main_nar():
         __import__("os").environ["DIFFNORM_INT8_STATIC"] = "1"
 
     REPEATS = 16
+    # BENCH_NAR_EXIT=0 restores the round-3 fixed-trip scan (freeze-only);
+    # default measures the adaptive early-exit while_loop — same outputs,
+    # wall-clock scales with the iterations actually used (reported as
+    # mean_steps in the JSON)
+    early_exit = __import__("os").environ.get("BENCH_NAR_EXIT", "1") == "1"
 
     def run_many(v, s, l):
         """REPEATS full decodes inside one jitted program (single decodes
@@ -313,20 +318,25 @@ def main_nar():
         perturbation depends on the loop index so XLA cannot hoist the
         loop-invariant decode)."""
         def body(carry, i):
+            tot, steps = carry
             si = s + (i.astype(s.dtype) * 1e-6)
-            toks, _, _ = mask_predict_decode(
-                model, v, si, l, max_iter=15, max_len=256
+            toks, _, n_steps = mask_predict_decode(
+                model, v, si, l, max_iter=15, max_len=256,
+                early_exit=early_exit,
             )
-            return carry + jnp.sum(toks), ()
-        total, _ = jax.lax.scan(
-            body, jnp.zeros((), jnp.int32), jnp.arange(REPEATS)
+            return (tot + jnp.sum(toks),
+                    steps + jnp.sum(n_steps.astype(jnp.int32))), ()
+        (total, steps), _ = jax.lax.scan(
+            body, (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
+            jnp.arange(REPEATS)
         )
-        return total
+        return total, steps
 
     fn = jax.jit(run_many)
     src = jnp.asarray(batch["src_tokens"])
     lens = jnp.asarray(batch["src_lengths"])
-    _ = float(fn(variables, src, lens))  # compile
+    _, steps_dev = fn(variables, src, lens)  # compile
+    mean_steps = float(steps_dev) / (b * REPEATS)
 
     tiny = jax.jit(lambda x: jnp.sum(x))
     _ = float(tiny(jnp.ones((8,))))
@@ -337,7 +347,8 @@ def main_nar():
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        _ = float(fn(variables, src, lens))
+        out_dev, _s = fn(variables, src, lens)
+        _ = float(out_dev)
         times.append(time.perf_counter() - t0)
     wall = max(min(times) - latency, 1e-9)
     utts_per_sec = b * REPEATS / wall
@@ -350,7 +361,12 @@ def main_nar():
     dec_flops = _param_flops(p["decoder"], b, 256, attn_layers=6,
                              attn_dim=256)  # base arch: decoder dim 256
     dec_flops += 6 * 4.0 * b * 256 * t_enc * 256  # cross-attention
-    flops = enc_flops + 16 * dec_flops
+    # decoder evaluations actually executed: 16 for the fixed-trip scan;
+    # under early exit approximate by the measured mean per-row steps + 1
+    # (rows in flight still pay the full-batch decoder per iteration, so
+    # this is a lower bound — stated in PERFORMANCE.md)
+    n_passes = 16 if not early_exit else max(mean_steps + 1.0, 1.0)
+    flops = enc_flops + n_passes * dec_flops
     mfu = _mfu_from_flops(flops, wall / REPEATS, int8=nar_int8)
     print(json.dumps({
         "metric": "nar_s2ut_decode_throughput",
@@ -358,7 +374,16 @@ def main_nar():
         "unit": "utts/s (B16, 480 fbank frames, 16 decode passes, 1 chip)",
         "vs_baseline": round(utts_per_sec / 5.0, 3),
         "mfu_pct": mfu,
+        "mean_steps": round(mean_steps, 2),
+        "early_exit": early_exit,
     }))
+
+
+def _fused_flag():
+    """BENCH_FUSED=0 forces the split grad+apply path (A/B the fused
+    single-program step); unset/1 = trainer auto (fused on TPU)."""
+    v = _os.environ.get("BENCH_FUSED")
+    return None if v is None else bool(int(v))
 
 
 def _measure_train_ups(trainer, state, batch, n: int = 8):
@@ -402,10 +427,16 @@ def _train_mfu(trainer, state, batch, step_seconds: float):
                 ca = ca[0]
             return float(ca.get("flops", 0.0))
 
-        flops = _flops(trainer._jit_grad.lower(state, batch, rng).compile())
-        grads, _vec, _mut = trainer._jit_grad(state, batch, rng)
-        flops += _flops(trainer._jit_apply.lower(
-            state, grads, jnp.asarray(1.0), None).compile())
+        if getattr(trainer, "_use_fused", False):
+            # fused single-program step: one lowering, already compiled
+            flops = _flops(
+                trainer._jit_fused.lower(state, batch, rng, None).compile())
+        else:
+            flops = _flops(
+                trainer._jit_grad.lower(state, batch, rng).compile())
+            grads, _vec, _mut = trainer._jit_grad(state, batch, rng)
+            flops += _flops(trainer._jit_apply.lower(
+                state, grads, jnp.asarray(1.0), None).compile())
         peak = _device_peak_flops()
         if flops <= 0 or not peak or step_seconds <= 0:
             return None
@@ -558,7 +589,10 @@ def main_nar_train():
     from diffnorm_tpu.train.trainer import Trainer
 
     _import_all()
-    b = int(os.environ.get("BENCH_BATCH", 32))
+    # default = the recipe-shape knee: scripts/s2ut/train.sh runs 40k
+    # max-tokens ~= B96 at 4.8 s; the published number should be the shape
+    # the recipe actually trains at (VERDICT r3), not the B32 warm-up shape
+    b = int(os.environ.get("BENCH_BATCH", 96))
     seq = int(os.environ.get("BENCH_SEQ", 480))  # 4.8 s utterances
     # default rbg: dropout-mask generation through the TPU's hardware RNG.
     # An xplane profile showed threefry mask fusions are 61% of the step's
@@ -569,7 +603,7 @@ def main_nar_train():
     cfg = Config(
         arch="nar_s2ut_conformer", criterion="nar_speech_to_unit",
         target_code_size=1000, label_smoothing=0.2, dtype="bfloat16",
-        lr=5e-4, warmup_updates=10,
+        lr=5e-4, warmup_updates=10, fused_train_step=_fused_flag(),
     )
     if int(os.environ.get("BENCH_REMAT", "0")):
         cfg.encoder_remat = True

@@ -120,6 +120,7 @@ def mask_predict_decode(
     retain_history: bool = False,
     place_eos: bool = True,
     adaptive: bool = True,
+    early_exit: bool = True,
     tgt_speaker=None,
 ):
     """Returns (tokens [B', T], scores [B', T], n_steps), plus a history
@@ -265,7 +266,9 @@ def mask_predict_decode(
 
     done0 = jnp.zeros((tokens.shape[0],), bool)
     history = None
-    if adaptive and not retain_history:
+    # early_exit=False keeps the fixed-trip scan (per-row freeze only) —
+    # the round-3 benchmark semantics; outputs are identical either way.
+    if adaptive and early_exit and not retain_history:
         # Early-exit serving path: the scan above masks frozen rows but
         # still pays every remaining decoder forward; the reference's
         # adaptive exit (iterative_refinement_generator.py:218-230) stops

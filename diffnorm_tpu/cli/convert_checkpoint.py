@@ -41,7 +41,9 @@ def main(argv=None) -> int:
                    help="orbax checkpoint directory to create")
     p.add_argument("--vocoder-cfg",
                    help="HiFi-GAN config.json (required for --type hifigan)")
-    p.add_argument("--hubert-layers", type=int, default=12)
+    p.add_argument("--hubert-layers", type=int, default=None,
+                   help="transformer layer count for hubert/hubert_ctc "
+                        "(default: inferred from the checkpoint keys)")
     p.add_argument("--no-strict", dest="strict", action="store_false",
                    help="skip the key-inventory audit (conversion proceeds "
                         "even when checkpoint weights go unconsumed)")
@@ -69,7 +71,8 @@ def main(argv=None) -> int:
         variables = cw.convert_nar_state(sd)
     elif args.type == "hubert_ctc":
         variables = cw.convert_hubert_ctc_checkpoint(
-            args.input, layers=args.hubert_layers)
+            args.input,
+            layers=args.hubert_layers or cw._torch_layer_count(sd))
     elif args.type == "hifigan":
         assert args.vocoder_cfg, "--vocoder-cfg required for hifigan"
         with open(args.vocoder_cfg) as f:
@@ -86,8 +89,8 @@ def main(argv=None) -> int:
                           weights_only=False)
         variables = cw.convert_gan_discriminators(ckpt["mpd"], ckpt["msd"])
     else:
-        variables = cw.convert_hubert_checkpoint(args.input,
-                                                 layers=args.hubert_layers)
+        variables = cw.convert_hubert_state(
+            sd, layers=args.hubert_layers or cw._torch_layer_count(sd))
 
     # --strict (default): audit the conversion against the checkpoint's key
     # inventory — every learned element must land in the converted tree,

@@ -56,6 +56,20 @@ def read_audio_manifest(path: str) -> List[Tuple[str, str]]:
     return out
 
 
+def _infer_hubert_arch(params) -> dict:
+    """Transformer architecture from a converted HubertEncoder param tree
+    (layer count / embed dim / ffn dim; heads via fairseq's fixed 64-d
+    heads — base 768/12, large 1024/16). The conv-extractor spec is not
+    inferable from weights (strides are not stored) and stays at the
+    released default, which every mHuBERT/wav2vec2 asset uses."""
+    layers = sum(1 for k in params
+                 if k.startswith("layer_") and k[len("layer_"):].isdigit())
+    dim = params["post_extract_proj"]["kernel"].shape[1]
+    ffn_dim = params[f"layer_0"]["fc1"]["kernel"].shape[1]
+    return dict(dim=int(dim), layers=layers, heads=max(1, int(dim) // 64),
+                ffn_dim=int(ffn_dim))
+
+
 def build_hubert(ckpt: Optional[str], layer: int):
     import jax
     import jax.numpy as jnp
@@ -63,13 +77,33 @@ def build_hubert(ckpt: Optional[str], layer: int):
     from diffnorm_tpu.data.batching import bucket_length
     from diffnorm_tpu.models.hubert import HubertEncoder
 
-    model = HubertEncoder()
-    if ckpt:
-        from diffnorm_tpu.utils.convert_weights import convert_hubert_checkpoint
+    if ckpt and os.path.isdir(ckpt):
+        # already-converted orbax checkpoint directory (the
+        # cli/convert_checkpoint --type hubert output that
+        # scripts/parity_eval.sh stage 2 passes)
+        from diffnorm_tpu.train.checkpoint import load_checkpoint_params
 
-        variables = convert_hubert_checkpoint(ckpt)
-        logger.info("loaded converted HuBERT weights from %s", ckpt)
+        restored = load_checkpoint_params(ckpt)
+        variables = restored if "params" in restored else {"params": restored}
+        model = HubertEncoder(**_infer_hubert_arch(variables["params"]))
+        logger.info("loaded orbax HuBERT checkpoint from %s (%d layers)",
+                    ckpt, model.layers)
+    elif ckpt:
+        from diffnorm_tpu.utils.convert_weights import (
+            _load_torch_state,
+            convert_hubert_state,
+        )
+
+        sd = _load_torch_state(ckpt)
+        n_layers = 1 + max(
+            (int(k.split(".")[2]) for k in sd
+             if k.startswith("encoder.layers.")), default=11)
+        variables = convert_hubert_state(sd, layers=n_layers)
+        model = HubertEncoder(**_infer_hubert_arch(variables["params"]))
+        logger.info("converted torch HuBERT weights from %s (%d layers)",
+                    ckpt, n_layers)
     else:
+        model = HubertEncoder()
         logger.warning("no --hubert-ckpt: using randomly initialized encoder")
         variables = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 4000), jnp.float32),

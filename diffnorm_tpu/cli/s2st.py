@@ -136,8 +136,15 @@ def main(cfg: Optional[Config] = None) -> int:
         wav_lengths = np.asarray(wav_lengths)
         units = np.asarray(units)
         counts = np.asarray(counts)
-        ids = [str(x) for x in np.asarray(
-            batch.get("id", idx)).tolist()]
+        # true utterance ids: the collated "id" field is the numeric
+        # example index (and follows any collater reordering); map it
+        # through the dataset's manifest ids — downstream consumers
+        # (unit BLEU vs reference manifests, ASR-BLEU transcript join)
+        # key by utt id (caught by tests/test_parity_eval_script.py)
+        utt_ids = getattr(dataset, "ids", None)
+        row_idx = np.asarray(batch.get("id", idx)).tolist()
+        ids = [str(utt_ids[int(i)]) if utt_ids is not None else str(i)
+               for i in row_idx]
         for row, uid in enumerate(ids):
             n = int(wav_lengths[row])
             write_wav(os.path.join(results_path, f"{uid}_pred.wav"),

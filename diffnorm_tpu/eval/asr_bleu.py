@@ -64,6 +64,13 @@ class ASRGenerator:
         from diffnorm_tpu.data.audio import read_audio
 
         wav, sr = read_audio(path)
+        if len(wav) < 640:
+            # degenerate synthesis (e.g. an empty decoded unit stream)
+            # would underflow the wav2vec2 conv extractor's receptive
+            # field; score as an empty transcript instead of crashing
+            logger.warning("%s: %d samples < 40 ms; scoring empty",
+                           path, len(wav))
+            return ""
         return self.transcribe(wav, sr)
 
 
@@ -81,9 +88,21 @@ def run_asr_bleu(
     with open(reference_path) as f:
         refs = [normalize_text(line.strip()) for line in f if line.strip()]
     asr = ASRGenerator(lang=lang, model_name=model_name)
+    paths = [os.path.join(audio_dir, audio_format.format(i=i))
+             for i in range(len(refs))]
+    if paths and not os.path.exists(paths[0]):
+        # cli.s2st names waveforms {utt_id}_pred.wav rather than by index;
+        # fall back to the lexicographically-sorted listing (reference
+        # transcripts must then be in sorted utt-id order)
+        import glob
+
+        listed = sorted(glob.glob(os.path.join(audio_dir, "*_pred.wav")))
+        if len(listed) == len(refs):
+            logger.info("index-named wavs absent; using %d sorted "
+                        "*_pred.wav files", len(listed))
+            paths = listed
     hyps = []
-    for i in range(len(refs)):
-        path = os.path.join(audio_dir, audio_format.format(i=i))
+    for path in paths:
         if not os.path.exists(path):
             logger.warning("missing %s; scoring empty", path)
             hyps.append("")

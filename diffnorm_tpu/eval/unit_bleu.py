@@ -50,13 +50,64 @@ def unit_bleu(generate_path: str) -> float:
     return corpus_bleu([refs[i] for i in ids], [hyps[i] for i in ids])
 
 
-def main():
+def read_unit_lines(path: str) -> Dict[str, str]:
+    """`id|u1 u2 ...` unit files (generate_waveform_from_code input /
+    cli.s2st `s2st-{split}.unit` output) or a normalization manifest
+    `{split}.tsv` (diff_norm_synthesis output: id/.../tgt_audio columns)
+    -> {utt_id: unit string}."""
+    if path.endswith(".tsv"):
+        from diffnorm_tpu.data.manifest import read_translation_manifest
+
+        return {r["id"]: r["tgt_audio"]
+                for r in read_translation_manifest(path)}
+    out = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line and "|" in line:
+                uid, units = line.split("|", 1)
+                out[uid] = units
+    return out
+
+
+def unit_files_bleu(hyp_path: str, ref_path: str) -> float:
+    """Corpus BLEU between two id-keyed unit files (intersected ids)."""
+    hyps, refs = read_unit_lines(hyp_path), read_unit_lines(ref_path)
+    ids = sorted(set(hyps) & set(refs))
+    if not ids:
+        raise SystemExit(
+            f"no shared utterance ids between {hyp_path} and {ref_path}")
+    return corpus_bleu([refs[i] for i in ids], [hyps[i] for i in ids])
+
+
+def _is_generate_txt(path: str) -> bool:
+    with open(path) as f:
+        for line in f:
+            if line.startswith(("H-", "T-", "D-", "S-")):
+                return True
+            if "|" in line or "\t" in line:
+                return False
+    return False
+
+
+def main(argv=None):
     import sys
 
-    path = sys.argv[1]
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.dirname(path)
-    extract_unit_files(path, out_dir)
-    print(f"unit BLEU: {unit_bleu(path):.2f}")
+    argv = list(sys.argv[1:] if argv is None else argv)
+    path = argv[0]
+    if _is_generate_txt(path):
+        # generate-{split}.txt mode: extract hyp/ref.unit + score
+        out_dir = argv[1] if len(argv) > 1 else os.path.dirname(path)
+        extract_unit_files(path, out_dir)
+        print(f"unit BLEU: {unit_bleu(path):.2f}")
+    else:
+        # two id-keyed unit files (or normalization manifests):
+        # hyp vs ref corpus BLEU (scripts/parity_eval.sh stage 5)
+        if len(argv) < 2:
+            raise SystemExit(
+                f"{path} is a unit-lines file; a reference unit file is "
+                "required: unit_bleu HYP REF")
+        print(f"unit BLEU: {unit_files_bleu(path, argv[1]):.2f}")
 
 
 if __name__ == "__main__":

@@ -154,7 +154,10 @@ def test_s2st_cli_matches_separate_pipeline(s2st_setup):
         for line in f:
             if line.startswith("H-"):
                 key, _score, units = line.rstrip("\n").split("\t")
-                hyp[key[2:]] = [to_code(u) for u in units.split()] \
+                # generate keys H- lines by dataset index; the fused CLI
+                # now writes true manifest utt ids (utt{i})
+                hyp[f"utt{int(key[2:])}"] = [to_code(u)
+                                             for u in units.split()] \
                     if units else []
     assert len(hyp) == 4
 

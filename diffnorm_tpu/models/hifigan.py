@@ -35,6 +35,31 @@ def leaky_relu(x, slope: float = LRELU_SLOPE):
     return jnp.where(x >= 0, x, slope * x)
 
 
+
+class _PolyphaseUp(nn.Module):
+    """Param-compatible stand-in for nn.ConvTranspose(transpose_kernel=True)
+    computing the stage via the polyphase einsum (see
+    ops/packed_conv.PolyphaseConvTranspose). Same kernel [k, C_out, C_in] /
+    bias [C_out] names and shapes — checkpoints swap in unchanged."""
+
+    features: int
+    kernel_size: int
+    stride: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from diffnorm_tpu.ops.packed_conv import PolyphaseConvTranspose
+
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(batch_axis=(), in_axis=-1,
+                                                   out_axis=-2),
+            (self.kernel_size, self.features, x.shape[-1]))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return PolyphaseConvTranspose.apply(
+            x, kernel, bias, self.stride, dtype=self.dtype)
+
+
 class ResBlock(nn.Module):
     channels: int
     kernel_size: int = 3
@@ -149,15 +174,27 @@ class HifiGanGenerator(nn.Module):
         ):
             x = leaky_relu(x)
             ch = self.upsample_initial_channel // (2 ** (i + 1))
-            # torch ConvTranspose1d(pad=(k-u)//2) trims (k-u) total output
-            # frames; lax.conv_transpose with VALID then crop matches exactly
-            x = nn.ConvTranspose(
-                ch, kernel_size=(k,), strides=(u,), padding="VALID",
-                transpose_kernel=True, dtype=self.dtype, name=f"up_{i}",
-            )(x)
-            crop = (k - u) // 2
-            if crop > 0:
-                x = x[:, crop:-crop]
+            if (os.environ.get("DIFFNORM_POLYPHASE", "0") == "1"
+                    and not self.is_initializing()):
+                # polyphase re-expression of the same stage: one einsum
+                # with contraction M*C_in instead of XLA's conv-transpose
+                # lowering (ops/packed_conv.PolyphaseConvTranspose; crop
+                # folded in; identical param layout/names)
+                x = _PolyphaseUp(
+                    features=ch, kernel_size=k, stride=u,
+                    dtype=self.dtype, name=f"up_{i}",
+                )(x)
+            else:
+                # torch ConvTranspose1d(pad=(k-u)//2) trims (k-u) total
+                # output frames; lax.conv_transpose with VALID then crop
+                # matches exactly
+                x = nn.ConvTranspose(
+                    ch, kernel_size=(k,), strides=(u,), padding="VALID",
+                    transpose_kernel=True, dtype=self.dtype, name=f"up_{i}",
+                )(x)
+                crop = (k - u) // 2
+                if crop > 0:
+                    x = x[:, crop:-crop]
             if use_packed and ch <= 64 and 128 % ch == 0:
                 x = self._packed_resblocks(x, i, ch)
                 continue

@@ -190,3 +190,48 @@ def packed_resblock(xp: jnp.ndarray, params, kernel_size: int,
     if observe:
         return xp, jnp.stack(observed)
     return xp
+
+
+class PolyphaseConvTranspose:
+    """Polyphase transposed 1-D conv: the HiFi-GAN upsample stages
+    (hifigan.py:111-170 ConvTranspose1d stride u) re-expressed as ONE
+    einsum whose contraction is M*C_in (M = ceil(k/u) taps per phase)
+    instead of XLA's conv-transpose lowering — the round-3 "transposed-conv
+    output-tiling" lever without leaving XLA.
+
+    y_full[u*q + p] = sum_m x[q - m] . W[u*m + p]   (polyphase identity)
+
+    so stacking M shifted views of x and zero-padding the kernel to u*M
+    taps turns the whole stage into [B, T', M*C_in] @ [M*C_in, u*C_out],
+    followed by the same (k-u)//2 crop the torch padding applies. Exact up
+    to matmul reassociation (parity-tested vs nn.ConvTranspose in
+    tests/test_packed_vocoder.py). Parameter layout is IDENTICAL to
+    flax nn.ConvTranspose(transpose_kernel=True): kernel [k, C_out, C_in],
+    bias [C_out] — checkpoints swap in unchanged.
+    """
+
+    @staticmethod
+    def apply(x, kernel, bias, stride: int, dtype=None):
+        k, co, ci = kernel.shape
+        u = stride
+        m_taps = -(-k // u)
+        r_pad = -(-(k - u) // u) if k > u else 0
+        wp = jnp.zeros((u * m_taps, co, ci), kernel.dtype)
+        wp = wp.at[:k].set(kernel)
+        wp = wp.reshape(m_taps, u, co, ci)
+        if dtype is not None:
+            wp = wp.astype(dtype)
+            x = x.astype(dtype)
+        xp = jnp.pad(x, ((0, 0), (m_taps - 1, r_pad), (0, 0)))
+        tq = xp.shape[1] - (m_taps - 1)
+        xw = jnp.stack(
+            [xp[:, (m_taps - 1) - m: (m_taps - 1) - m + tq]
+             for m in range(m_taps)], axis=2)
+        y = jnp.einsum("bqmc,mpoc->bqpo", xw, wp,
+                       preferred_element_type=jnp.float32)
+        y = y.reshape(x.shape[0], tq * u, co)
+        c = (k - u) // 2
+        out = y[:, c: c + x.shape[1] * u]
+        if dtype is not None:
+            out = out.astype(dtype)
+        return out + bias

@@ -1031,3 +1031,127 @@ def test_s2ut_transformer_train_generate_chain(tmp_path):
     cfg = dict(AR_CFG, arch="s2ut_transformer")
     ckpt = _train(tmp_path, "ar_tf", **cfg)
     _generate(tmp_path, ckpt, "beam_tf", beam=2, **cfg)
+
+
+def _s2ut_memo_data(tmp_path, n=4):
+    """Distinguishable real-manifest S2UT corpus: per-utterance distinct
+    fbank-stand-in sources + distinct reduced unit targets (the flagship
+    data shape, research/TranSpeech/dataset.py)."""
+    from diffnorm_tpu.data.manifest import write_translation_manifest
+
+    rng = np.random.default_rng(17)
+    root = tmp_path / "s2ut_data"
+    root.mkdir()
+    rows = []
+    for i in range(n):
+        src = rng.normal(size=(24, 80)).astype(np.float32)
+        np.save(root / f"utt{i}.npy", src)
+        t = int(rng.integers(8, 12))
+        units = [int(rng.integers(0, 16))]
+        while len(units) < t:
+            u = int(rng.integers(0, 16))
+            if u != units[-1]:
+                units.append(u)
+        rows.append({
+            "id": f"utt{i}", "src_audio": str(root / f"utt{i}.npy"),
+            "src_n_frames": 24,
+            "tgt_audio": " ".join(map(str, units)), "tgt_n_frames": t,
+        })
+    for split in ("train", "dev", "test"):
+        write_translation_manifest(str(root / f"{split}.tsv"), rows)
+    return root
+
+
+NAR_MEMO_CFG = dict(
+    task="speech_to_speech_fasttranslate", arch="nar_s2ut_conformer",
+    criterion="nar_speech_to_unit", label_smoothing=0.1,
+    encoder_layers=2, decoder_layers=2, encoder_embed_dim=32,
+    encoder_ffn_embed_dim=64, encoder_attention_heads=2,
+    decoder_attention_heads=2, decoder_embed_dim=32,
+    decoder_ffn_embed_dim=64, conv_channels=32,
+    depthwise_conv_kernel_size=7, target_code_size=16, dropout=0.0,
+)
+
+
+def _unit_bleu_gate(results, split, label):
+    from diffnorm_tpu.eval.unit_bleu import unit_bleu
+
+    gen_file = os.path.join(results, f"generate-{split}.txt")
+    txt = open(gen_file).read()
+    assert "H-" in txt and "T-" in txt
+    bleu = unit_bleu(gen_file)
+    assert bleu > 50.0, f"{label} memorization gate failed: BLEU {bleu}\n" \
+                        f"{txt[-1500:]}"
+    return bleu
+
+
+def test_nar_s2ut_memorization_chain(tmp_path):
+    """THE flagship chain (VERDICT r3 item 2): NAR S2UT trained through the
+    real CLI on distinguishable utterances must mask-predict-decode them
+    back at >50 unit-BLEU — the train/decode agreement gate the text/S2T/
+    CTC chains already carry, on the chain the framework exists for
+    (reference research/TranSpeech/iterative_refinement_generator.py:101-314
+    semantics on a TRAINED model: length prediction, CMLM fill, skeptical
+    re-mask, adaptive exit all have to cooperate for this to pass)."""
+    from diffnorm_tpu.cli import train
+    from diffnorm_tpu.cli import generate as gen_cli
+
+    root = _s2ut_memo_data(tmp_path)
+    cfg = dict(NAR_MEMO_CFG, data=str(root),
+               train_subset="train", valid_subset="dev")
+    save_dir = str(tmp_path / "ckpt_nar_memo")
+    rc = train.main(Config(
+        save_dir=save_dir, cpu=True, batch_size=4, lr=5e-3,
+        warmup_updates=10, log_interval=100, max_updates=400,
+        save_interval=50, validate_interval=50,
+        keep_last_epochs=1, keep_best_checkpoints=1, seed=3, **cfg,
+    ))
+    assert rc == 0
+    ckpts = sorted(d for d in os.listdir(save_dir)
+                   if d.startswith("step_") and not d.endswith(".json")
+                   and "tmp" not in d)
+    results = str(tmp_path / "results_nar_memo")
+    rc = gen_cli.main(Config(
+        path=os.path.join(save_dir, ckpts[-1]), results_path=results,
+        cpu=True, batch_size=4, gen_subset="test",
+        iter_decode_max_iter=9, max_target_positions=32, **cfg,
+    ))
+    assert rc == 0
+    _unit_bleu_gate(results, "test", "NAR S2UT")
+
+
+def test_ar_s2ut_memorization_chain(tmp_path):
+    """The AR S2UT baseline on the same corpus: beam decode must reproduce
+    memorized unit targets (>50 unit-BLEU) through the KV-cache beam
+    (reference ar_speech_to_speech.py StackUnitSequenceGenerator path)."""
+    from diffnorm_tpu.cli import train
+    from diffnorm_tpu.cli import generate as gen_cli
+
+    root = _s2ut_memo_data(tmp_path)
+    cfg = dict(
+        task="speech_to_speech_ar", arch="s2ut_conformer",
+        criterion="label_smoothed_cross_entropy", label_smoothing=0.1,
+        encoder_layers=2, decoder_layers=2, encoder_embed_dim=32,
+        encoder_ffn_embed_dim=64, encoder_attention_heads=2,
+        decoder_attention_heads=2, target_code_size=16, dropout=0.0,
+        data=str(root), train_subset="train", valid_subset="dev",
+    )
+    save_dir = str(tmp_path / "ckpt_ar_memo")
+    rc = train.main(Config(
+        save_dir=save_dir, cpu=True, batch_size=4, lr=5e-3,
+        warmup_updates=10, log_interval=100, max_updates=300,
+        save_interval=50, validate_interval=50,
+        keep_last_epochs=1, keep_best_checkpoints=1, seed=3, **cfg,
+    ))
+    assert rc == 0
+    ckpts = sorted(d for d in os.listdir(save_dir)
+                   if d.startswith("step_") and not d.endswith(".json")
+                   and "tmp" not in d)
+    results = str(tmp_path / "results_ar_memo")
+    rc = gen_cli.main(Config(
+        path=os.path.join(save_dir, ckpts[-1]), results_path=results,
+        cpu=True, batch_size=4, gen_subset="test", beam=2,
+        max_target_positions=32, **cfg,
+    ))
+    assert rc == 0
+    _unit_bleu_gate(results, "test", "AR S2UT")

@@ -60,3 +60,81 @@ def test_two_process_train_and_checkpoint(tmp_path):
     lines = [next(l for l in o.splitlines() if "DISTRIBUTED_OK" in l)
              for o in outs]
     assert lines[0] == lines[1], lines
+
+
+def _spawn(args, tmp_path, n_proc=2, local_devices=1, timeout=600):
+    port = _free_port()
+    workers = []
+    for pid in range(n_proc):
+        env = dict(os.environ)
+        env.update(
+            XLA_FLAGS=f"--xla_force_host_platform_device_count={local_devices}",
+            DIFFNORM_MULTIHOST="1",
+            DIFFNORM_COORDINATOR=f"127.0.0.1:{port}",
+            DIFFNORM_NUM_PROCESSES=str(n_proc),
+            DIFFNORM_PROCESS_ID=str(pid),
+        )
+        workers.append(subprocess.Popen(
+            [sys.executable,
+             os.path.join(os.path.dirname(__file__),
+                          "distributed_worker2.py")] + args,
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        ))
+    outs = []
+    for pid, w in enumerate(workers):
+        try:
+            out, _ = w.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for w2 in workers:
+                w2.kill()
+            raise
+        outs.append(out)
+        assert w.returncode == 0, f"worker {pid} failed:\n{out}"
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_sharded_ddim_inference(tmp_path):
+    """dp-sharded `ddim_sample` across REAL process boundaries must emit the
+    same units as a single-process run of the identical model (VERDICT r3
+    item 7 — the single-process 8-device dryrun's mesh assumptions, held
+    under jax.distributed)."""
+    import json
+
+    outs = _spawn(["infer"], tmp_path, n_proc=2, local_devices=2)
+    line = next(l for l in outs[0].splitlines() if l.startswith("INFER_UNITS"))
+    multi = json.loads(line.split(" ", 1)[1])
+
+    # single-process oracle (in this process, 1 CPU device)
+    import jax
+    import numpy as np
+
+    from distributed_worker2 import build_tiny_diffusion, infer_batch
+    from diffnorm_tpu.models.diffusion import ddim_sample
+
+    model, variables = build_tiny_diffusion()
+    feat, mask = infer_batch()
+    fn = jax.jit(lambda v, f, m, r: ddim_sample(model, v, f, m, r,
+                                                start_step=6))
+    units, _ = fn(variables, feat, mask, jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(np.asarray(multi), np.asarray(units))
+
+
+@pytest.mark.slow
+def test_cross_topology_checkpoint_restore(tmp_path):
+    """A checkpoint saved under dp=2 (2 procs x 1 dev) restores under dp=4
+    (2 procs x 2 devs) with identical eval loss — both replicated and
+    FSDP row-sharded target shardings (reference: changing
+    --distributed-world-size between runs through checkpoint_utils)."""
+    ckpt = str(tmp_path / "xtopo_ckpt")
+    outs = _spawn(["trainckpt", ckpt], tmp_path, n_proc=2, local_devices=1)
+    saved = next(l for l in outs[0].splitlines() if l.startswith("CKPT_LOSS"))
+    loss_saved = float(saved.split()[1])
+
+    outs = _spawn(["restore", ckpt], tmp_path, n_proc=2, local_devices=2)
+    line = next(l for l in outs[0].splitlines()
+                if l.startswith("RESTORE_LOSS"))
+    l_repl, l_fsdp = (float(v) for v in line.split()[1:3])
+    assert abs(l_repl - loss_saved) < 1e-6, (l_repl, loss_saved)
+    assert abs(l_fsdp - loss_saved) < 1e-6, (l_fsdp, loss_saved)

@@ -179,3 +179,66 @@ def test_packed_vocoder_static_int8_parity(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(jax.tree_util.tree_leaves(v_re["quant_stats"])[0]),
         np.asarray(jax.tree_util.tree_leaves(v_bad["quant_stats"])[0]))
+
+
+def test_polyphase_conv_transpose_matches_flax():
+    """PolyphaseConvTranspose == nn.ConvTranspose(transpose_kernel=True,
+    VALID) + (k-u)//2 crop, for every (k, u) the released vocoders use
+    (hifigan.py upsample stacks), including u that doesn't divide k."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import linen as nn
+
+    from diffnorm_tpu.ops.packed_conv import PolyphaseConvTranspose
+
+    rng = np.random.default_rng(0)
+    for (k, u, ci, co, t) in [(11, 5, 6, 4, 13), (8, 4, 4, 8, 10),
+                              (4, 2, 8, 4, 9), (16, 8, 5, 3, 7),
+                              (20, 10, 3, 2, 5)]:
+        x = jnp.asarray(rng.normal(size=(2, t, ci)), jnp.float32)
+        layer = nn.ConvTranspose(co, kernel_size=(k,), strides=(u,),
+                                 padding="VALID", transpose_kernel=True)
+        variables = layer.init(jax.random.PRNGKey(0), x)
+        ref = layer.apply(variables, x)
+        crop = (k - u) // 2
+        if crop > 0:
+            ref = ref[:, crop:-crop]
+        got = PolyphaseConvTranspose.apply(
+            x, variables["params"]["kernel"], variables["params"]["bias"], u)
+        assert got.shape == ref.shape, (k, u, got.shape, ref.shape)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5), (k, u)
+
+
+def test_polyphase_generator_end_to_end():
+    """DIFFNORM_POLYPHASE=1 swaps every upsample stage at identical params:
+    full HifiGanGenerator outputs agree with the conv-transpose path."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffnorm_tpu.models.hifigan import HifiGanGenerator
+
+    gen = HifiGanGenerator(
+        in_dim=8, upsample_rates=(5, 4), upsample_kernel_sizes=(11, 8),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 2),))
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 12, 8)),
+                    jnp.float32)
+    variables = gen.init(jax.random.PRNGKey(0), x)
+    old = os.environ.get("DIFFNORM_POLYPHASE")
+    try:
+        os.environ["DIFFNORM_POLYPHASE"] = "0"
+        ref = gen.apply(variables, x)
+        os.environ["DIFFNORM_POLYPHASE"] = "1"
+        got = gen.apply(variables, x)
+    finally:
+        if old is None:
+            os.environ.pop("DIFFNORM_POLYPHASE", None)
+        else:
+            os.environ["DIFFNORM_POLYPHASE"] = old
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)

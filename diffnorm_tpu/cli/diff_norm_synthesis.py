@@ -68,7 +68,10 @@ def main(cfg: Optional[Config] = None) -> int:
 
     start_step = cfg.get("start_step", 50)
     # --ddim-stride N: respaced reverse chain (IDDPM space_timesteps
-    # semantics); 1 = the reference's exact step-by-step loop
+    # semantics); 1 = the reference's exact step-by-step loop. N>1 chains
+    # start denoising at t=start_step (the injected noise level) rather
+    # than the reference's start_step-1, so they are not a strict
+    # subsequence of the stride=1 chain — see ddim_sample's docstring
     stride = int(cfg.get("ddim_stride", 1) or 1)
     batch_size = cfg.get("batch_size", 100)
     out_dir = cfg.get("output_dir")

@@ -74,40 +74,90 @@ class ASRGenerator:
         return self.transcribe(wav, sr)
 
 
+def read_references(
+    reference_path: str, ids_path: Optional[str] = None,
+) -> Tuple[List[str], Optional[List[str]]]:
+    """-> (normalized transcripts, utt ids or None).
+
+    Two reference formats:
+    * id-keyed TSV ``utt_id\\ttranscript`` (every line tabbed, ids
+      space-free) -> ids come from column 1;
+    * plain line-per-utterance text -> ids come from `ids_path`
+      (one utt id per line, same order) when given, else None.
+    """
+    with open(reference_path) as f:
+        lines = [line.rstrip("\n") for line in f if line.strip()]
+    ids: Optional[List[str]] = None
+    if lines and all("\t" in line for line in lines):
+        first = [line.split("\t", 1)[0] for line in lines]
+        if all(tok and " " not in tok for tok in first):
+            ids = first
+            lines = [line.split("\t", 1)[1] for line in lines]
+    refs = [normalize_text(line) for line in lines]
+    if ids_path:
+        if ids is not None:
+            logger.info("references are id-keyed; ignoring --ids-file")
+        else:
+            with open(ids_path) as f:
+                ids = [line.strip() for line in f if line.strip()]
+            if len(ids) != len(refs):
+                raise ValueError(
+                    f"{ids_path}: {len(ids)} ids vs {len(refs)} reference "
+                    f"transcripts in {reference_path}")
+    return refs, ids
+
+
 def run_asr_bleu(
     audio_dir: str,
     reference_path: str,
     lang: str = "en",
     audio_format: str = "{i}_pred.wav",
     model_name: Optional[str] = None,
+    ids_path: Optional[str] = None,
 ) -> Tuple[float, List[str], List[str]]:
-    """Transcribe `{i}_pred.wav` files against line-per-utterance reference
-    transcripts; returns (bleu, transcripts, references)."""
+    """Transcribe generated waveforms against reference transcripts;
+    returns (bleu, transcripts, references).
+
+    Waveform<->transcript pairing is BY UTTERANCE ID whenever ids are
+    available (id-keyed `id\\ttext` references, or `ids_path` giving the
+    manifest-order ids of plain-text references): the wav for transcript
+    `uid` is `audio_format.format(i=uid)` (cli.s2st writes
+    `{utt_id}_pred.wav`). Plain positional references without ids are only
+    accepted against index-named `{0..N-1}_pred.wav` files (the
+    generate_waveform_from_code convention, where output order is input
+    order). Anything else fails loudly — positional pairing against a
+    sorted directory listing silently mis-scores real utt ids
+    (lexicographic '10' < '2' vs manifest order)."""
     from diffnorm_tpu.eval.bleu import corpus_bleu
 
-    with open(reference_path) as f:
-        refs = [normalize_text(line.strip()) for line in f if line.strip()]
+    refs, ref_ids = read_references(reference_path, ids_path)
+    if ref_ids is not None:
+        paths = [os.path.join(audio_dir, audio_format.format(i=uid))
+                 for uid in ref_ids]
+    else:
+        paths = [os.path.join(audio_dir, audio_format.format(i=i))
+                 for i in range(len(refs))]
+    present = [os.path.exists(p) for p in paths]
+    if paths and not any(present):
+        raise FileNotFoundError(
+            f"none of the {len(paths)} expected waveforms exist under "
+            f"{audio_dir} (first: {paths[0]}). If the waveforms are named "
+            "by utterance id (cli.s2st output), the references must be "
+            "joinable by id: use id-keyed `utt_id\\ttranscript` reference "
+            "lines or pass --ids-file with the manifest-order utt ids. "
+            "Refusing to guess a positional pairing.")
     asr = ASRGenerator(lang=lang, model_name=model_name)
-    paths = [os.path.join(audio_dir, audio_format.format(i=i))
-             for i in range(len(refs))]
-    if paths and not os.path.exists(paths[0]):
-        # cli.s2st names waveforms {utt_id}_pred.wav rather than by index;
-        # fall back to the lexicographically-sorted listing (reference
-        # transcripts must then be in sorted utt-id order)
-        import glob
-
-        listed = sorted(glob.glob(os.path.join(audio_dir, "*_pred.wav")))
-        if len(listed) == len(refs):
-            logger.info("index-named wavs absent; using %d sorted "
-                        "*_pred.wav files", len(listed))
-            paths = listed
     hyps = []
-    for path in paths:
-        if not os.path.exists(path):
+    for path, ok in zip(paths, present):
+        if not ok:
             logger.warning("missing %s; scoring empty", path)
             hyps.append("")
             continue
         hyps.append(asr.transcribe_file(path))
+    n_missing = len(present) - sum(present)
+    if n_missing:
+        logger.warning("%d/%d waveforms missing (scored as empty "
+                       "transcripts)", n_missing, len(present))
     bleu = corpus_bleu(refs, hyps)
     logger.info("ASR-BLEU: %.2f over %d utterances", bleu, len(refs))
     return bleu, hyps, refs
@@ -122,10 +172,14 @@ def main():
     p.add_argument("--lang", default="en")
     p.add_argument("--asr-model", default=None)
     p.add_argument("--transcripts-path", default=None)
+    p.add_argument("--ids-file", default=None,
+                   help="utt ids (one per line) pairing plain-text "
+                        "reference lines with {utt_id}_pred.wav files")
     args = p.parse_args()
     logging.basicConfig(level=logging.INFO, force=True)
     bleu, hyps, refs = run_asr_bleu(
-        args.audio_dir, args.reference_path, args.lang, model_name=args.asr_model
+        args.audio_dir, args.reference_path, args.lang,
+        model_name=args.asr_model, ids_path=args.ids_file,
     )
     if args.transcripts_path:
         with open(args.transcripts_path, "w") as f:

@@ -70,13 +70,39 @@ def read_unit_lines(path: str) -> Dict[str, str]:
     return out
 
 
-def unit_files_bleu(hyp_path: str, ref_path: str) -> float:
-    """Corpus BLEU between two id-keyed unit files (intersected ids)."""
+def unit_files_bleu(hyp_path: str, ref_path: str,
+                    allow_partial: bool = False) -> float:
+    """Corpus BLEU between two id-keyed unit files, joined by utt id.
+
+    Every reference id must be covered by a hypothesis: a decode that
+    drops or renames utterances would otherwise be scored on the
+    surviving subset with no signal, inflating the parity number. Pass
+    `allow_partial=True` (CLI `--allow-partial`) to score the
+    intersection anyway (logged loudly)."""
+    import logging
+
+    logger = logging.getLogger(__name__)
     hyps, refs = read_unit_lines(hyp_path), read_unit_lines(ref_path)
     ids = sorted(set(hyps) & set(refs))
+    logger.info("unit BLEU join: %d hyp ids, %d ref ids, %d common",
+                len(hyps), len(refs), len(ids))
     if not ids:
         raise SystemExit(
             f"no shared utterance ids between {hyp_path} and {ref_path}")
+    missing = sorted(set(refs) - set(hyps))
+    if missing:
+        msg = (f"{len(missing)}/{len(refs)} reference ids have no "
+               f"hypothesis in {hyp_path} (first: {missing[:5]})")
+        if not allow_partial:
+            raise SystemExit(
+                msg + " — refusing to score a subset; pass --allow-partial "
+                "to override")
+        logger.warning("%s — scoring the intersection (--allow-partial)",
+                       msg)
+    extra = len(hyps) - len(ids)
+    if extra:
+        logger.warning("%d hypothesis ids not in the reference are "
+                       "ignored", extra)
     return corpus_bleu([refs[i] for i in ids], [hyps[i] for i in ids])
 
 
@@ -93,7 +119,12 @@ def _is_generate_txt(path: str) -> bool:
 def main(argv=None):
     import sys
 
+    import logging
+
+    logging.basicConfig(level=logging.INFO, force=True)
     argv = list(sys.argv[1:] if argv is None else argv)
+    allow_partial = "--allow-partial" in argv
+    argv = [a for a in argv if a != "--allow-partial"]
     path = argv[0]
     if _is_generate_txt(path):
         # generate-{split}.txt mode: extract hyp/ref.unit + score
@@ -107,7 +138,8 @@ def main(argv=None):
             raise SystemExit(
                 f"{path} is a unit-lines file; a reference unit file is "
                 "required: unit_bleu HYP REF")
-        print(f"unit BLEU: {unit_files_bleu(path, argv[1]):.2f}")
+        print("unit BLEU: "
+              f"{unit_files_bleu(path, argv[1], allow_partial):.2f}")
 
 
 if __name__ == "__main__":

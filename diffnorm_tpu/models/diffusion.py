@@ -542,6 +542,16 @@ def ddim_sample(
     loop. The recovery effect of normalization on an undertrained denoiser
     is measurably stronger with coarse respacing
     (tests/test_diffnorm_effect.py).
+
+    Start convention (deliberate, advisor r4): the strided chain's FIRST
+    denoiser evaluation is at t=start_step — the true noise level of the
+    just-injected sample — so its times are start_step, start_step-stride,
+    ... The reference's step-by-step loop instead starts at start_step-1
+    (one step below the injection level, latent_module.py:1411), which the
+    stride=1 path reproduces exactly for parity. The strided chain is
+    therefore NOT a strict subsequence respacing of the stride=1 chain:
+    stride>=start_step gives the single x1-hat jump evaluated at the
+    injection level, which is the numerically meaningful choice.
     """
     module = model.module
     schedule = DDPMSchedule.create(module.timesteps, module.schedule_name)

@@ -118,8 +118,14 @@ else
 fi
 
 # ---- 7. ASR-BLEU (per-language HF wav2vec2 ASR + sacrebleu) ---------------
+# Waveforms are named {utt_id}_pred.wav; plain-text REF_TRANSCRIPTS (one
+# line per utterance, decode-manifest order) are joined to them by id via
+# the manifest's id column (id-keyed `utt_id\ttext` REF_TRANSCRIPTS need
+# no ids file). Never pair positionally against a directory listing.
+tail -n +2 $data_dir/test.tsv | cut -f1 > $results/utt_ids.txt
 python -m diffnorm_tpu.eval.asr_bleu \
   --audio-dir $results/wav --reference-path ${REF_TRANSCRIPTS:?} \
+  --ids-file $results/utt_ids.txt \
   --lang $lang ${ASR_MODEL:+--asr-model $ASR_MODEL} \
   --transcripts-path $results/asr_transcripts.txt | tee $results/asr_bleu.json
 

@@ -19,6 +19,7 @@ transformers = pytest.importorskip("transformers")
 from diffnorm_tpu.eval.asr_bleu import (  # noqa: E402
     ASRGenerator,
     normalize_text,
+    read_references,
     run_asr_bleu,
 )
 
@@ -38,6 +39,51 @@ def _write_wav(path, wav, sr=16000):
 def test_normalize_text():
     assert normalize_text("Hello, World!  ") == "hello world"
     assert normalize_text("A-B c") == "a b c"
+
+
+def test_read_references_formats(tmp_path):
+    """Plain, id-keyed, and ids-file reference formats (advisor r4 high:
+    the sorted-glob positional fallback silently mis-paired real utt ids;
+    pairing is now by id)."""
+    plain = tmp_path / "plain.txt"
+    plain.write_text("Hello one\nHello two\n")
+    refs, ids = read_references(str(plain))
+    assert refs == ["hello one", "hello two"] and ids is None
+
+    keyed = tmp_path / "keyed.tsv"
+    # ids deliberately NOT in lexicographic order ('10' sorts before '2')
+    keyed.write_text("utt10\tHello ten\nutt2\tHello two\n")
+    refs, ids = read_references(str(keyed))
+    assert ids == ["utt10", "utt2"]
+    assert refs == ["hello ten", "hello two"]
+
+    ids_file = tmp_path / "ids.txt"
+    ids_file.write_text("utt10\nutt2\n")
+    refs, ids = read_references(str(plain), str(ids_file))
+    assert ids == ["utt10", "utt2"] and refs == ["hello one", "hello two"]
+
+    # id-keyed refs win over an ids file (parsed ids are authoritative)
+    refs, ids = read_references(str(keyed), str(ids_file))
+    assert ids == ["utt10", "utt2"] and refs == ["hello ten", "hello two"]
+
+    # length mismatch fails loudly
+    bad_ids = tmp_path / "bad_ids.txt"
+    bad_ids.write_text("a\n")
+    with pytest.raises(ValueError):
+        read_references(str(plain), str(bad_ids))
+
+
+def test_run_asr_bleu_refuses_positional_guess(tmp_path):
+    """utt-id-named wavs + plain positional refs must fail loudly (the old
+    sorted-glob fallback silently mis-scored), before the ASR model loads."""
+    audio_dir = tmp_path / "audio"
+    audio_dir.mkdir()
+    (audio_dir / "utt2_pred.wav").write_bytes(b"")
+    (audio_dir / "utt10_pred.wav").write_bytes(b"")
+    refs = tmp_path / "refs.txt"
+    refs.write_text("hello\nworld\n")
+    with pytest.raises(FileNotFoundError, match="joinable by id"):
+        run_asr_bleu(str(audio_dir), str(refs), model_name="unused")
 
 
 @pytest.mark.slow
@@ -75,3 +121,37 @@ def test_run_asr_bleu_end_to_end(tiny_ctc_checkpoint, tmp_path):
     assert len(transcripts) == n and len(refs) == n
     assert refs[0] == "hello world"
     assert 0.0 <= bleu <= 100.0  # random weights -> ~0, but a valid score
+
+
+@pytest.mark.slow
+def test_run_asr_bleu_joins_by_utt_id(tiny_ctc_checkpoint, tmp_path):
+    """utt-id-named wavs (cli.s2st output) pair with transcripts BY ID:
+    identical utterance sets in different file orders must transcribe
+    identically per id. Covers both id sources (id-keyed refs; plain refs
+    + ids file)."""
+    rng = np.random.default_rng(2)
+    audio_dir = tmp_path / "audio"
+    audio_dir.mkdir()
+    # ids chosen so lexicographic order != manifest order
+    uids = ["utt10", "utt2", "utt3"]
+    for uid in uids:
+        _write_wav(audio_dir / f"{uid}_pred.wav",
+                   (rng.normal(size=8000) * 0.1).astype(np.float32))
+
+    keyed = tmp_path / "keyed.tsv"
+    keyed.write_text("".join(f"{u}\thello {u}\n" for u in uids))
+    bleu_k, hyps_k, refs_k = run_asr_bleu(
+        str(audio_dir), str(keyed), model_name=tiny_ctc_checkpoint)
+    assert refs_k == [f"hello {u}" for u in uids]
+
+    plain = tmp_path / "plain.txt"
+    ids_file = tmp_path / "ids.txt"
+    # same utterances, reversed manifest order
+    plain.write_text("".join(f"hello {u}\n" for u in reversed(uids)))
+    ids_file.write_text("".join(f"{u}\n" for u in reversed(uids)))
+    bleu_p, hyps_p, refs_p = run_asr_bleu(
+        str(audio_dir), str(plain), model_name=tiny_ctc_checkpoint,
+        ids_path=str(ids_file))
+    # per-id transcripts agree across orderings -> the join is by id
+    assert hyps_p == list(reversed(hyps_k))
+    assert bleu_k == pytest.approx(bleu_p)

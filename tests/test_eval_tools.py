@@ -51,6 +51,34 @@ def test_unit_bleu_roundtrip(tmp_path):
     assert unit_bleu(str(gen)) == pytest.approx(100.0, abs=0.1)
 
 
+def test_unit_files_bleu_guards_partial_coverage(tmp_path):
+    """A hyp file missing reference ids must fail loudly, not silently
+    score the intersection (advisor r4 medium: a decode dropping
+    utterances would inflate the parity number)."""
+    from diffnorm_tpu.eval.unit_bleu import unit_files_bleu
+
+    ref = tmp_path / "ref.unit"
+    ref.write_text("utt0|5 6 7 8 9\nutt1|8 9 10 11 12\nutt2|5 5 5 6 6\n")
+    full = tmp_path / "full.unit"
+    full.write_text("utt2|5 5 5 6 6\nutt0|5 6 7 8 9\nutt1|8 9 10 11 12\n")
+    # full coverage (any order): perfect score
+    assert unit_files_bleu(str(full), str(ref)) == pytest.approx(100.0,
+                                                                 abs=0.1)
+    partial = tmp_path / "partial.unit"
+    partial.write_text("utt0|5 6 7 8 9\nutt1|8 9 10 11 12\n")
+    with pytest.raises(SystemExit, match="no hypothesis"):
+        unit_files_bleu(str(partial), str(ref))
+    # explicit override still scores the intersection
+    assert unit_files_bleu(str(partial), str(ref),
+                           allow_partial=True) == pytest.approx(100.0,
+                                                                abs=0.1)
+    # extra hypothesis ids are ignored (warned), not an error
+    extra = tmp_path / "extra.unit"
+    extra.write_text(full.read_text() + "utt9|1 2 3 4 5\n")
+    assert unit_files_bleu(str(extra), str(ref)) == pytest.approx(100.0,
+                                                                  abs=0.1)
+
+
 def test_mcd_identical_is_zero():
     rng = np.random.default_rng(0)
     wav = rng.normal(size=8000).astype(np.float32)

@@ -16,14 +16,44 @@ from __future__ import annotations
 import os
 
 
+def host_fingerprint() -> str:
+    """Short hash of the host's ISA + CPU feature flags.
+
+    XLA:CPU AOT executables embed the compile machine's features; loading
+    a cache entry compiled on a feature-richer host (e.g. AVX-512) can
+    SIGILL on this one — jax only warns ("Compile machine features ...
+    doesn't match"). Caches that can travel between machines (the
+    repo-local multichip-dryrun cache) are therefore keyed on this
+    fingerprint so a new host starts a fresh namespace instead of loading
+    foreign executables."""
+    import hashlib
+    import platform
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = line.split(":", 1)[1]
+                    break
+    except OSError:
+        pass
+    key = platform.machine() + "|" + " ".join(sorted(feats.split()))
+    return hashlib.sha256(key.encode()).hexdigest()[:12]
+
+
 def enable_compile_cache(default_dir: str = "/tmp/diffnorm_jax_cache",
-                         min_secs: float = 2.0) -> None:
+                         min_secs: float = 2.0,
+                         host_keyed: bool = False) -> None:
     """Point jax at a persistent compile cache.
 
     Precedence: DIFFNORM_COMPILE_CACHE=0 disables; a non-empty
     DIFFNORM_COMPILE_CACHE value or JAX_COMPILATION_CACHE_DIR overrides the
     caller's `default_dir` (CLIs use /tmp, the multichip dryrun a repo-local
-    dir with a lower time threshold since its programs are tiny)."""
+    dir with a lower time threshold since its programs are tiny).
+    `host_keyed=True` namespaces the directory by `host_fingerprint()` —
+    required for any cache directory that can outlive the machine it was
+    compiled on."""
     import jax
 
     knob = os.environ.get("DIFFNORM_COMPILE_CACHE", "")
@@ -31,6 +61,8 @@ def enable_compile_cache(default_dir: str = "/tmp/diffnorm_jax_cache",
         return
     cache_dir = (knob or os.environ.get("JAX_COMPILATION_CACHE_DIR")
                  or default_dir)
+    if host_keyed:
+        cache_dir = os.path.join(cache_dir, "host-" + host_fingerprint())
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",

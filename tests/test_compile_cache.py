@@ -1,0 +1,39 @@
+"""Compile-cache helper: host fingerprinting keeps machine-portable cache
+directories from serving XLA:CPU AOT executables compiled on a different
+host's ISA feature set (VERDICT r4 weak 4 — jax's "Compile machine
+features ... doesn't match" warning is a SIGILL hazard, not a nit)."""
+
+import os
+
+from diffnorm_tpu.utils.compile_cache import (
+    enable_compile_cache,
+    host_fingerprint,
+)
+
+
+def test_host_fingerprint_stable_and_short():
+    a, b = host_fingerprint(), host_fingerprint()
+    assert a == b
+    assert len(a) == 12 and all(c in "0123456789abcdef" for c in a)
+
+
+def test_enable_compile_cache_host_keyed(tmp_path, monkeypatch):
+    import jax
+
+    monkeypatch.delenv("DIFFNORM_COMPILE_CACHE", raising=False)
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        enable_compile_cache(default_dir=str(tmp_path), host_keyed=True)
+        got = jax.config.jax_compilation_cache_dir
+        assert got == os.path.join(str(tmp_path),
+                                   "host-" + host_fingerprint())
+        # unkeyed: the directory is used as-is
+        enable_compile_cache(default_dir=str(tmp_path))
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path)
+        # DIFFNORM_COMPILE_CACHE=0 leaves the current setting untouched
+        monkeypatch.setenv("DIFFNORM_COMPILE_CACHE", "0")
+        enable_compile_cache(default_dir="/elsewhere", host_keyed=True)
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)

@@ -123,6 +123,116 @@ def test_mask_predict_decode_dp_tp_matches_single():
 
 @needs_devices
 @pytest.mark.slow
+def test_adaptive_exit_composed_stress(tmp_path):
+    """The adaptive-exit while_loop where its paths all compose (VERDICT r4
+    item 6): a TRAINED model (so rows actually converge at different
+    iterations and the exit fires mid-decode) + length_beam=3 + stacked
+    units (n_frames_per_step=2) + tgt_speaker conditioning, decoded under
+    dp=4 x tp=2 sharding — pinned equal to early_exit=False and to the
+    single-device run. Covers the composition of mask_predict.py:271-347
+    (while_loop early exit x beam select x kf unpack x speaker-threaded
+    encode) that the individual parity tests exercise only separately.
+    Match: iterative_refinement_generator.py:294-361."""
+    import yaml
+
+    from diffnorm_tpu.config import make_trainer_config
+    from diffnorm_tpu.data.manifest import write_translation_manifest
+    from diffnorm_tpu.generate.mask_predict import mask_predict_decode
+    from diffnorm_tpu.parallel.sharding_rules import shard_params
+    from diffnorm_tpu.registry import TASKS
+    from diffnorm_tpu.train.trainer import Trainer
+
+    SPK = 16
+    rng = np.random.default_rng(0)
+    rows = []
+    spk_dir = tmp_path / "spk"
+    spk_dir.mkdir()
+    spk_lines = ["id\tspeaker_embed"]
+    for i in range(4):
+        t = int(rng.integers(36, 56))
+        np.save(tmp_path / f"utt{i}.npy",
+                rng.normal(size=(t, 80)).astype(np.float32))
+        units = rng.integers(0, 10, size=2 * (t // 8 + 2))  # even: kf=2
+        rows.append({
+            "id": f"utt{i}", "src_audio": str(tmp_path / f"utt{i}.npy"),
+            "src_n_frames": t, "tgt_audio": " ".join(map(str, units)),
+            "tgt_n_frames": len(units),
+        })
+        np.save(spk_dir / f"utt{i}.spk.npy",
+                rng.normal(size=(SPK,)).astype(np.float32))
+        spk_lines.append(f"utt{i}\t{spk_dir}/utt{i}.spk.npy")
+    write_translation_manifest(str(tmp_path / "train.tsv"), rows)
+    (spk_dir / "train.tsv").write_text("\n".join(spk_lines) + "\n")
+    (tmp_path / "config.yaml").write_text(yaml.safe_dump(
+        {"input_feat_per_channel": 80,
+         "target_speaker_embed": str(spk_dir)}))
+
+    cfg = Config(
+        data=str(tmp_path), arch="nar_s2ut_conformer",
+        criterion="nar_speech_to_unit", label_smoothing=0.1, dropout=0.0,
+        encoder_layers=1, decoder_layers=1, encoder_embed_dim=32,
+        encoder_ffn_embed_dim=64, encoder_attention_heads=2,
+        decoder_attention_heads=2, decoder_embed_dim=32,
+        decoder_ffn_embed_dim=64, conv_channels=32,
+        depthwise_conv_kernel_size=7, target_code_size=10,
+        target_speaker_embed=True, speaker_embed_dim=SPK,
+        n_frames_per_step=2, lr=5e-3, warmup_updates=20,
+    )
+    task = TASKS.get("speech_to_speech_fasttranslate").setup_task(cfg)
+    ds = task.dataset("train")
+    batch = ds.collater([ds[i] for i in range(4)])
+    batch = task.prepare_batch(batch, np.random.default_rng(0))
+    model = task.build_model()
+    crit = task.build_criterion()
+    trainer = Trainer(make_trainer_config(cfg), task, model, crit)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    for i in range(120):  # memorize: decode then converges mid-loop
+        b = task.prepare_batch(dict(batch), np.random.default_rng(i + 1))
+        state, mets = trainer.train_step(state, [b], jax.random.PRNGKey(i))
+    assert np.isfinite(float(mets["loss"]))
+    variables = {"params": jax.device_get(state.params)}
+
+    src = jnp.asarray(batch["src_tokens"])
+    lengths = jnp.asarray(batch["src_lengths"])
+    spk = jnp.asarray(batch["tgt_speaker"])
+    MAX_ITER = 9
+
+    def fn(v, s, ln, sp, early):
+        return mask_predict_decode(
+            model, v, s, ln, max_iter=MAX_ITER, max_len=24,
+            length_beam=3, n_frames_per_step=2, tgt_speaker=sp,
+            early_exit=early)
+
+    toks_w, scores_w, steps_w = jax.jit(
+        lambda v, s, ln, sp: fn(v, s, ln, sp, True))(
+            variables, src, lengths, spk)
+    toks_f, scores_f, steps_f = jax.jit(
+        lambda v, s, ln, sp: fn(v, s, ln, sp, False))(
+            variables, src, lengths, spk)
+    # while_loop early exit == fixed-trip scan, on every composed output
+    np.testing.assert_array_equal(np.asarray(toks_w), np.asarray(toks_f))
+    np.testing.assert_allclose(np.asarray(scores_w), np.asarray(scores_f),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(steps_w), np.asarray(steps_f))
+    # the trained model must actually converge early somewhere, or this
+    # test never exercised the exit
+    assert int(np.asarray(steps_w).min()) < MAX_ITER + 1
+
+    mesh = make_mesh(data=4, model=2)
+    v_sh = dict(variables)
+    v_sh["params"] = shard_params(v_sh["params"], mesh, fsdp=False)
+    toks_8, scores_8, steps_8 = jax.jit(
+        lambda v, s, ln, sp: fn(v, s, ln, sp, True))(
+            v_sh, _put_dp(mesh, src), _put_dp(mesh, lengths),
+            _put_dp(mesh, spk))
+    np.testing.assert_array_equal(np.asarray(toks_8), np.asarray(toks_w))
+    np.testing.assert_array_equal(np.asarray(steps_8), np.asarray(steps_w))
+    np.testing.assert_allclose(np.asarray(scores_8), np.asarray(scores_w),
+                               rtol=1e-4, atol=1e-4)
+
+
+@needs_devices
+@pytest.mark.slow
 def test_s2st_generate_dp_matches_single():
     """The fused speech->units->waveform chain under 8-way dp."""
     from diffnorm_tpu.generate.s2st import s2st_generate

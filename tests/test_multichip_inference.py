@@ -190,7 +190,8 @@ def test_adaptive_exit_composed_stress(tmp_path):
         b = task.prepare_batch(dict(batch), np.random.default_rng(i + 1))
         state, mets = trainer.train_step(state, [b], jax.random.PRNGKey(i))
     assert np.isfinite(float(mets["loss"]))
-    variables = {"params": jax.device_get(state.params)}
+    variables = {"params": jax.device_get(state.params),
+                 **jax.device_get(state.model_state)}  # batch_stats
 
     src = jnp.asarray(batch["src_tokens"])
     lengths = jnp.asarray(batch["src_lengths"])

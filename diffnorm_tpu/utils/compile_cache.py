@@ -44,16 +44,20 @@ def host_fingerprint() -> str:
 
 def enable_compile_cache(default_dir: str = "/tmp/diffnorm_jax_cache",
                          min_secs: float = 2.0,
-                         host_keyed: bool = False) -> None:
+                         host_keyed: bool = True) -> None:
     """Point jax at a persistent compile cache.
 
     Precedence: DIFFNORM_COMPILE_CACHE=0 disables; a non-empty
     DIFFNORM_COMPILE_CACHE value or JAX_COMPILATION_CACHE_DIR overrides the
     caller's `default_dir` (CLIs use /tmp, the multichip dryrun a repo-local
     dir with a lower time threshold since its programs are tiny).
-    `host_keyed=True` namespaces the directory by `host_fingerprint()` —
-    required for any cache directory that can outlive the machine it was
-    compiled on."""
+    `host_keyed` (default on) namespaces the directory by
+    `host_fingerprint()` — both the repo-local dryrun cache AND /tmp have
+    been observed to outlive the machine that compiled them (the driver
+    snapshots the filesystem between rounds), and loading a foreign
+    XLA:CPU AOT executable is a SIGILL hazard. TPU executables are
+    host-agnostic, so the extra namespace merely costs one warm-up per
+    host."""
     import jax
 
     knob = os.environ.get("DIFFNORM_COMPILE_CACHE", "")

@@ -109,12 +109,30 @@ fi
   --dur-prediction --results-path $results/wav $cpu $model_flags
 
 # ---- 5. unit BLEU of the decoded streams vs the (normalized) references ---
+# The decoded streams are REDUCED unit sequences (the NAR trains on
+# reduced/normalized targets, research/TranSpeech dataset + unit_bleu.py
+# scores generate T- lines = reduced targets), so the raw quantized
+# references are reduced before scoring; the normalization manifests are
+# already reduced (diff_norm_synthesis re-reduce semantics).
 if [ "${NORMALIZE:-1}" = "1" ]; then
   python -m diffnorm_tpu.eval.unit_bleu $results/wav/s2st-test.unit \
     $results/norm/test.tsv | tee $results/unit_bleu.txt
 else
+  python - "$results/units/test.unit" "$results/units/test.reduced.unit" <<'PYEOF'
+import sys
+from diffnorm_tpu.ops.unit_reduce import reduce_units
+src, dst = sys.argv[1], sys.argv[2]
+with open(src) as f, open(dst, "w") as out:
+    for line in f:
+        line = line.strip()
+        if not line or "|" not in line:
+            continue
+        uid, units = line.split("|", 1)
+        red, _, _ = reduce_units([int(u) for u in units.split()])
+        out.write(uid + "|" + " ".join(str(int(u)) for u in red) + "\n")
+PYEOF
   python -m diffnorm_tpu.eval.unit_bleu $results/wav/s2st-test.unit \
-    $results/units/test.unit | tee $results/unit_bleu.txt
+    $results/units/test.reduced.unit | tee $results/unit_bleu.txt
 fi
 
 # ---- 7. ASR-BLEU (per-language HF wav2vec2 ASR + sacrebleu) ---------------

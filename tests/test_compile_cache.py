@@ -24,16 +24,18 @@ def test_enable_compile_cache_host_keyed(tmp_path, monkeypatch):
     monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
     old = jax.config.jax_compilation_cache_dir
     try:
-        enable_compile_cache(default_dir=str(tmp_path), host_keyed=True)
+        # host-keyed is the DEFAULT: /tmp and the repo dir both outlive
+        # the compile host under the driver's filesystem snapshotting
+        enable_compile_cache(default_dir=str(tmp_path))
         got = jax.config.jax_compilation_cache_dir
         assert got == os.path.join(str(tmp_path),
                                    "host-" + host_fingerprint())
-        # unkeyed: the directory is used as-is
-        enable_compile_cache(default_dir=str(tmp_path))
+        # opt-out: the directory is used as-is
+        enable_compile_cache(default_dir=str(tmp_path), host_keyed=False)
         assert jax.config.jax_compilation_cache_dir == str(tmp_path)
         # DIFFNORM_COMPILE_CACHE=0 leaves the current setting untouched
         monkeypatch.setenv("DIFFNORM_COMPILE_CACHE", "0")
-        enable_compile_cache(default_dir="/elsewhere", host_keyed=True)
+        enable_compile_cache(default_dir="/elsewhere")
         assert jax.config.jax_compilation_cache_dir == str(tmp_path)
     finally:
         jax.config.update("jax_compilation_cache_dir", old)

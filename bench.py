@@ -305,12 +305,22 @@ def main_nar():
         )
         __import__("os").environ["DIFFNORM_INT8_STATIC"] = "1"
 
-    REPEATS = 16
     # BENCH_NAR_EXIT=0 restores the round-3 fixed-trip scan (freeze-only);
     # default measures the adaptive early-exit while_loop — same outputs,
     # wall-clock scales with the iterations actually used (reported as
     # mean_steps in the JSON)
     early_exit = __import__("os").environ.get("BENCH_NAR_EXIT", "1") == "1"
+    _nar_decode_bench(model, variables, batch, b, frames, nar_int8,
+                      early_exit, metric="nar_s2ut_decode_throughput")
+
+
+def _nar_decode_bench(model, variables, batch, b, frames, nar_int8,
+                      early_exit, metric, extra=None):
+    """Shared NAR mask-predict decode measurement (random-init easy-batch
+    bound AND the trained-model difficulty mode share it)."""
+    from diffnorm_tpu.generate.mask_predict import mask_predict_decode
+
+    REPEATS = 16
 
     def run_many(v, s, l):
         """REPEATS full decodes inside one jitted program (single decodes
@@ -377,10 +387,10 @@ def main_nar():
     flops = enc_flops + n_passes * dec_flops
     mfu = _mfu_from_flops(flops, wall / REPEATS, int8=nar_int8)
     out = {
-        "metric": ("nar_s2ut_decode_throughput" if not early_exit
-                   else "nar_s2ut_decode_throughput_early_exit"),
+        "metric": metric if not early_exit else metric + "_early_exit",
         "value": round(utts_per_sec, 3),
-        "unit": "utts/s (B16, 480 fbank frames, 16 decode passes, 1 chip)",
+        "unit": f"utts/s (B{b}, {frames} fbank frames, 16 decode passes, "
+                "1 chip)",
         "vs_baseline": round(utts_per_sec / 5.0, 3),
         "mfu_pct": mfu,
         "mean_steps": round(mean_steps, 2),
@@ -388,9 +398,112 @@ def main_nar():
     }
     if early_exit:
         out["max_steps"] = round(max_steps, 2)
-        out["unit"] = ("utts/s (B16, 480 fbank frames, adaptive exit "
-                       "<=15 iters, 1 chip)")
+        out["unit"] = (f"utts/s (B{b}, {frames} fbank frames, adaptive "
+                       "exit <=15 iters, 1 chip)")
+    if extra:
+        out.update(extra)
     print(json.dumps(out))
+
+
+def main_nar_trained():
+    """Decode difficulty from a TRAINED model (VERDICT r4: no trained-model
+    mean_steps had ever been published — the random-init bench freezes
+    after one iteration, so its early-exit throughput is an easy-batch
+    upper bound). Trains the FULL-SIZE nar_s2ut_conformer on a synthetic
+    template corpus ON THE CHIP (frame-level corruption like real unit
+    noise; BENCH_TRAINED_UPDATES, default 1500), then runs the identical
+    decode measurement on in-distribution noisy sources. Reported
+    mean_steps/max_steps are what the adaptive exit actually pays on a
+    model whose confidence profile drives skeptical re-masking. Run with
+    `python bench.py --nar-trained`."""
+    import os
+
+    from diffnorm_tpu.config import Config, make_trainer_config
+    from diffnorm_tpu.registry import TASKS, _import_all
+    from diffnorm_tpu.train.trainer import Trainer
+
+    _import_all()
+    b = int(os.environ.get("BENCH_BATCH", 16))
+    frames = int(os.environ.get("BENCH_SEQ", 480))
+    updates = int(os.environ.get("BENCH_TRAINED_UPDATES", 1500))
+    code = 1000
+    tgt_len = 96  # reduced units per utterance (~2 units/enc frame at 4x)
+    n_tpl = 16
+
+    cfg = Config(
+        arch="nar_s2ut_conformer", criterion="nar_speech_to_unit",
+        target_code_size=code, label_smoothing=0.2, lr=1e-3,
+        warmup_updates=100, clip_norm=2.0, fused_train_step=_fused_flag(),
+    )
+    if os.environ.get("BENCH_PRNG", "rbg") == "rbg":
+        jax.config.update("jax_default_prng_impl", "rbg")
+    task = TASKS.get("dummy_nar").setup_task(cfg)
+    model = task.build_model()
+    crit = task.build_criterion()
+
+    # template corpus: n_tpl (source prototype, clean unit template) pairs;
+    # each drawn utterance adds source noise + 10% aligned unit
+    # substitutions (non-memorizable idiosyncratic noise — keeps decode
+    # confidence real, tests/test_diffnorm_effect.py world)
+    rng = np.random.default_rng(0)
+    src_proto = rng.normal(size=(n_tpl, frames, 80)).astype(np.float32)
+    templates = rng.integers(4, 4 + code, size=(n_tpl, tgt_len))
+
+    def draw_batch(r):
+        ti = r.integers(0, n_tpl, size=b)
+        src = src_proto[ti] + 0.1 * r.normal(
+            size=(b, frames, 80)).astype(np.float32)
+        tgt = templates[ti].copy()
+        sub = r.random((b, tgt_len)) < 0.10
+        tgt[sub] = r.integers(4, 4 + code, size=int(sub.sum()))
+        tgt[:, -1] = 2  # eos
+        batch = {
+            "src_tokens": src.astype(np.float32),
+            "src_lengths": np.full((b,), frames, np.int32),
+            "target": tgt.astype(np.int32),
+        }
+        return task.prepare_batch(batch, r)
+
+    trainer = Trainer(make_trainer_config(cfg), task, model, crit)
+    state = trainer.init_state(jax.random.PRNGKey(0), draw_batch(rng))
+    key = jax.random.PRNGKey(1)
+    t0 = time.time()
+    for u in range(updates):
+        state, mets = trainer.train_step(
+            state, [draw_batch(rng)], jax.random.fold_in(key, u))
+    train_wall = time.time() - t0
+    final_loss = float(mets["loss"])
+    print(json.dumps({"metric": "nar_trained_bench_training",
+                      "value": round(final_loss, 4), "unit":
+                      f"final loss after {updates} updates "
+                      f"({train_wall:.0f}s on-chip)",
+                      "vs_baseline": 0.0}))
+
+    nar_int8 = os.environ.get("BENCH_NAR_INT8", "1") == "1"
+    variables = {"params": jax.device_get(state.params),
+                 **jax.device_get(state.model_state)}
+    variables = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, variables)
+    eval_batch = draw_batch(np.random.default_rng(12345))  # fresh noise
+    if nar_int8 and os.environ.get("BENCH_INT8_STATIC", "1") == "1":
+        from diffnorm_tpu.ops.quant import calibrate_apply
+
+        variables = calibrate_apply(
+            model.module.apply, variables,
+            jnp.asarray(eval_batch["src_tokens"]),
+            jnp.asarray(eval_batch["src_lengths"]),
+            jnp.asarray(eval_batch["prev_target"]),
+            tgt_tokens=jnp.asarray(eval_batch["target"]),
+            deterministic=True,
+        )
+        os.environ["DIFFNORM_INT8_STATIC"] = "1"
+    early_exit = os.environ.get("BENCH_NAR_EXIT", "1") == "1"
+    _nar_decode_bench(
+        model, variables, eval_batch, b, frames, nar_int8, early_exit,
+        metric="nar_s2ut_decode_trained",
+        extra={"train_updates": updates,
+               "final_train_loss": round(final_loss, 4)})
 
 
 def _fused_flag():
@@ -1006,6 +1119,8 @@ if __name__ == "__main__":
         main_prepare()
     elif "--nar-train" in sys.argv:
         main_nar_train()
+    elif "--nar-trained" in sys.argv:
+        main_nar_trained()
     elif "--nar" in sys.argv:
         main_nar()
     elif "--train" in sys.argv:

@@ -468,11 +468,15 @@ def main_nar_trained():
     state = trainer.init_state(jax.random.PRNGKey(0), draw_batch(rng))
     key = jax.random.PRNGKey(1)
     t0 = time.time()
+    final_loss = None
     for u in range(updates):
         state, mets = trainer.train_step(
             state, [draw_batch(rng)], jax.random.fold_in(key, u))
+        # one scalar pull per step: queuing device steps with NO host sync
+        # degrades the tunnel to seconds/step (measured 8 s/update without
+        # this line, ~60 ms with it)
+        final_loss = float(mets["loss"])
     train_wall = time.time() - t0
-    final_loss = float(mets["loss"])
     print(json.dumps({"metric": "nar_trained_bench_training",
                       "value": round(final_loss, 4), "unit":
                       f"final loss after {updates} updates "

@@ -66,7 +66,16 @@ def enable_compile_cache(default_dir: str = "/tmp/diffnorm_jax_cache",
     cache_dir = (knob or os.environ.get("JAX_COMPILATION_CACHE_DIR")
                  or default_dir)
     if host_keyed:
-        cache_dir = os.path.join(cache_dir, "host-" + host_fingerprint())
+        # only the CPU backend's AOT executables embed host ISA features;
+        # TPU executables are device-targeted and SHOULD stay shared
+        # across hosts (the driver's end-of-round bench rides that warmth)
+        try:
+            backend = jax.default_backend()
+        except Exception:
+            backend = None
+        if backend == "cpu":
+            cache_dir = os.path.join(cache_dir,
+                                     "host-" + host_fingerprint())
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",

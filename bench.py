@@ -959,24 +959,32 @@ def main_e2e():
         the loop-invariant chain; single ~100 ms calls are too close to the
         tunnel's latency jitter to time reliably)."""
         def body(carry, i):
+            tot, steps, maxs = carry
             si = s + (i.astype(s.dtype) * 1e-6)
-            wav, wav_lengths, _, _ = s2st_generate(
+            wav, wav_lengths, _, _, n_steps = s2st_generate(
                 model, nv, voc, vv, si, l, max_iter=15, max_len=256,
                 max_duration=4, max_wav_units=wav_units,
                 vocoder_chunk=int(os.environ.get("BENCH_VOC_CHUNK", 4)),
+                return_steps=True,
             )
-            return carry + jnp.sum(
-                wav[:, ::1024].astype(jnp.float32)
-            ) + jnp.sum(wav_lengths), ()
-        total, _ = jax.lax.scan(
-            body, jnp.zeros((), jnp.float32), jnp.arange(E2E_REPEATS)
+            n_steps = n_steps.astype(jnp.int32)
+            tot = tot + jnp.sum(
+                wav[:, ::1024].astype(jnp.float32)) + jnp.sum(wav_lengths)
+            return (tot, steps + jnp.sum(n_steps),
+                    maxs + jnp.max(n_steps)), ()
+        (total, steps, maxs), _ = jax.lax.scan(
+            body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32),
+                   jnp.zeros((), jnp.int32)),
+            jnp.arange(E2E_REPEATS)
         )
-        return total
+        return total, steps, maxs
 
     fn = jax.jit(run)
     src = jnp.asarray(batch["src_tokens"])
     lens = jnp.asarray(batch["src_lengths"])
-    _ = float(fn(nar_vars, voc_vars, src, lens))  # compile
+    _, steps_dev, maxs_dev = fn(nar_vars, voc_vars, src, lens)  # compile
+    mean_steps = float(steps_dev) / (b * E2E_REPEATS)
+    max_steps = float(maxs_dev) / E2E_REPEATS
 
     tiny = jax.jit(lambda x: jnp.sum(x))
     _ = float(tiny(jnp.ones((8,))))
@@ -990,14 +998,17 @@ def main_e2e():
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        _ = float(fn(nar_vars, voc_vars, src, lens))
+        out_dev, _s, _m = fn(nar_vars, voc_vars, src, lens)
+        _ = float(out_dev)
         times.append(time.perf_counter() - t0)
     wall = max(min(times) - latency, 1e-9)
     audio_seconds = b * frames * 0.01 * E2E_REPEATS  # 10 ms fbank shift
     rtf = audio_seconds / wall
-    # analytic MFU per chain: NAR encode + 16 canvas decodes (param model;
-    # the iteration scan hides its body from cost analysis) + one loop-free
-    # vocoder program costed by XLA (duration-expanded length wav_units)
+    # analytic MFU per chain: NAR encode + the decode passes actually
+    # executed (param model; the iteration loop hides its body from cost
+    # analysis; the adaptive exit runs max-over-rows+1 passes, advisor r4)
+    # + one loop-free vocoder program costed by XLA (duration-expanded
+    # length wav_units)
     mfu = None
     try:
         p = nar_vars["params"]
@@ -1007,7 +1018,7 @@ def main_e2e():
         dflops = _param_flops(p["decoder"], b, 256, attn_layers=6,
                               attn_dim=256)
         dflops += 6 * 4.0 * b * 256 * t_enc * 256  # cross-attention
-        nar_flops += 16 * dflops
+        nar_flops += max(max_steps + 1.0, 1.0) * dflops
         voc_fn = jax.jit(lambda v, c: voc.apply(v, c))
         codes_probe = jnp.zeros((b, wav_units), jnp.int32)
         ca = voc_fn.lower(voc_vars, codes_probe).compile().cost_analysis()
@@ -1021,11 +1032,13 @@ def main_e2e():
         "metric": "s2st_e2e_rtf",
         "value": round(rtf, 3),
         "unit": f"input_audio_s/wall_s (B{b}x{frames} fbank frames, "
-                "15 decode iters + dur-expanded HiFi-GAN, one jitted "
-                f"program, {'int8-static decode + bf16 vocoder' if e2e_int8 else 'bf16'}, "
+                "adaptive-exit decode <=15 iters + dur-expanded HiFi-GAN, "
+                f"one jitted program, {'int8-static decode + bf16 vocoder' if e2e_int8 else 'bf16'}, "
                 "1 chip)",
         "vs_baseline": round(rtf / 5.0, 3),
         "mfu_pct": mfu,
+        "mean_steps": round(mean_steps, 2),
+        "max_steps": round(max_steps, 2),
     }))
 
 

@@ -88,6 +88,7 @@ def s2st_generate(
     vocoder_chunk: int = 4,
     decode_chunk: int = 0,
     tgt_speaker: Optional[jnp.ndarray] = None,
+    return_steps: bool = False,
 ):
     """Speech (fbank) in, waveform out, fully on device.
 
@@ -97,9 +98,11 @@ def s2st_generate(
     decoded unit stream drives the vocoder un-expanded (reference
     --dur-prediction off). `tgt_speaker` [B, D] conditions the NAR decode
     (--target-speaker-embed); `spkr` [B] selects the multi-speaker
-    vocoder's speaker embedding.
+    vocoder's speaker embedding. `return_steps` appends the per-row
+    mask-predict iteration counts [B] (decode-difficulty reporting —
+    bench.py states the e2e RTF's measured difficulty with it).
     """
-    tokens, _scores, _ = mask_predict_decode_chunked(
+    tokens, _scores, n_steps = mask_predict_decode_chunked(
         nar_model, nar_variables, src, src_lengths, chunk=decode_chunk,
         max_iter=max_iter, max_len=max_len, cond_scale=cond_scale,
         length_beam=length_beam, tgt_speaker=tgt_speaker,
@@ -132,6 +135,8 @@ def s2st_generate(
     )
     upsample = wav.shape[-1] // max_wav_units
     wav_lengths = jnp.sum(wav_unit_mask, axis=-1) * upsample
+    if return_steps:
+        return wav, wav_lengths, reduced, counts, n_steps
     return wav, wav_lengths, reduced, counts
 
 

@@ -26,6 +26,8 @@ import re
 import sys
 import tempfile
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 # ---------------------------------------------------------------- wire fmt
 
 
@@ -87,9 +89,13 @@ def parse_xplane(path):
                         if ef == 2:
                             mname = ev.decode("utf-8", "replace")
                     meta[k] = mname
-        durs = collections.defaultdict(int)
+        by_line = {}
         for line in lines:
-            for lf, _, lv in _fields(line):
+            lname = ""
+            durs = collections.defaultdict(int)
+            for lf, wt0, lv in _fields(line):
+                if lf == 2 and wt0 == 2:
+                    lname = lv.decode("utf-8", "replace")
                 if lf != 4:
                     continue
                 mid = dur = 0
@@ -99,31 +105,47 @@ def parse_xplane(path):
                     elif ef == 3 and wt == 0:
                         dur = ev
                 durs[meta.get(mid, f"#{mid}")] += dur
-        planes[name] = dict(durs)
+            if durs:
+                prev = by_line.get(lname, {})
+                for k, v in durs.items():
+                    prev[k] = prev.get(k, 0) + v
+                by_line[lname] = prev
+        planes[name] = by_line
     return planes
 
 
-BUCKETS = [
-    ("rng", re.compile(r"rng|threefry|philox|rbg", re.I)),
-    ("convolution", re.compile(r"^%?(convolution|conv)", re.I)),
-    ("matmul/dot", re.compile(r"dot|matmul|einsum", re.I)),
-    ("all-reduce/collective", re.compile(r"all-reduce|all-gather|collective",
-                                         re.I)),
-    ("copy/transpose", re.compile(r"copy|transpose|reshape|bitcast", re.I)),
-    ("reduce", re.compile(r"^%?reduce", re.I)),
-    ("fusion", re.compile(r"fusion", re.I)),
-]
+def _op_kind(name):
+    """HLO op kind from the event's lhs: '%fusion.21 = (...' -> 'fusion'.
+    (Classifying on the FULL text mis-buckets fusions whose operand text
+    mentions transpose/copy.)"""
+    m = re.match(r"%?([a-zA-Z_-]+)[.\d]*\s*=", name)
+    if m:
+        return m.group(1).rstrip("-")
+    m = re.match(r"%?([a-zA-Z_-]+)", name)
+    return m.group(1) if m else name[:20]
 
 
 def bucketize(durs):
     out = collections.defaultdict(int)
     for name, d in durs.items():
-        for bname, pat in BUCKETS:
-            if pat.search(name):
-                out[bname] += d
-                break
-        else:
-            out["other"] += d
+        kind = _op_kind(name)
+        if re.search(r"rng|threefry|philox|rbg", kind, re.I):
+            kind = "rng"
+        elif kind.startswith(("copy", "transpose", "reshape", "bitcast",
+                              "slice", "dynamic-update-slice")):
+            kind = "copy/layout"
+        elif kind.startswith(("all-reduce", "all-gather", "collective",
+                              "reduce-scatter")):
+            kind = "collective"
+        elif kind.startswith("convolution"):
+            kind = "convolution"
+        elif kind.startswith("dot"):
+            kind = "matmul"
+        elif kind.startswith("reduce"):
+            kind = "reduce"
+        elif kind.startswith("fusion"):
+            kind = "fusion"
+        out[kind] += d
     return out
 
 
@@ -182,7 +204,9 @@ def _family_step(family, b, seq):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--family", required=True,
+    p.add_argument("--parse", default=None,
+                   help="re-analyze an existing xplane.pb (no profiling run)")
+    p.add_argument("--family", default=None,
                    choices=["vae", "diffusion", "hubert", "wav2vec2", "nar"])
     p.add_argument("--steps", type=int, default=3)
     p.add_argument("--batch", type=int, default=0)
@@ -191,42 +215,51 @@ def main(argv=None):
     p.add_argument("--top", type=int, default=15)
     args = p.parse_args(argv)
 
-    import jax
+    if args.parse:
+        pbs = [args.parse]
+    else:
+        if not args.family:
+            raise SystemExit("--family required unless --parse is given")
+        import jax
 
-    from diffnorm_tpu.utils.compile_cache import enable_compile_cache
+        from diffnorm_tpu.utils.compile_cache import enable_compile_cache
 
-    enable_compile_cache()
-    trainer, state, batch = _family_step(args.family, args.batch, args.seq)
-    rng = jax.random.PRNGKey(1)
-    for i in range(2):  # compile + warm outside the trace
-        state, mets = trainer.train_step(state, [batch],
-                                         jax.random.fold_in(rng, i))
-    _ = float(mets["loss"])
+        enable_compile_cache()
+        trainer, state, batch = _family_step(args.family, args.batch,
+                                             args.seq)
+        rng = jax.random.PRNGKey(1)
+        for i in range(2):  # compile + warm outside the trace
+            state, mets = trainer.train_step(state, [batch],
+                                             jax.random.fold_in(rng, i))
+        _ = float(mets["loss"])
 
-    trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="dn_prof_")
-    jax.profiler.start_trace(trace_dir)
-    for i in range(args.steps):
-        state, mets = trainer.train_step(state, [batch],
-                                         jax.random.fold_in(rng, 100 + i))
-    _ = float(mets["loss"])
-    jax.profiler.stop_trace()
+        trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="dn_prof_")
+        jax.profiler.start_trace(trace_dir)
+        for i in range(args.steps):
+            state, mets = trainer.train_step(state, [batch],
+                                             jax.random.fold_in(rng, 100 + i))
+        _ = float(mets["loss"])
+        jax.profiler.stop_trace()
 
-    pbs = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
-                           recursive=True))
-    if not pbs:
-        raise SystemExit(f"no xplane.pb under {trace_dir}")
+        pbs = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                               recursive=True))
+        if not pbs:
+            raise SystemExit(f"no xplane.pb under {trace_dir}")
     planes = parse_xplane(pbs[-1])
-    # device plane: TPU (or CPU fallback for offline testing of the parser)
-    dev = None
-    for name in planes:
-        if "TPU" in name or "/device:" in name.lower() or "tpu" in name.lower():
-            if planes[name]:
-                dev = name
+    # device plane's "XLA Ops" line: per-op self time (the "Steps" and
+    # "XLA Modules" lines are whole-step/module spans — summing them
+    # double-counts)
+    dev, durs = None, None
+    for name, by_line in planes.items():
+        if ("TPU" in name or "tpu" in name.lower()) and "XLA Ops" in by_line:
+            dev, durs = name, by_line["XLA Ops"]
+            break
+    if durs is None:
+        for name, by_line in planes.items():
+            if by_line:
+                best = max(by_line, key=lambda ln: sum(by_line[ln].values()))
+                dev, durs = f"{name}/{best}", by_line[best]
                 break
-    if dev is None:
-        dev = max(planes, key=lambda n: sum(planes[n].values()) if planes[n]
-                  else 0)
-    durs = planes[dev]
     total = sum(durs.values()) or 1
     print(f"# plane: {dev}  total {total / 1e9 / args.steps:.2f} ms/step "
           f"device time over {args.steps} steps")

@@ -628,7 +628,10 @@ def main_vae_train():
     _import_all()
     if os.environ.get("BENCH_PRNG", "rbg") == "rbg":
         jax.config.update("jax_default_prng_impl", "rbg")
-    b = int(os.environ.get("BENCH_BATCH", 16))
+    # B64xT256 = 16k unit tokens/step ~= the recipe's 15k max-tokens
+    # (scripts/vae/train.sh); the old B16 default under-filled the chip
+    # (27.6% MFU at B16 -> 51.2% at B64, round-5 sweep in PERFORMANCE.md)
+    b = int(os.environ.get("BENCH_BATCH", 64))
     seq = int(os.environ.get("BENCH_SEQ", 256))
     cfg = Config(
         task="dummy_vae", arch="speech_vae_decoder",
@@ -771,7 +774,11 @@ def _pretrain_train_bench(family: str):
     from diffnorm_tpu.train.trainer import Trainer
 
     _import_all()
-    b = int(os.environ.get("BENCH_BATCH", 8))
+    # B16x10s = 2.8M samples/step: the reference recipe is 1.4M max_tokens
+    # PER GPU x 32 GPUs (hubert_base_librispeech.yaml) — a chip batching
+    # two GPUs' worth (global batch preserved via update_freq) amortizes
+    # the dispatch-diluted step: 17.6% MFU at B8 -> 21.6% at B16 (r5 sweep)
+    b = int(os.environ.get("BENCH_BATCH", 16))
     seq = int(os.environ.get("BENCH_SEQ", 160_000))  # 10 s at 16 kHz
     if os.environ.get("BENCH_PRNG", "rbg") == "rbg":
         jax.config.update("jax_default_prng_impl", "rbg")

@@ -92,6 +92,25 @@ def test_s2st_generate_end_to_end(pipeline):
     assert np.all(np.isfinite(np.asarray(wav)))
 
 
+def test_s2st_generate_return_steps(pipeline):
+    """return_steps appends per-row decode iteration counts (the e2e
+    bench's difficulty reporting) without changing the other outputs."""
+    model, variables, voc, voc_vars, batch = pipeline
+    src = jnp.asarray(batch["src_tokens"])
+    lens = jnp.asarray(batch["src_lengths"])
+    kw = dict(max_iter=3, max_len=16, max_duration=4)
+    out4 = jax.jit(lambda v, vv, s, l: s2st_generate(
+        model, v, voc, vv, s, l, **kw))(variables, voc_vars, src, lens)
+    out5 = jax.jit(lambda v, vv, s, l: s2st_generate(
+        model, v, voc, vv, s, l, return_steps=True, **kw))(
+            variables, voc_vars, src, lens)
+    assert len(out4) == 4 and len(out5) == 5
+    for a, b in zip(out4, out5[:4]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    steps = np.asarray(out5[4])
+    assert steps.shape == (2,) and np.all(steps >= 1) and np.all(steps <= 4)
+
+
 def test_s2st_generate_no_dur_prediction(pipeline):
     model, variables, voc, voc_vars, batch = pipeline
     src = jnp.asarray(batch["src_tokens"])

@@ -5,25 +5,33 @@ Round 4's aligned-substitution world saturates: a converged CMLM's
 position-wise argmax is itself a denoiser of position-independent,
 length-preserving target noise (the conditional mode given the source IS
 the clean template), so both arms decode at 100 BLEU. This world corrupts
-at the FRAME level instead: each frame of the full (unreduced) unit
-stream flips to a random junk unit with probability P_FRAME — the
-analogue of spurious acoustic fragments in real CVSS units. In REDUCED
-space that is *length-altering insertion noise*:
+at the FRAME level instead: frames of the full (unreduced) unit stream
+flip to random junk units (rate P_FRAME, at least MIN_INS per utterance),
+and junk frames carry EXTRA feature noise (SIGMA_JUNK) — the analogue of
+spurious acoustic fragments in real CVSS units, whose features sit off
+the codebook manifold and get snapped to an arbitrary cluster by k-means.
+In REDUCED space that is *length-altering insertion noise*:
 
     full  A A A B B   --flip mid-frame-->  A J A B B
     reduced  A B                           A J A B    (+2 positions)
 
-which a mask-predict NAR cannot erase — every utterance of the same
-source now has a different target length and shifted positions, so the
-length head learns a smeared distribution and the per-position argmax
-blends shifted copies of the template (the classic NAR multimodality
-failure, reference arXiv 2405.13274 section 1) — while DiffNorm's
-per-position re-estimation CAN undo it exactly: flipping J back to its
-run's unit makes the duplicate collapse under re-reduction
-(diff_norm_synthesis reduce semantics), restoring both content AND
-length. Match: /root/reference/README.md:1-15 (the claim),
-latent_module.py:1385-1471 (ddim_sample), research/TranSpeech/
-diff_norm_synthesis.py:196-224 (normalize -> re-reduce -> retrain).
+which a mask-predict NAR cannot erase — with >= MIN_INS insertions per
+utterance the CLEAN length is no longer even the length head's modal
+class, every utterance of the same source has a different target length
+and shifted positions, and the per-position argmax blends shifted copies
+of the template (the classic NAR multimodality failure, reference arXiv
+2405.13274 section 1) — while DiffNorm's per-position re-estimation CAN
+undo it: the junk frame's off-manifold latent re-estimates toward its
+run's content under the latent prior, and the duplicate then collapses
+under re-reduction (diff_norm_synthesis reduce semantics), restoring
+both content AND length. Calibration history (round 5): optional-only
+insertions leave the clean length modal (corrupted arm re-saturates);
+on-manifold junk features (SIGMA_JUNK = SIGMA) are learned as data by
+the diffusion and survive normalization — both measured, see
+PERFORMANCE.md "The decode-level gap". Match:
+/root/reference/README.md:1-15 (the claim), latent_module.py:1385-1471
+(ddim_sample), research/TranSpeech/diff_norm_synthesis.py:196-224
+(normalize -> re-reduce -> retrain).
 
 Gates (each of 2 NAR seeds, same VAE+diffusion):
   * decode-level gap: normalized-arm unit-BLEU vs the clean templates
@@ -56,13 +64,23 @@ def _env(name, default, cast=int):
 
 CODE, FEAT, T_RED = 16, 32, 8
 SIGMA = 0.1
-P_FRAME = _env("DNGAP_P_FRAME", 0.10, float)
-N_TEMPLATES = _env("DNGAP_TEMPLATES", 8)
-REPEATS = _env("DNGAP_REPEATS", 64)
+# junk frames carry EXTRA feature noise: spurious units in real pipelines
+# come from acoustic garbage whose features sit off the codebook manifold
+# (k-means snaps them to an arbitrary cluster) — which is exactly what
+# makes them re-estimable by the latent prior
+SIGMA_JUNK = _env("DNGAP_SIGMA_JUNK", 0.5, float)
+P_FRAME = _env("DNGAP_P_FRAME", 0.06, float)
+# every utterance gets >= MIN_INS junk frames: with optional-only noise
+# the CLEAN length stays the length-head's modal class and the corrupted
+# arm can decode the clean templates anyway (the round-4 saturation, one
+# level up)
+MIN_INS = _env("DNGAP_MIN_INS", 1)
+N_TEMPLATES = _env("DNGAP_TEMPLATES", 4)
+REPEATS = _env("DNGAP_REPEATS", 128)
 TIMESTEPS, START, STRIDE = 32, 16, 16
 VAE_UPDATES = _env("DNGAP_VAE_UPDATES", 2000)
-DIFF_UPDATES = _env("DNGAP_DIFF_UPDATES", 12000)
-NAR_UPDATES = _env("DNGAP_NAR_UPDATES", 600)
+DIFF_UPDATES = _env("DNGAP_DIFF_UPDATES", 20000)
+NAR_UPDATES = _env("DNGAP_NAR_UPDATES", 800)
 NAR_SEEDS = (3, 11)
 GAP_MARGIN = _env("DNGAP_MARGIN", 5.0, float)
 NORM_FLOOR = _env("DNGAP_NORM_FLOOR", 70.0, float)
@@ -89,13 +107,17 @@ def _templates(rng):
 
 def _corrupt_frames(full, rng):
     """Frame-level junk substitution: each frame flips to a uniformly
-    random OTHER unit with prob P_FRAME. Length-preserving in frame space,
-    length-ALTERING in reduced space (inserted junk splits runs)."""
+    random OTHER unit with prob P_FRAME, with at least MIN_INS flips per
+    utterance. Length-preserving in frame space, length-ALTERING in
+    reduced space (inserted junk splits runs). Returns (corrupted full
+    stream, junk-frame mask)."""
     full = full.copy()
     flips = rng.random(len(full)) < P_FRAME
+    while flips.sum() < MIN_INS:
+        flips[rng.integers(0, len(full))] = True
     for j in np.flatnonzero(flips):
         full[j] = rng.choice([u for u in range(CODE) if u != full[j]])
-    return full
+    return full, flips
 
 
 def _make_corpus(root, seed=0):
@@ -113,8 +135,9 @@ def _make_corpus(root, seed=0):
     def one_utt(prefix, i, ti):
         clean_red = templates[ti]
         runs = data_rng.integers(2, 4, size=len(clean_red))
-        full = _corrupt_frames(np.repeat(clean_red, runs), data_rng)
-        feat = (emb[full] + SIGMA * data_rng.normal(size=(len(full), FEAT))
+        full, junk = _corrupt_frames(np.repeat(clean_red, runs), data_rng)
+        sigma = np.where(junk, SIGMA_JUNK, SIGMA)[:, None]
+        feat = (emb[full] + sigma * data_rng.normal(size=(len(full), FEAT))
                 ).astype(np.float32)
         name = f"{prefix}_utt{i}.feat.npy"
         np.save(feat_dir / name, feat)
@@ -262,16 +285,25 @@ def test_diffnorm_decode_gap(tmp_path):
                                                  bleu_tgt_norm)
     assert norm_len_clean > int(np.sum(red_lens == clean_lens))
 
-    # eval split: one clean utterance per template
+    # eval split: 4 source draws per template (clean prototype + noised
+    # in-distribution variants) against clean-template references — 16
+    # rows tighten the corpus-BLEU variance vs a 4-row split
     test_rows = []
+    eval_rng = np.random.default_rng(99)
     for ti, tmpl in enumerate(templates):
-        src_path = str(tmp_path / f"eval_src{ti}.npy")
-        np.save(src_path, src_emb[ti].astype(np.float32))
-        test_rows.append({
-            "id": f"eval{ti}", "src_audio": src_path, "src_n_frames": 20,
-            "tgt_audio": " ".join(map(str, tmpl)),
-            "tgt_n_frames": len(tmpl),
-        })
+        for k in range(4):
+            src = src_emb[ti].astype(np.float32)
+            if k:
+                src = (src + 0.05 * eval_rng.normal(size=src.shape)
+                       ).astype(np.float32)
+            src_path = str(tmp_path / f"eval_src{ti}_{k}.npy")
+            np.save(src_path, src)
+            test_rows.append({
+                "id": f"eval{ti}_{k}", "src_audio": src_path,
+                "src_n_frames": 20,
+                "tgt_audio": " ".join(map(str, tmpl)),
+                "tgt_n_frames": len(tmpl),
+            })
     for d, arm_rows in ((corr_dir, corr_rows), (norm_dir, norm_rows)):
         write_translation_manifest(str(d / "train.tsv"), arm_rows)
         write_translation_manifest(str(d / "dev.tsv"), arm_rows[:8])

@@ -89,7 +89,9 @@ TINY_VAE = dict(
     feature_dim=FEAT, latent_dim=4, chan_mults=[4], vae_decoder_depth=2,
     vae_decoder_dim_head=8, vae_decoder_heads=2, target_code_size=CODE,
 )
-DIFF_CFG = dict(hidden_dim=64, denoiser_depth=3, wavenet_layers=6,
+DIFF_CFG = dict(hidden_dim=_env("DNGAP_HIDDEN", 64),
+                denoiser_depth=_env("DNGAP_DEPTH", 3),
+                wavenet_layers=6,
                 wavenet_stacks=1, timesteps=TIMESTEPS)
 
 

@@ -301,21 +301,31 @@ def _build_trained_ctc_asset(tmp_path, gen, units_map, data):
               for t in TEXTS]
     unk = processor.tokenizer.unk_token_id
     assert all(unk not in ids for ids in labels), labels
-    # no spec-augment masking: this is 3-utterance memorization
+    # memorization recipe (calibrated round 5): spec-augment off, the
+    # random conv extractor FROZEN (updating it concurrently destabilizes
+    # from-scratch CTC into blank collapse), all utterances in ONE padded
+    # batch per step (per-sample alternation oscillates), grad clip
     model.config.apply_spec_augment = False
+    model.config.ctc_zero_infinity = True
+    model.freeze_feature_encoder()
 
-    opt = torch.optim.Adam(model.parameters(), lr=3e-4)
-    rng = np.random.default_rng(0)
+    maxl = max(len(ids) for ids in labels)
+    lab = torch.full((len(labels), maxl), -100, dtype=torch.long)
+    for i, ids in enumerate(labels):
+        lab[i, :len(ids)] = torch.tensor(ids)
+    inputs = processor([w.astype(np.float32) for w in wavs],
+                       sampling_rate=16000, return_tensors="pt",
+                       padding=True)
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    torch.manual_seed(0)
     final = None
-    for step in range(300):
-        i = step % len(wavs)
-        noisy = wavs[i] + 2e-3 * rng.normal(size=wavs[i].shape)
-        inputs = processor(noisy.astype(np.float32), sampling_rate=16000,
-                           return_tensors="pt")
-        out = model(inputs.input_values,
-                    labels=torch.tensor([labels[i]]))
+    for step in range(2000):
+        noisy = (inputs.input_values
+                 + 2e-3 * torch.randn_like(inputs.input_values))
+        out = model(noisy, labels=lab)
         opt.zero_grad()
         out.loss.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
         opt.step()
         final = float(out.loss.detach())
     model.eval()

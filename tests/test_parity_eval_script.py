@@ -319,10 +319,28 @@ def _build_trained_ctc_asset(tmp_path, gen, units_map, data):
     opt = torch.optim.Adam(model.parameters(), lr=1e-3)
     torch.manual_seed(0)
     final = None
-    for step in range(2000):
+    for step in range(1500):
         noisy = (inputs.input_values
                  + 2e-3 * torch.randn_like(inputs.input_values))
         out = model(noisy, labels=lab)
+        opt.zero_grad()
+        out.loss.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+        opt.step()
+        final = float(out.loss.detach())
+    # phase 2: per-sample UNPADDED fine-tune — the scoring pipeline
+    # transcribes each wav individually, and the padded-batch input
+    # statistics (do_normalize over zero tails + global attention) differ
+    # enough to garble unpadded eval without this
+    for g in opt.param_groups:
+        g["lr"] = 3e-4
+    for step in range(600):
+        i = step % len(wavs)
+        one = processor(wavs[i].astype(np.float32), sampling_rate=16000,
+                        return_tensors="pt")
+        noisy = (one.input_values
+                 + 2e-3 * torch.randn_like(one.input_values))
+        out = model(noisy, labels=torch.tensor([labels[i]]))
         opt.zero_grad()
         out.loss.backward()
         torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)

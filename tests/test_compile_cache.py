@@ -8,6 +8,7 @@ import os
 from diffnorm_tpu.utils.compile_cache import (
     enable_compile_cache,
     host_fingerprint,
+    install_cpu_aot_warning_filter,
 )
 
 
@@ -39,3 +40,37 @@ def test_enable_compile_cache_host_keyed(tmp_path, monkeypatch):
         assert jax.config.jax_compilation_cache_dir == str(tmp_path)
     finally:
         jax.config.update("jax_compilation_cache_dir", old)
+
+
+def test_aot_warning_filter_drops_only_the_false_positive(tmp_path):
+    """The dryrun's stderr filter drops cpu_aot_loader's same-host
+    feature-mismatch line (a tuning-pref string comparison that can never
+    succeed, see install_cpu_aot_warning_filter) and forwards everything
+    else byte-for-byte — checked through the real fd 2 in a subprocess so
+    the dup2 plumbing is what's under test."""
+    import subprocess
+    import sys
+
+    prog = """
+from diffnorm_tpu.utils.compile_cache import install_cpu_aot_warning_filter
+import os, sys
+restore = install_cpu_aot_warning_filter()
+os.write(2, b"E0000 00:00 cpu_aot_loader.cc:210] Loading XLA:CPU AOT "
+            b"result. Compile machine features: [+avx] vs host\\n")
+os.write(2, b"a real error line\\n")
+print("partial with no newline", end="", file=sys.stderr)
+sys.stderr.flush()
+restore()
+restore()  # idempotent
+os.write(2, b"\\nafter restore\\n")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", prog], cwd=os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))),
+        capture_output=True, timeout=120)
+    err = out.stderr.decode()
+    assert out.returncode == 0, (err, out.stdout)
+    assert "cpu_aot_loader" not in err and "machine features" not in err
+    assert "a real error line\n" in err
+    assert "partial with no newline" in err
+    assert "after restore" in err

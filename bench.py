@@ -483,7 +483,20 @@ def main_nar_trained():
                       f"({train_wall:.0f}s on-chip)",
                       "vs_baseline": 0.0}))
 
+    # decode in the SERVING configuration (bf16 compute + int8-static
+    # matmuls, exactly main_nar's model build) — the trained params slot
+    # into a fresh eval-model whose cfg carries dtype/quant flags; the
+    # training model computes f32 without quant wrappers, and measuring
+    # THAT conflates decode difficulty with a config no one serves
+    # (first run of this bench did: 62.7 utts/s at 1.6% MFU)
     nar_int8 = os.environ.get("BENCH_NAR_INT8", "1") == "1"
+    eval_cfg = Config(
+        arch="nar_s2ut_conformer", criterion="nar_speech_to_unit",
+        target_code_size=code, label_smoothing=0.2, lr=5e-4,
+        dtype="bfloat16", quant_int8=nar_int8,
+    )
+    eval_task = TASKS.get("dummy_nar").setup_task(eval_cfg)
+    eval_model = eval_task.build_model()
     variables = {"params": jax.device_get(state.params),
                  **jax.device_get(state.model_state)}
     variables = jax.tree_util.tree_map(
@@ -494,7 +507,7 @@ def main_nar_trained():
         from diffnorm_tpu.ops.quant import calibrate_apply
 
         variables = calibrate_apply(
-            model.module.apply, variables,
+            eval_model.module.apply, variables,
             jnp.asarray(eval_batch["src_tokens"]),
             jnp.asarray(eval_batch["src_lengths"]),
             jnp.asarray(eval_batch["prev_target"]),
@@ -504,7 +517,7 @@ def main_nar_trained():
         os.environ["DIFFNORM_INT8_STATIC"] = "1"
     early_exit = os.environ.get("BENCH_NAR_EXIT", "1") == "1"
     _nar_decode_bench(
-        model, variables, eval_batch, b, frames, nar_int8, early_exit,
+        eval_model, variables, eval_batch, b, frames, nar_int8, early_exit,
         metric="nar_s2ut_decode_trained",
         extra={"train_updates": updates,
                "final_train_loss": round(final_loss, 4)})
